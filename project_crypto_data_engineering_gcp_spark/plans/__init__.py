@@ -1,0 +1,9 @@
+from .corpus import CorpusQuery, corpus_query, all_queries, get_query
+
+# importing the query modules populates the registry
+from . import queries_reference  # noqa: F401
+from . import queries_text  # noqa: F401
+from . import queries_dedup  # noqa: F401
+from . import queries_similarity  # noqa: F401
+
+__all__ = ["CorpusQuery", "corpus_query", "all_queries", "get_query"]

@@ -1,0 +1,304 @@
+"""Deduplication corpus queries over the ``documents`` table.
+
+The LLM-pipeline dedup ladder (BASELINE.json north star), each step a
+different cost/recall trade-off, all differential-tested against DuckDB:
+
+  exact        hash-groupBy on the raw text          (1 shuffle on 60-bit key)
+  fingerprint  hash-groupBy on canonical token set   (catches reorderings)
+  simhash      per-doc locality-sensitive signature  (hamming-bucket recall)
+  minhash+LSH  banded signatures -> candidate pairs -> exact jaccard verify
+  ngram        shared-shingle join -> exact jaccard  (exact, highest cost)
+
+Scale notes: all pairwise stages are gated on equality joins (band key /
+shingle / signature), never on a cross product. At 100 TB the shingle
+inverted index is the dominant shuffle; hot shingles (appearing in >>N
+docs) would be dropped as stop-shingles before the self-join — that cap is
+noted inline where it would go, off here so the oracle stays exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.hashing import md5_long, md5_long_sql
+from ..functions.text import (
+    canonical_text,
+    canonical_text_sql,
+    distinct_tokens,
+    distinct_tokens_sql,
+    shingles,
+    shingles_sql,
+)
+from ..sources.tables import load_table
+from .corpus import corpus_query
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+# verify threshold ~ (1/BANDS)^(1/ROWS_PER_BAND) ≈ 0.71 for 4x4 banding;
+# minhash runs over 3-gram shingle sets (unigram token sets are degenerate
+# on a small shared vocabulary — every long doc contains nearly all of it)
+MINHASH_JACCARD_THRESHOLD = 0.6
+MINHASH_SHINGLE_K = 3
+NGRAM_JACCARD_THRESHOLD = 0.6
+SIMHASH_BITS = 16
+
+
+@corpus_query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT {md5_long_sql("text")} AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: group on a 60-bit text hash, keep the
+    smallest doc_id. At scale the shuffle key is the fixed-width hash, not
+    the document body — only (hash, doc_id) moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(md5_long("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@corpus_query(
+    "dedup_fingerprint",
+    oracle=f"""
+    SELECT {md5_long_sql(canonical_text_sql("text"))} AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup via canonical token-set fingerprint: catches documents
+    that are permutations/repetitions of the same vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(md5_long(canonical_text("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _minhash_oracle() -> str:
+    h_exprs = ", ".join(
+        f"MIN({md5_long_sql('tok', f'mh{j}:')}) AS h{j}" for j in range(NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = " || ',' || ".join(
+            f"h{j}::VARCHAR" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {md5_long_sql(f'({cols})', f'band{b}:')} AS band_key FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({shingles_sql("text", MINHASH_SHINGLE_K)}) AS tok
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, {h_exprs} FROM toks GROUP BY doc_id
+    ),
+    bands AS ({bands_sql}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {MINHASH_JACCARD_THRESHOLD}
+    """
+
+
+@corpus_query("dedup_minhash_lsh", oracle=_minhash_oracle(), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dedup over 3-gram shingle sets.
+
+    Pipeline: distinct shingles -> {NUM_HASHES} minhash signatures (one
+    groupBy) -> {BANDS} banded keys -> equality self-join on band key ->
+    exact jaccard verification of candidates >= {MINHASH_JACCARD_THRESHOLD}.
+
+    Scale: signatures are one map-side-combinable aggregation; the
+    candidate join is an equi-join on band keys (no cross product); the
+    verify join touches only candidate docs' tokens. Hot band-key buckets
+    (degenerate LSH collisions) would be capped before the self-join at
+    production scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(shingles("text", MINHASH_SHINGLE_K)).alias("tok")
+    )
+
+    sigs = toks.groupBy("doc_id").agg(
+        *[F.min(md5_long("tok", f"mh{j}:")).alias(f"h{j}") for j in range(NUM_HASHES)]
+    )
+    band_frames = []
+    for b in range(BANDS):
+        cols = [f"h{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        band_frames.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                md5_long(F.concat_ws(",", *cols), f"band{b}:").alias("band_key"),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.alias("ta")
+    tb = toks.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b")) & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= MINHASH_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@corpus_query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram jaccard near-dedup: shingle inverted index self-join,
+    pair intersection counts, jaccard >= {NGRAM_JACCARD_THRESHOLD}.
+
+    Scale: the self-join fan-out is sum over shingles of df^2; production
+    would drop shingles with document frequency above a cap (stop-shingle
+    filter) before joining — omitted here so the oracle stays exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= NGRAM_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    hash_expr = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {md5_long_sql("tok")} AS h
+        FROM (SELECT doc_id, unnest({distinct_tokens_sql("text")}) AS tok FROM documents) t
+    ),
+    bits AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
+    sh AS (SELECT doc_id, {hash_expr} AS simhash FROM bits)
+    SELECT doc_id, simhash,
+           COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
+    FROM sh
+    """
+
+
+@corpus_query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash ({SIMHASH_BITS}-bit) per document over token hashes: each
+    bit is the sign of the +1/-1 vote sum; equal signatures bucket
+    near-duplicates. One map-side-combinable aggregation, no pairwise
+    stage at all — the cheapest near-dup signal at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(distinct_tokens("text")).alias("tok"))
+        .select("doc_id", md5_long("tok").alias("h"))
+    )
+    bit_votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    sh = bit_votes.select("doc_id", simhash.alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return sh.select(
+        "doc_id", "simhash", F.count(F.lit(1)).over(w).alias("bucket_size")
+    )

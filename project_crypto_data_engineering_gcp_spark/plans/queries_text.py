@@ -1,0 +1,195 @@
+"""Text-analysis corpus queries over the ``documents`` table.
+
+LLM-training-data-pipeline operators (BASELINE.json north star): token
+statistics, quality scoring, n-gram language ID, document fingerprinting,
+token explode. All pure expression work — scan-stage-only at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import md5_long, md5_long_sql
+from ..functions.text import (
+    canonical_text,
+    canonical_text_sql,
+    stopword_count,
+    stopword_count_sql,
+    tokens,
+    tokens_sql,
+)
+from ..sources.tables import load_table
+from .corpus import corpus_query
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+# tiny per-language lexicons for the n-gram/stopword language-ID heuristic;
+# priority order breaks score ties deterministically
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "in"),
+    "es": ("el", "la", "de", "y", "en"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "fr": ("le", "la", "de", "et", "un"),
+}
+
+
+@corpus_query(
+    "text_token_explode",
+    oracle="""
+    SELECT tok AS token, COUNT(*) AS n, MIN(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+    GROUP BY tok
+    """,
+)
+def text_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode + re-aggregate (reference P1 explode, `2:44`, realized
+    as corpus token counting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@corpus_query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({tokens_sql("text")}) AS n_tokens,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpe_tokens,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len({tokens_sql("text")}), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count +
+    average token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text"))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_tokens, 6
+        ).alias("avg_token_len"),
+    )
+
+
+@corpus_query(
+    "text_quality_score",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               len({tokens_sql("text")}) AS n_tokens,
+               CAST(len(list_distinct({tokens_sql("text")})) AS DOUBLE)
+                   / len({tokens_sql("text")}) AS distinct_ratio,
+               CAST({stopword_count_sql("text", STOPWORDS)} AS DOUBLE)
+                   / len({tokens_sql("text")}) AS stopword_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(distinct_ratio, 6) AS distinct_ratio,
+           ROUND(stopword_ratio, 6) AS stopword_ratio,
+           ROUND(0.5 * distinct_ratio + 0.3 * (1 - stopword_ratio)
+                 + 0.2 * least(1.0, n_tokens / 64.0), 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: lexical diversity, stopword ratio, and
+    length saturation combined into one score."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text"))
+    distinct_ratio = F.size(F.array_distinct(tokens("text"))).cast("double") / n_tokens
+    stop_ratio = stopword_count("text", STOPWORDS).cast("double") / n_tokens
+    quality = (
+        0.5 * distinct_ratio
+        + 0.3 * (F.lit(1) - stop_ratio)
+        + 0.2 * F.least(F.lit(1.0), n_tokens / F.lit(64.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def _langid_case_sql() -> str:
+    langs = list(LANG_LEXICONS)
+    clauses = []
+    for lang in langs:
+        others = [f"s_{lang} >= s_{o}" for o in langs if o != lang]
+        clauses.append(
+            f"WHEN {' AND '.join(others)} AND s_{lang} > 0 THEN '{lang}'"
+        )
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+@corpus_query(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang AS lang_actual,
+               {", ".join(f'{stopword_count_sql("text", lex)} AS s_{lang}' for lang, lex in LANG_LEXICONS.items())}
+        FROM documents
+    )
+    SELECT doc_id, lang_actual, {", ".join(f"s_{lang}" for lang in LANG_LEXICONS)},
+           {_langid_case_sql()} AS lang_pred
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID: per-language hit counts, argmax with
+    fixed priority tie-break, 'und' when no lexicon matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *[
+            stopword_count("text", lex).alias(f"s_{lang}")
+            for lang, lex in LANG_LEXICONS.items()
+        ],
+    )
+    langs = list(LANG_LEXICONS)
+    pred = None
+    for lang in langs:
+        cond = F.col(f"s_{lang}") > 0
+        for o in langs:
+            if o != lang:
+                cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{o}"))
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return scored.select(
+        "doc_id", "lang_actual", *[f"s_{lang}" for lang in langs],
+        pred.otherwise("und").alias("lang_pred"),
+    )
+
+
+@corpus_query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {md5_long_sql(canonical_text_sql("text"))} AS fingerprint,
+           len({tokens_sql("text")}) - len(list_distinct({tokens_sql("text")})) AS n_repeated
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive 60-bit document fingerprint (sorted distinct
+    tokens -> md5): the exact-dedup key that survives token reordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        md5_long(canonical_text("text")).alias("fingerprint"),
+        (F.size(tokens("text")) - F.size(F.array_distinct(tokens("text")))).alias(
+            "n_repeated"
+        ),
+    )

@@ -1,0 +1,49 @@
+"""Parquet table loaders for the driver-generated testdata.
+
+``load_table`` is a thin wrapper over ``spark.read.parquet`` — filters and
+projections applied by callers push down to the parquet scan through
+Catalyst (verify with ``df.explain``: ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table; pins session TZ to UTC for oracle parity.
+
+    ``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; it is read via the legacy nanos-as-long mode
+    and floor-truncated to microseconds — the same truncation DuckDB's
+    microsecond TIMESTAMP applies, so both engines see identical values.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    return spark.read.parquet(path)

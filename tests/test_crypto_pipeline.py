@@ -1,0 +1,260 @@
+"""Crypto medallion pipeline tests: golden-replay of the fixture payloads
+(FIXTURES.md §A) + DuckDB differential oracles for every Gold table +
+quirk decisions (SURVEY §2.11) + ledger idempotency e2e."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from project_crypto_data_engineering_gcp_spark.plans.crypto_pipeline import (
+    bronze_to_silver,
+    daily_overview,
+    dashboard,
+    latest_assets,
+    market_dominance,
+    supply_dynamics,
+    top_gainers_losers,
+)
+from project_crypto_data_engineering_gcp_spark.plans.runner import (
+    run_dashboard,
+    run_gold,
+    run_pipeline,
+    run_silver,
+)
+from project_crypto_data_engineering_gcp_spark.sources.json_source import read_raw_json
+
+from .fixtures_crypto import N_ASSETS, SNAPSHOT_TS_MS, write_fixture_landing
+from .oracle_harness import assert_frames_match
+
+ANALYSIS_AT = "2026-01-01 00:00:00"
+PROCESSED_AT = "2026-01-01 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def landing(tmp_path_factory):
+    d = tmp_path_factory.mktemp("landing")
+    write_fixture_landing(str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def silver(spark, landing):
+    raw = read_raw_json(spark, f"{landing}/coincap_data_*.json")
+    return bronze_to_silver(raw, processed_at=PROCESSED_AT).drop("_source_file").cache()
+
+
+@pytest.fixture(scope="module")
+def silver_duck(spark, silver, tmp_path_factory):
+    """Silver written to parquet and registered in DuckDB — the oracle
+    input for the Gold differential tests."""
+    path = str(tmp_path_factory.mktemp("silver_pq") / "assets")
+    silver.drop("tokens").write.mode("overwrite").parquet(path)
+    return path
+
+
+def _duck(silver_path: str, sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW silver AS SELECT * FROM "
+        f"read_parquet('{silver_path}/*.parquet')"
+    )
+    con.execute(
+        """CREATE VIEW latest AS
+           SELECT * EXCLUDE (data_referencia),
+                  CAST(data_referencia AS TIMESTAMP) AS data_referencia
+           FROM silver
+           QUALIFY ROW_NUMBER() OVER (
+               PARTITION BY id ORDER BY CAST(data_referencia AS TIMESTAMP) DESC) = 1"""
+    )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------- silver
+
+
+def test_silver_schema_and_counts(silver):
+    assert silver.count() == N_ASSETS * len(SNAPSHOT_TS_MS)
+    types = dict(silver.dtypes)
+    assert types["rank"] == "int"
+    assert types["supply"] == "double"
+    assert types["data_referencia"] == "string"  # quirk Q3
+    assert types["tokens"] == "map<string,array<string>>"  # superset: kept
+    # null propagation per fixture rates
+    assert silver.filter(F.col("max_supply").isNull()).count() > 0
+    assert silver.filter(F.col("explorer").isNull()).count() > 0
+
+
+def test_latest_assets_is_argmax(spark, silver, silver_duck):
+    latest = latest_assets(silver, cache=False).drop("tokens")
+    duck = _duck(silver_duck, "SELECT * FROM latest")
+    assert_frames_match(latest, duck, "latest_assets")
+
+
+# ---------------------------------------------------------------- gold
+
+
+def test_daily_overview(silver, silver_duck):
+    got = daily_overview(latest_assets(silver, cache=False), ANALYSIS_AT)
+    duck = _duck(
+        silver_duck,
+        f"""
+        SELECT id, name, symbol, rank,
+               ROUND(price_usd, 8) AS price_usd,
+               ROUND(market_cap_usd, 2) AS market_cap_usd,
+               ROUND(volume_usd_24hr, 2) AS volume_usd_24hr,
+               ROUND(change_percent_24hr, 4) AS change_percent_24hr,
+               ROUND(vwap_24hr, 8) AS vwap_24hr,
+               ROUND(supply, 0) AS supply,
+               ROUND(max_supply, 0) AS max_supply,
+               explorer, data_referencia,
+               TIMESTAMP '{ANALYSIS_AT}' AS data_processamento_analise
+        FROM latest
+        """,
+    )
+    assert_frames_match(got, duck, "daily_overview")
+
+
+def test_top_gainers_losers(silver, silver_duck):
+    got = top_gainers_losers(latest_assets(silver, cache=False), analysis_at=ANALYSIS_AT)
+    duck = _duck(
+        silver_duck,
+        f"""
+        WITH base AS (SELECT * FROM latest WHERE change_percent_24hr IS NOT NULL),
+        g AS (SELECT name, symbol, change_percent_24hr, price_usd, data_referencia,
+                     'Ganhador' AS tipo_movimento
+              FROM base ORDER BY change_percent_24hr DESC, id LIMIT 10),
+        p AS (SELECT name, symbol, change_percent_24hr, price_usd, data_referencia,
+                     'Perdedor' AS tipo_movimento
+              FROM base ORDER BY change_percent_24hr ASC, id LIMIT 10)
+        SELECT name, symbol,
+               ROUND(change_percent_24hr, 4) AS change_percent_24hr,
+               ROUND(price_usd, 8) AS price_usd,
+               tipo_movimento, data_referencia,
+               TIMESTAMP '{ANALYSIS_AT}' AS data_processamento_analise
+        FROM (SELECT * FROM g UNION ALL SELECT * FROM p) u
+        """,
+    )
+    assert_frames_match(got, duck, "top_gainers_losers")
+
+
+def test_market_dominance(silver, silver_duck):
+    got = market_dominance(latest_assets(silver, cache=False), ANALYSIS_AT)
+    duck = _duck(
+        silver_duck,
+        f"""
+        WITH base AS (SELECT * FROM latest WHERE market_cap_usd IS NOT NULL),
+        tot AS (SELECT SUM(market_cap_usd) AS total FROM base)
+        SELECT name, symbol,
+               ROUND(market_cap_usd, 2) AS market_cap_usd,
+               ROUND(market_cap_usd / total * 100, 4) AS percent_market_cap,
+               data_referencia,
+               TIMESTAMP '{ANALYSIS_AT}' AS data_processamento_analise
+        FROM base, tot
+        """,
+    )
+    assert_frames_match(got, duck, "market_dominance")
+
+
+def test_supply_dynamics(silver, silver_duck):
+    got = supply_dynamics(latest_assets(silver, cache=False), ANALYSIS_AT)
+    duck = _duck(
+        silver_duck,
+        f"""
+        SELECT name, symbol,
+               ROUND(supply, 0) AS supply,
+               ROUND(max_supply, 0) AS max_supply,
+               ROUND(market_cap_usd / supply, 8) AS market_cap_per_unit_supply,
+               CASE WHEN max_supply IS NULL THEN 'Não Definido'
+                    WHEN supply >= max_supply THEN 'Próximo do Limite'
+                    ELSE 'Disponível' END AS status_oferta_maxima,
+               data_referencia,
+               TIMESTAMP '{ANALYSIS_AT}' AS data_processamento_analise
+        FROM latest
+        WHERE supply IS NOT NULL AND supply > 0 AND market_cap_usd IS NOT NULL
+        """,
+    )
+    assert_frames_match(got, duck, "supply_dynamics")
+    # planted asset 5 hits the 'Próximo do Limite' branch
+    rows = got.filter(F.col("symbol") == "SYM005").collect()
+    assert rows and rows[0]["status_oferta_maxima"] == "Próximo do Limite"
+
+
+def test_supply_round_keeps_double(silver):
+    # quirk Q2: round(supply, 0) stays DoubleType
+    got = supply_dynamics(latest_assets(silver, cache=False), ANALYSIS_AT)
+    assert dict(got.dtypes)["supply"] == "double"
+
+
+def test_gainers_losers_q1_history_mode(silver):
+    # quirk Q1 reproduction: losers drawn from FULL history can repeat ids
+    latest = latest_assets(silver, cache=False)
+    got = top_gainers_losers(
+        latest, full_history=silver, analysis_at=ANALYSIS_AT,
+        losers_over_history=True,
+    )
+    losers = got.filter(F.col("tipo_movimento") == "Perdedor")
+    assert losers.count() == 10
+    # with 3 snapshots the worst asset appears once per snapshot in history
+    top_loser_names = [r["name"] for r in losers.collect()]
+    assert len(set(top_loser_names)) < 10
+
+
+# ---------------------------------------------------------------- dashboard
+
+
+def test_dashboard(spark, silver, silver_duck):
+    latest = latest_assets(silver, cache=False)
+    gold = {
+        "daily_overview": daily_overview(latest, ANALYSIS_AT),
+        "top_gainers_losers": top_gainers_losers(latest, analysis_at=ANALYSIS_AT),
+        "market_dominance": market_dominance(latest, ANALYSIS_AT),
+        "supply_dynamics": supply_dynamics(latest, ANALYSIS_AT),
+    }
+    got = dashboard(spark, gold)
+    # all assets of the latest snapshot, enriched; row count preserved
+    # (tipo_movimento null for non-movers — LEFT JOIN semantics)
+    assert got.count() == N_ASSETS
+    movers = got.filter(F.col("tipo_movimento").isNotNull()).count()
+    assert movers == 20
+    assert got.filter(F.col("percent_market_cap").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------- runner e2e
+
+
+def test_pipeline_e2e_and_ledger_idempotency(spark, landing, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out"))
+    dash1 = run_pipeline(
+        spark, f"{landing}/coincap_data_*.json", out,
+        processed_at=PROCESSED_AT, analysis_at=ANALYSIS_AT,
+    )
+    assert dash1.count() == N_ASSETS
+
+    silver_rows = spark.read.parquet(os.path.join(out, "silver", "assets")).count()
+    assert silver_rows == N_ASSETS * len(SNAPSHOT_TS_MS)
+
+    # re-run: ledger makes silver append a no-op (exactly-once)
+    appended = run_silver(spark, f"{landing}/coincap_data_*.json", out)
+    assert appended == 0
+    assert (
+        spark.read.parquet(os.path.join(out, "silver", "assets")).count()
+        == silver_rows
+    )
+
+    # silver is partitioned by snapshot date (scale: partition pruning)
+    parts = [p for p in os.listdir(os.path.join(out, "silver", "assets")) if p.startswith("dt=")]
+    assert parts, "expected dt= hive partitions"
+
+    # gold dual-sink: serving overwritten, history appended (quirk Q4)
+    run_gold(spark, out, analysis_at=ANALYSIS_AT)
+    hist = spark.read.parquet(os.path.join(out, "gold", "history", "daily_overview"))
+    serv = spark.read.parquet(os.path.join(out, "gold", "serving", "daily_overview"))
+    assert hist.count() == 2 * serv.count()
+    assert run_dashboard(spark, out).count() == N_ASSETS
