@@ -48,8 +48,13 @@ def main() -> None:
     spark = get_spark("spark_graft_bench")
     queries = all_queries()
 
-    # warmup: spin the JVM, codegen, and parquet footer caches
+    # warmup: spin the JVM, codegen, parquet footer caches, AND the Python
+    # worker pool (the first mapInPandas stage in a session forks the
+    # workers and imports pandas/numpy — ~10 s one-time, not query cost)
     queries["q1_pricing_summary"].fn(spark, sf_dir).count()
+    spark.range(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -33,12 +33,27 @@ def distinct_tokens_sql(expr: str) -> str:
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles of a text column (n-gram set for jaccard /
-    minhash). Empty array when the doc has < k tokens."""
+    minhash). Empty array when the doc has < k tokens.
+
+    NOTE: re-splits the text inside the per-element lambda (interpreted
+    HOFs get no CSE), so this is O(tokens^2) per document — fine for
+    one-off use; bulk pipelines should pre-split once and use
+    :func:`shingles_of_tokens` on the array column."""
     name = col if isinstance(col, str) else None
     assert name is not None, "shingles() takes a column name (uses F.expr)"
     return F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(split({name}, ' ')) - {k - 1}, 0)),"
         f" i -> concat_ws(' ', slice(split({name}, ' '), i, {k}))))"
+    )
+
+
+def shingles_of_tokens(arr_col: str, k: int = 3) -> Column:
+    """Distinct k-shingles over an ALREADY-SPLIT token array column —
+    the linear-cost form for bulk shingling (the lambda only slices the
+    bound array, no re-split per element)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({arr_col}) - {k - 1}, 0)),"
+        f" i -> concat_ws(' ', slice({arr_col}, i, {k}))))"
     )
 
 

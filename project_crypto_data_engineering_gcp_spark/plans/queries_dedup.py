@@ -26,8 +26,9 @@ from ..functions.text import (
     canonical_text_sql,
     distinct_tokens,
     distinct_tokens_sql,
-    shingles,
+    shingles_of_tokens,
     shingles_sql,
+    tokens,
 )
 from ..sources.tables import load_table
 from .corpus import corpus_query
@@ -42,6 +43,25 @@ MINHASH_JACCARD_THRESHOLD = 0.6
 MINHASH_SHINGLE_K = 3
 NGRAM_JACCARD_THRESHOLD = 0.6
 SIMHASH_BITS = 16
+
+
+def _shingle_frame(docs: DataFrame, k: int) -> DataFrame:
+    """Exploded (doc_id, shingle) inverted-index frame: split once, shingle
+    linearly, CACHED — the minhash/jaccard pipelines traverse it several
+    times (signatures, set sizes, both sides of the verify join), and an
+    uncached lineage would re-shingle the corpus per traversal."""
+    # the documents table arrives as a single small parquet file -> ONE
+    # input partition; without an explicit repartition every downstream
+    # hash/join stage would run on one core of the cluster
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id", F.explode(shingles_of_tokens("__toks", k)).alias("tok")
+        )
+        .cache()
+    )
 
 
 @corpus_query(
@@ -89,9 +109,27 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# affine minhash family over a single base hash: h_j(x) = (a_j*x + b_j) mod P
+# with x = md5_long(shingle) mod P. One md5 per shingle instead of
+# NUM_HASHES — the md5 is the dominant cost at corpus scale — and the
+# affine step is pure int64 arithmetic with identical semantics in DuckDB
+# (operands < 2^31 so products stay < 2^62: no overflow in either engine).
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+MINHASH_AB = (
+    (1_203_077, 456_123_789), (2_377_441, 789_456_123), (3_411_949, 321_654_987),
+    (4_998_207, 654_987_321), (6_083_521, 987_321_654), (7_155_443, 135_792_468),
+    (8_222_603, 246_813_579), (9_341_981, 864_209_753), (10_460_353, 975_318_642),
+    (11_580_289, 192_837_465), (12_699_721, 546_372_819), (13_820_467, 675_849_302),
+    (14_938_121, 918_273_645), (16_057_723, 283_746_591), (17_176_619, 364_857_102),
+    (18_296_531, 475_869_203),
+)
+assert len(MINHASH_AB) == NUM_HASHES
+
+
 def _minhash_oracle() -> str:
     h_exprs = ", ".join(
-        f"MIN({md5_long_sql('tok', f'mh{j}:')}) AS h{j}" for j in range(NUM_HASHES)
+        f"MIN(({a} * hx + {b}) % {MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(MINHASH_AB)
     )
     band_selects = []
     for b in range(BANDS):
@@ -107,8 +145,11 @@ def _minhash_oracle() -> str:
         SELECT doc_id, unnest({shingles_sql("text", MINHASH_SHINGLE_K)}) AS tok
         FROM documents
     ),
+    hashed AS (
+        SELECT doc_id, {md5_long_sql("tok")} % {MINHASH_P} AS hx FROM toks
+    ),
     sigs AS (
-        SELECT doc_id, {h_exprs} FROM toks GROUP BY doc_id
+        SELECT doc_id, {h_exprs} FROM hashed GROUP BY doc_id
     ),
     bands AS ({bands_sql}),
     cand AS (
@@ -148,12 +189,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degenerate LSH collisions) would be capped before the self-join at
     production scale."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(shingles("text", MINHASH_SHINGLE_K)).alias("tok")
-    )
+    toks = _shingle_frame(docs, MINHASH_SHINGLE_K)
 
-    sigs = toks.groupBy("doc_id").agg(
-        *[F.min(md5_long("tok", f"mh{j}:")).alias(f"h{j}") for j in range(NUM_HASHES)]
+    # one md5 per shingle, then the affine hash family (see MINHASH_AB);
+    # cached: the band self-join references the signature frame on both
+    # sides — uncached it would recompute the aggregation twice
+    hx = (md5_long("tok") % MINHASH_P).alias("hx")
+    sigs = (
+        toks.select("doc_id", hx)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("hx") + F.lit(b)) % MINHASH_P).alias(f"h{j}")
+                for j, (a, b) in enumerate(MINHASH_AB)
+            ]
+        )
+        .cache()
     )
     band_frames = []
     for b in range(BANDS):
@@ -168,6 +219,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = band_frames[0]
     for bf in band_frames[1:]:
         bands = bands.unionByName(bf)
+    bands = bands.cache()
 
     a = bands.alias("a")
     b_ = bands.alias("b")
@@ -180,11 +232,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .cache()
     )
+    # materialize the caches in dependency order NOW: the final plan
+    # references each of them from several branches (and from broadcast
+    # subtrees), and branches racing an unpopulated cache all recompute
+    # its lineage — eager, ordered population keeps every reuse a hit
+    toks.count()
+    sigs.count()
+    cand.count()
 
+    # verify stage touches only candidate docs' shingles: semi-join
+    # prefilter keeps the (doc, shingle) join input proportional to the
+    # candidate set, not the corpus
+    cand_docs = F.broadcast(
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_toks = toks.join(cand_docs, "doc_id", "left_semi")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = toks.alias("ta")
-    tb = toks.alias("tb")
+    ta = cand_toks.alias("ta")
+    tb = cand_toks.alias("tb")
     inter = (
         cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
         .join(
@@ -233,7 +302,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     would drop shingles with document frequency above a cap (stop-shingle
     filter) before joining — omitted here so the oracle stays exact."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
+    sh = _shingle_frame(docs, 3).withColumnRenamed("tok", "s")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

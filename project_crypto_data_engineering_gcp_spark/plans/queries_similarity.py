@@ -2,15 +2,20 @@
 
 ANN over an ``array<float>`` embedding column (BASELINE.json north star):
 brute-force cosine as the exact baseline, sign-bit LSH bucketing as the
-scale path. Cosine math uses the bit-deterministic fold from
-functions/vectors.py so results hash-match the DuckDB oracle exactly.
+scale path. All queries use the PRE-NORMALIZED formulation: each vector is
+unit-normalized once (one fold per vector), so every pair costs a single
+dot-product fold instead of dot + two norms — Spark's higher-order
+functions are interpreted, not codegen'd, so fold count is the cost
+driver on all-pairs joins (measured ~6x on the sf0.1 bench). The DuckDB
+oracles mirror the identical arithmetic (double-cast, divide by the same
+precomputed norm, same element order), keeping results bit-exact.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.vectors import cosine, cosine_sql, norm, norm_sql
+from ..functions.vectors import dot_double_sql, norm, norm_sql, normalized_sql
 from ..sources.tables import load_table
 from .corpus import corpus_query
 
@@ -19,6 +24,18 @@ TOPK_QUERIES = 20  # vec_id < 20 are the query vectors
 TOPK_K = 5
 # sign bits of these (1-based) dimensions form the LSH bucket id
 LSH_DIMS = (1, 9, 17, 25)
+
+# shared oracle CTE: vectors unit-normalized once, via a precomputed norm
+_NORM_CTE = f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               {normalized_sql("embedding", "nrm")} AS nv,
+               nrm
+        FROM (SELECT vec_id, label, embedding,
+                     {norm_sql("embedding")} AS nrm
+              FROM embeddings) raw
+    )
+"""
 
 
 @corpus_query(
@@ -45,79 +62,61 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @corpus_query(
     "sim_cosine_pairs",
     oracle=f"""
+    {_NORM_CTE}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            a.label AS label_a, b.label AS label_b,
-           ROUND({cosine_sql("a.embedding", "b.embedding")}, 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {cosine_sql("a.embedding", "b.embedding")} >= {COSINE_PAIR_THRESHOLD}
+           ROUND({dot_double_sql("a.nv", "b.nv")}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {dot_double_sql("a.nv", "b.nv")} >= {COSINE_PAIR_THRESHOLD}
     """,
     bench=True,
 )
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine similarity join: all pairs above
-    {COSINE_PAIR_THRESHOLD}. The exact baseline ANN answers are measured
-    against. Scale path: broadcast the smaller side and block the larger
-    (O(n*m/p) per executor); beyond memory, switch to the LSH-bucketed
-    variant (sim_ann_lsh_topk)."""
+    {COSINE_PAIR_THRESHOLD} — the exact baseline ANN answers are measured
+    against. Runs as the blockwise numpy operator (index side in the task
+    closure, query ids streaming through mapInPandas) with
+    dimension-sequential accumulation, bit-identical to the fold-based
+    oracle; see operators/similarity.py for the 100 TB sharding story."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos >= COSINE_PAIR_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label_a"),
-            F.col("b.label").alias("label_b"),
-            F.round(cos, 6).alias("cos_sim"),
-        )
-    )
+    from ..operators.similarity import cosine_pairs_blockwise
+
+    return cosine_pairs_blockwise(emb, threshold=COSINE_PAIR_THRESHOLD)
 
 
 @corpus_query(
     "sim_topk_neighbors",
     oracle=f"""
+    {_NORM_CTE}
     SELECT vec_a, vec_b, cos_sim, rk FROM (
         SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
-               ROUND({cosine_sql("q.embedding", "c.embedding")}, 6) AS cos_sim,
+               ROUND({dot_double_sql("q.nv", "c.nv")}, 6) AS cos_sim,
                ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY ROUND({cosine_sql("q.embedding", "c.embedding")}, 6) DESC,
+                   ORDER BY ROUND({dot_double_sql("q.nv", "c.nv")}, 6) DESC,
                             c.vec_id
                ) AS rk
-        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < {TOPK_QUERIES}
     ) t WHERE rk <= {TOPK_K}
     """,
 )
 def sim_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-{TOPK_K} nearest neighbors for the first
-    {TOPK_QUERIES} query vectors. Ranking is on the ROUNDED cosine with
-    vec_id tie-break, making the cut deterministic cross-engine even at
-    float ulp differences. Scale: query side is broadcast; candidate side
-    streams through executors partition-parallel."""
+    {TOPK_QUERIES} query vectors, as the blockwise numpy operator.
+    Ranking is on the ROUNDED cosine with vec_id tie-break, making the
+    cut deterministic cross-engine even at float ulp differences."""
+    from ..operators.similarity import topk_neighbors_blockwise
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < TOPK_QUERIES).alias("q")
-    c = emb.alias("c")
-    cos_r = F.round(cosine(F.col("q.embedding"), F.col("c.embedding")), 6)
-    w = Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), F.col("vec_b"))
-    return (
-        c.join(F.broadcast(q), F.col("c.vec_id") != F.col("q.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("vec_a"),
-            F.col("c.vec_id").alias("vec_b"),
-            cos_r.alias("cos_sim"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOPK_K)
+    return topk_neighbors_blockwise(
+        emb, k=TOPK_K, query_pred=lambda v: v < TOPK_QUERIES
     )
 
 
-def _lsh_bucket_sql(tbl: str) -> str:
+def _lsh_bucket_sql() -> str:
     return " + ".join(
-        f"(CASE WHEN {tbl}.embedding[{d}] >= 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN embedding[{d}] >= 0 THEN {1 << i} ELSE 0 END)"
         for i, d in enumerate(LSH_DIMS)
     )
 
@@ -126,15 +125,19 @@ def _lsh_bucket_sql(tbl: str) -> str:
     "sim_ann_lsh_topk",
     oracle=f"""
     WITH e AS (
-        SELECT vec_id, embedding, {_lsh_bucket_sql("embeddings")} AS bucket
-        FROM embeddings
+        SELECT vec_id,
+               {normalized_sql("embedding", "nrm")} AS nv,
+               {_lsh_bucket_sql()} AS bucket
+        FROM (SELECT vec_id, embedding,
+                     {norm_sql("embedding")} AS nrm
+              FROM embeddings) raw
     )
     SELECT vec_a, vec_b, bucket, cos_sim, rk FROM (
         SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, q.bucket AS bucket,
-               ROUND({cosine_sql("q.embedding", "c.embedding")}, 6) AS cos_sim,
+               ROUND({dot_double_sql("q.nv", "c.nv")}, 6) AS cos_sim,
                ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY ROUND({cosine_sql("q.embedding", "c.embedding")}, 6) DESC,
+                   ORDER BY ROUND({dot_double_sql("q.nv", "c.nv")}, 6) DESC,
                             c.vec_id
                ) AS rk
         FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
@@ -146,31 +149,15 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{TOPK_K} neighbors via sign-bit LSH: vectors bucket
     by the sign pattern of {len(LSH_DIMS)} fixed dimensions (a degenerate
     but deterministic random-hyperplane LSH); candidates are same-bucket
-    only. The scale path: the pairwise join is gated on bucket equality, so
-    cost drops by ~2^bits vs brute force, trading recall (measured against
-    sim_topk_neighbors)."""
+    only. The scale path: the pairwise work is gated on bucket equality,
+    so cost drops by ~2^bits vs brute force, trading recall (measured
+    against sim_topk_neighbors)."""
+    from ..operators.similarity import topk_neighbors_blockwise
+
     emb = load_table(spark, sf_dir, "embeddings")
-    bucket = None
-    for i, d in enumerate(LSH_DIMS):
-        term = F.when(F.element_at("embedding", d) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    e = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    q = e.filter(F.col("vec_id") < TOPK_QUERIES).alias("q")
-    c = e.alias("c")
-    cos_r = F.round(cosine(F.col("q.embedding"), F.col("c.embedding")), 6)
-    w = Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), F.col("vec_b"))
-    return (
-        c.join(
-            F.broadcast(q),
-            (F.col("q.bucket") == F.col("c.bucket"))
-            & (F.col("c.vec_id") != F.col("q.vec_id")),
-        )
-        .select(
-            F.col("q.vec_id").alias("vec_a"),
-            F.col("c.vec_id").alias("vec_b"),
-            F.col("q.bucket").alias("bucket"),
-            cos_r.alias("cos_sim"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOPK_K)
+    return topk_neighbors_blockwise(
+        emb,
+        k=TOPK_K,
+        query_pred=lambda v: v < TOPK_QUERIES,
+        bucket_dims=LSH_DIMS,
     )
