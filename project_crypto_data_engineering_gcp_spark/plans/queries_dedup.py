@@ -371,3 +371,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.select(
         "doc_id", "simhash", F.count(F.lit(1)).over(w).alias("bucket_size")
     )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+EMBEDDING_DEDUP_THRESHOLD = 0.4
+
+
+def _embedding_dedup_oracle() -> str:
+    from ..functions.vectors import dot_double_sql, norm_sql, normalized_sql
+
+    dot = dot_double_sql("a.nv", "b.nv")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, {normalized_sql("embedding", "nrm")} AS nv
+        FROM (SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm
+              FROM embeddings) raw
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({dot}, 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {dot} >= {EMBEDDING_DEDUP_THRESHOLD}
+    )
+    SELECT vec_b AS vec_id, MIN(vec_a) AS dup_of,
+           COUNT(*) AS n_similar, MAX(cos_sim) AS max_sim
+    FROM pairs GROUP BY vec_b
+    """
+
+
+@corpus_query("dedup_embedding_cosine", oracle=_embedding_dedup_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup (the semantic rung of the dedup
+    ladder): every vector whose cosine to a LOWER-id vector exceeds
+    {EMBEDDING_DEDUP_THRESHOLD} is marked a duplicate of the smallest such
+    id — the one-pass keep-first policy (full transitive clustering is the
+    iterative connected-components extension). Pair generation reuses the
+    blockwise numpy operator; see operators/similarity.py."""
+    from ..operators.similarity import cosine_pairs_blockwise
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blockwise(emb, threshold=EMBEDDING_DEDUP_THRESHOLD)
+    return pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_similar"),
+        F.max("cos_sim").alias("max_sim"),
+    )

