@@ -1,0 +1,233 @@
+"""Classic OLAP query shapes over the TPC-H-ish testdata.
+
+The reference pipeline is narrow (one fact table, no multi-join
+aggregates); these queries exercise the join-reordering / broadcast /
+partial-agg machinery a real analytics engine lives on, using the same
+exact-decimal money math as the rest of the corpus. Shapes follow the
+public TPC-H queries (Q3 shipping priority, Q5 local supplier volume)
+adapted to the testdata's columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.numeric import dec, dsum_expr_sql
+from ..sources.tables import load_table
+from .corpus import corpus_query
+
+_REVENUE_DEC = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+@corpus_query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3 shape: selective dim filter -> 3-way join -> grouped
+    revenue -> top-10. The customer filter broadcasts; lineitem (the big
+    side) is never shuffled except for the final aggregation; top-10 is
+    TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.sum(
+        dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@corpus_query(
+    "q5_nation_volume",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region, nation, customer, orders, lineitem
+    WHERE r_regionkey = n_regionkey
+      AND n_nationkey = c_nationkey
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    bench=True,
+)
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5 shape: 5-way star join pruned by a region filter, grouped
+    revenue per nation. Region/nation/customer broadcast (small dims);
+    only the orders-lineitem join and the final agg shuffle."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    ).cast("double")
+    dims = (
+        cust.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@corpus_query(
+    "w4_event_navigation",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(value) OVER w AS first_value,
+           NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS value_quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w4_event_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation family: lag/lead/first_value/ntile per user
+    stream — completes the window-function menu (reference uses only
+    row_number, SURVEY §2.5)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wq = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        F.ntile(4).over(wq).alias("value_quartile"),
+    )
+
+
+@corpus_query(
+    "p13_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           TRIM(p_type) AS type_trim,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           SUBSTR(p_name, 1, 8) AS name_prefix,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devoweled,
+           CONCAT_WS('|', p_brand, p_type) AS brand_type,
+           length(p_name) AS name_len
+    FROM part
+    """,
+)
+def p13_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (the reference imports trim/upper/concat_ws
+    but never calls them — P13 latent surface, `2:9`, `3:9` — plus the
+    rest of the standard menu)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim("p_type").alias("type_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace(F.col("p_type"), " ", "_").alias("type_snake"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "*").alias("name_devoweled"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@corpus_query(
+    "d1_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS plus_30d,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+           strftime(o_orderdate, '%Y-%m') AS ym_label
+    FROM orders
+    """,
+)
+def d1_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family over the order timeline: extraction,
+    truncation, interval arithmetic, day difference, formatting."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus_30d"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).cast("long").alias("days_since_95"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym_label"),
+    )
+
+
+@corpus_query(
+    "j6_correlated_scalar",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (SELECT MAX(o_totalprice) FROM orders o
+             WHERE o.o_custkey = c.c_custkey) AS max_order_price
+    FROM customer c
+    """,
+)
+def j6_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar subquery (J2 is the uncorrelated cousin) — per
+    customer, the price of their largest order (NULL when orderless).
+    Catalyst de-correlates this into an aggregate + left outer join; run
+    through Spark SQL to exercise that rewrite."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_totalprice) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS max_order_price
+        FROM customer c
+        """
+    )
