@@ -50,14 +50,18 @@ def stream_silver_available_now(
     raw = reader.json(landing_dir)
 
     silver_out = os.path.join(out_dir, "silver", "assets")
-    batches = {"n": 0}
+    progress = {"rows": 0}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        batches["n"] += 1
         silver = bronze_to_silver(batch_df, processed_at=processed_at).withColumn(
             "dt", F.substring("data_referencia", 1, 10)
         )
-        silver.write.mode("append").partitionBy("dt").parquet(silver_out)
+        silver.cache()
+        n = silver.count()
+        if n:
+            silver.write.mode("append").partitionBy("dt").parquet(silver_out)
+            progress["rows"] += n
+        silver.unpersist()
 
     q = (
         raw.writeStream.foreachBatch(sink)
@@ -66,7 +70,29 @@ def stream_silver_available_now(
         .start()
     )
     q.awaitTermination()
-    return batches["n"]
+    return progress["rows"]
+
+
+def stream_pipeline_available_now(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    *,
+    processed_at: str | None = None,
+    analysis_at: str | None = None,
+) -> int:
+    """Full incremental medallion run: drain new snapshot files into
+    Silver, then rebuild Gold from the updated Silver state when (and
+    only when) new rows arrived — the reference's two-job DAG collapsed
+    into one streaming invocation. Returns Silver rows appended."""
+    from ..plans.runner import run_gold
+
+    rows = stream_silver_available_now(
+        spark, landing_dir, out_dir, processed_at=processed_at
+    )
+    if rows:
+        run_gold(spark, out_dir, analysis_at=analysis_at)
+    return rows
 
 
 def stream_hourly_rollup(

@@ -1,0 +1,101 @@
+"""Operator-level differential tests against pandas on seeded random data
+(SURVEY §5.3 'unit tests per operator family'): the generic operators must
+agree with their reference pandas formulations on inputs with ties,
+nulls, and empty groups — shapes the corpus tables don't necessarily hit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from project_crypto_data_engineering_gcp_spark.operators.asof import asof_join
+from project_crypto_data_engineering_gcp_spark.operators.latest import latest_snapshot
+from project_crypto_data_engineering_gcp_spark.operators.share import (
+    with_share_of_total,
+)
+
+RNG = np.random.default_rng(20260813)
+
+
+def _events_frame(n: int, n_keys: int, with_dup_ts: bool) -> pd.DataFrame:
+    ts = RNG.integers(0, 1_000, size=n)
+    if with_dup_ts:
+        ts = ts // 10 * 10  # force ties
+    return pd.DataFrame(
+        {
+            "key": RNG.integers(0, n_keys, size=n).astype("int64"),
+            "ts": ts.astype("int64"),
+            "seq": np.arange(n, dtype="int64"),
+            "val": np.round(RNG.normal(100, 20, size=n), 2),
+        }
+    )
+
+
+@pytest.mark.parametrize("with_dup_ts", [False, True])
+def test_latest_snapshot_matches_pandas_argmax(spark, with_dup_ts):
+    pdf = _events_frame(500, 37, with_dup_ts)
+    df = spark.createDataFrame(pdf)
+    got = (
+        latest_snapshot(df, ["key"], "ts", tiebreakers=["seq"])
+        .orderBy("key")
+        .toPandas()
+    )
+    exp = (
+        pdf.sort_values(["key", "ts", "seq"])
+        .groupby("key", as_index=False)
+        .last()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["key", "ts", "seq", "val"]], exp[["key", "ts", "seq", "val"]]
+    )
+
+
+def test_asof_join_matches_merge_asof(spark):
+    left = _events_frame(400, 23, with_dup_ts=False).rename(columns={"ts": "lts"})
+    right = _events_frame(300, 23, with_dup_ts=False)[
+        ["key", "ts", "val"]
+    ].drop_duplicates(["key", "ts"])
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right.rename(columns={"ts": "rts", "val": "rval"}))
+    got = (
+        asof_join(
+            ldf, rdf, on=["key"], left_ts="lts", right_ts="rts",
+            payload=["rval", "rts"],
+        )
+        .orderBy("seq")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        left.sort_values("lts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort").rename(
+            columns={"ts": "rts_e", "val": "rval_e"}
+        ),
+        left_on="lts",
+        right_on="rts_e",
+        by="key",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("seq").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (
+        got["rval_asof"].fillna(-1).to_numpy()
+        == exp["rval_e"].fillna(-1).to_numpy()
+    ).all()
+    assert (
+        got["rts_asof"].fillna(-1).to_numpy()
+        == exp["rts_e"].fillna(-1).to_numpy()
+    ).all()
+
+
+def test_share_of_total_sums_to_100(spark):
+    pdf = _events_frame(200, 11, with_dup_ts=False)
+    pdf["val"] = np.abs(pdf["val"])
+    df = spark.createDataFrame(pdf)
+    got = with_share_of_total(df, "val", "pct", round_digits=8).toPandas()
+    assert abs(got["pct"].sum() - 100.0) < 1e-4
+    exp = pdf["val"] / pdf["val"].sum() * 100
+    assert np.allclose(np.sort(got["pct"]), np.sort(np.round(exp, 8)), atol=1e-6)

@@ -89,3 +89,25 @@ def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
         (streamed["n"] != batch["n"]) | (streamed["total_value"] != batch["total_value"])
     )
     assert mismatches.count() == 0
+
+
+def test_stream_pipeline_end_to_end(spark, tmp_path):
+    from project_crypto_data_engineering_gcp_spark.plans.runner import run_dashboard
+    from project_crypto_data_engineering_gcp_spark.streaming.incremental import (
+        stream_pipeline_available_now,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    write_fixture_landing(landing)
+    rows = stream_pipeline_available_now(
+        spark, landing, out, processed_at=PROCESSED_AT, analysis_at=PROCESSED_AT
+    )
+    from .fixtures_crypto import N_ASSETS, SNAPSHOT_TS_MS
+
+    assert rows == N_ASSETS * len(SNAPSHOT_TS_MS)
+    dash = run_dashboard(spark, out)
+    assert dash.count() == N_ASSETS
+    # second drain: no new files -> no rows, gold untouched
+    assert stream_pipeline_available_now(spark, landing, out) == 0
+    assert run_dashboard(spark, out).count() == N_ASSETS
