@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.json_source import read_raw_json
 from ..sources.ledger import filter_new_files, read_ledger, record_ingested
+from ..sources.sinks import formatted, read_table
 from .crypto_pipeline import (
     bronze_to_silver,
     dashboard,
@@ -68,10 +69,9 @@ def run_silver(
     n = silver.count()
     if n:
         (
-            silver.drop("_source_file")
-            .write.mode("append")
-            .partitionBy("dt")
-            .parquet(silver_path(out_dir))
+            formatted(
+                silver.drop("_source_file").write.mode("append").partitionBy("dt")
+            ).save(silver_path(out_dir))
         )
         counts = silver.groupBy("_source_file").agg(F.count(F.lit(1)).alias("n_rows"))
         record_ingested(out_dir, counts)
@@ -85,15 +85,15 @@ def run_gold(
     """Silver -> Gold: latest-snapshot view (cached once, reused by all
     four analyses — fixes the reference's recompute pessimization) and the
     dual history/serving sinks (quirk Q4)."""
-    silver = spark.read.parquet(silver_path(out_dir)).drop("dt")
+    silver = read_table(spark, silver_path(out_dir)).drop("dt")
     latest = latest_assets(silver)
     gold: dict[str, DataFrame] = {}
     for name, build in GOLD_BUILDERS.items():
         df = build(latest, analysis_at=analysis_at)
-        df.write.mode("append").option("mergeSchema", "true").parquet(
+        formatted(df.write.mode("append").option("mergeSchema", "true")).save(
             os.path.join(out_dir, "gold", "history", name)
         )
-        df.write.mode("overwrite").parquet(
+        formatted(df.write.mode("overwrite")).save(
             os.path.join(out_dir, "gold", "serving", name)
         )
         gold[name] = df
@@ -104,7 +104,7 @@ def run_gold(
 def run_dashboard(spark: SparkSession, out_dir: str) -> DataFrame:
     """Dashboard view over the SERVING gold copies (reference `5-sql`)."""
     gold = {
-        name: spark.read.parquet(os.path.join(out_dir, "gold", "serving", name))
+        name: read_table(spark, os.path.join(out_dir, "gold", "serving", name))
         for name in GOLD_BUILDERS
     }
     return dashboard(spark, gold)

@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.json_source import RAW_ENVELOPE_SCHEMA
+from ..sources.sinks import formatted
 from ..functions.numeric import dec
 from ..plans.crypto_pipeline import bronze_to_silver
 
@@ -59,7 +60,7 @@ def stream_silver_available_now(
         silver.cache()
         n = silver.count()
         if n:
-            silver.write.mode("append").partitionBy("dt").parquet(silver_out)
+            formatted(silver.write.mode("append").partitionBy("dt")).save(silver_out)
             progress["rows"] += n
         silver.unpersist()
 

@@ -258,3 +258,30 @@ def test_pipeline_e2e_and_ledger_idempotency(spark, landing, tmp_path_factory):
     serv = spark.read.parquet(os.path.join(out, "gold", "serving", "daily_overview"))
     assert hist.count() == 2 * serv.count()
     assert run_dashboard(spark, out).count() == N_ASSETS
+
+
+def test_http_ingest_with_fixture_fetcher(spark, tmp_path):
+    """S1 HTTP source parity: injectable fetcher -> validation ->
+    replay-stable landing -> full pipeline consumes it."""
+    import json
+
+    from project_crypto_data_engineering_gcp_spark.sources.http_source import (
+        fixture_fetcher,
+        ingest_snapshot,
+    )
+
+    from .fixtures_crypto import snapshot_payload
+
+    doc = tmp_path / "payload.json"
+    doc.write_text(json.dumps(snapshot_payload(0)))
+    landing = tmp_path / "landing_http"
+    path = ingest_snapshot(fixture_fetcher(str(doc)), str(landing))
+    assert path.endswith(".json") and "coincap_data_" in path
+    # replay-stable: re-ingesting the same payload overwrites, not duplicates
+    assert ingest_snapshot(fixture_fetcher(str(doc)), str(landing)) == path
+    assert len(list(landing.iterdir())) == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="malformed"):
+        ingest_snapshot(lambda: {"nope": 1}, str(landing))
