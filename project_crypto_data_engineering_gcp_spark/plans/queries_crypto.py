@@ -1,0 +1,208 @@
+"""Crypto medallion pipeline as driver-checked corpus queries.
+
+The testdata tables have no crypto-shaped input, so these queries carry
+their own deterministic fixture: at import, the landing JSON documents
+and a pure-Python Silver replica parquet are (re)written to a fixed temp
+path. Each Spark query runs the REAL pipeline (multiline-JSON read ->
+bronze_to_silver -> latest-snapshot window -> gold builder); each oracle
+is DuckDB SQL over the replica Silver parquet — so the reference's exact
+Gold semantics (rounding scales, null guards, label literals, the
+latest-snapshot argmax, quirks Q2/Q3/Q5) are verified by the driver's
+differential gate, not only by pytest.
+
+The fixture is 120 rows: these queries prove SEMANTICS; the testdata
+corpus proves the same operators at volume.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..fixtures import silver_rows, write_fixture_landing
+from ..plans import crypto_pipeline as cp
+from ..sources.json_source import read_raw_json
+from .corpus import corpus_query
+
+PROCESSED_AT = "2026-01-01 00:00:00"
+ANALYSIS_AT = "2026-01-01 00:00:00"
+
+_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "spark_graft_crypto_fixture_v1")
+_LANDING = os.path.join(_FIXTURE_DIR, "landing")
+_SILVER_PARQUET = os.path.join(_FIXTURE_DIR, "silver.parquet")
+
+
+def _ensure_fixture() -> None:
+    """(Re)write the landing docs + oracle Silver replica. Idempotent,
+    pure Python — runs at import so the oracle's input exists no matter
+    which side the driver executes first."""
+    os.makedirs(_LANDING, exist_ok=True)
+    write_fixture_landing(_LANDING)
+    rows = silver_rows(PROCESSED_AT)
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    schema = pa.schema(
+        [
+            ("id", pa.string()),
+            ("rank", pa.int32()),
+            ("symbol", pa.string()),
+            ("name", pa.string()),
+            ("supply", pa.float64()),
+            ("max_supply", pa.float64()),
+            ("market_cap_usd", pa.float64()),
+            ("volume_usd_24hr", pa.float64()),
+            ("price_usd", pa.float64()),
+            ("change_percent_24hr", pa.float64()),
+            ("vwap_24hr", pa.float64()),
+            ("explorer", pa.string()),
+            ("data_referencia", pa.string()),
+            ("data_processamento", pa.string()),
+        ]
+    )
+    pq.write_table(pa.table(cols, schema=schema), _SILVER_PARQUET)
+
+
+_ensure_fixture()
+
+# shared oracle prelude: silver replica + latest-snapshot view (W1)
+_LATEST_CTE = f"""
+    WITH silver AS (
+        SELECT * FROM read_parquet('{_SILVER_PARQUET}')
+    ),
+    latest AS (
+        SELECT * EXCLUDE (data_referencia),
+               CAST(data_referencia AS TIMESTAMP) AS data_referencia
+        FROM silver
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY id ORDER BY CAST(data_referencia AS TIMESTAMP) DESC) = 1
+    )
+"""
+
+_GOLD_SQL = {
+    "daily_overview": f"""
+        SELECT id, name, symbol, rank,
+               ROUND(price_usd, 8) AS price_usd,
+               ROUND(market_cap_usd, 2) AS market_cap_usd,
+               ROUND(volume_usd_24hr, 2) AS volume_usd_24hr,
+               ROUND(change_percent_24hr, 4) AS change_percent_24hr,
+               ROUND(vwap_24hr, 8) AS vwap_24hr,
+               ROUND(supply, 0) AS supply,
+               ROUND(max_supply, 0) AS max_supply,
+               explorer, data_referencia,
+               TIMESTAMP '{ANALYSIS_AT}' AS data_processamento_analise
+        FROM latest
+    """,
+    "top_gainers_losers": f"""
+        SELECT name, symbol,
+               ROUND(change_percent_24hr, 4) AS change_percent_24hr,
+               ROUND(price_usd, 8) AS price_usd,
+               tipo_movimento, data_referencia,
+               TIMESTAMP '{ANALYSIS_AT}' AS data_processamento_analise
+        FROM (
+            (SELECT name, symbol, change_percent_24hr, price_usd, data_referencia,
+                    'Ganhador' AS tipo_movimento
+             FROM latest WHERE change_percent_24hr IS NOT NULL
+             ORDER BY change_percent_24hr DESC, id LIMIT 10)
+            UNION ALL
+            (SELECT name, symbol, change_percent_24hr, price_usd, data_referencia,
+                    'Perdedor' AS tipo_movimento
+             FROM latest WHERE change_percent_24hr IS NOT NULL
+             ORDER BY change_percent_24hr ASC, id LIMIT 10)
+        ) u
+    """,
+    "market_dominance": f"""
+        SELECT name, symbol,
+               ROUND(market_cap_usd, 2) AS market_cap_usd,
+               ROUND(market_cap_usd / total * 100, 4) AS percent_market_cap,
+               data_referencia,
+               TIMESTAMP '{ANALYSIS_AT}' AS data_processamento_analise
+        FROM (SELECT * FROM latest WHERE market_cap_usd IS NOT NULL) base,
+             (SELECT SUM(market_cap_usd) AS total FROM latest
+               WHERE market_cap_usd IS NOT NULL) tot
+    """,
+    "supply_dynamics": f"""
+        SELECT name, symbol,
+               ROUND(supply, 0) AS supply,
+               ROUND(max_supply, 0) AS max_supply,
+               ROUND(market_cap_usd / supply, 8) AS market_cap_per_unit_supply,
+               CASE WHEN max_supply IS NULL THEN 'Não Definido'
+                    WHEN supply >= max_supply THEN 'Próximo do Limite'
+                    ELSE 'Disponível' END AS status_oferta_maxima,
+               data_referencia,
+               TIMESTAMP '{ANALYSIS_AT}' AS data_processamento_analise
+        FROM latest
+        WHERE supply IS NOT NULL AND supply > 0 AND market_cap_usd IS NOT NULL
+    """,
+}
+
+
+def _latest(spark: SparkSession) -> DataFrame:
+    # from_unixtime formats in session TZ; pin UTC to match the replica
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = read_raw_json(spark, f"{_LANDING}/coincap_data_*.json")
+    silver = cp.bronze_to_silver(raw, processed_at=PROCESSED_AT).drop("_source_file")
+    return cp.latest_assets(silver, cache=False)
+
+
+def _register(name: str, builder, extra_kwargs=None):
+    oracle = _LATEST_CTE + _GOLD_SQL[name]
+
+    def q(spark: SparkSession, sf_dir: str, _b=builder, _kw=extra_kwargs) -> DataFrame:
+        return _b(_latest(spark), analysis_at=ANALYSIS_AT, **(_kw or {}))
+
+    q.__name__ = f"crypto_{name}"
+    q.__doc__ = (
+        f"Reference Gold table '{name}' computed by the real pipeline over "
+        "the deterministic crypto fixture; oracle replicates it in SQL over "
+        "the pure-Python Silver replica. (sf_dir unused: crypto-shaped "
+        "input is fixture-borne.)"
+    )
+    return corpus_query(f"crypto_{name}", oracle=oracle)(q)
+
+
+crypto_daily_overview = _register("daily_overview", cp.daily_overview)
+crypto_top_gainers_losers = _register("top_gainers_losers", cp.top_gainers_losers)
+crypto_market_dominance = _register("market_dominance", cp.market_dominance)
+crypto_supply_dynamics = _register("supply_dynamics", cp.supply_dynamics)
+
+
+@corpus_query(
+    "crypto_dashboard",
+    oracle=_LATEST_CTE
+    + ", "
+    + ", ".join(f"{n} AS ({sql})" for n, sql in _GOLD_SQL.items())
+    + """
+    SELECT ov.id, ov.name, ov.symbol, ov.rank,
+           ov.price_usd, ov.market_cap_usd, ov.volume_usd_24hr,
+           ov.change_percent_24hr, ov.vwap_24hr, ov.supply, ov.max_supply,
+           ov.explorer, ov.data_referencia,
+           sd.market_cap_per_unit_supply, sd.status_oferta_maxima,
+           md.percent_market_cap,
+           tg.tipo_movimento
+    FROM daily_overview ov
+    LEFT JOIN supply_dynamics sd
+           ON ov.symbol = sd.symbol AND ov.data_referencia = sd.data_referencia
+    LEFT JOIN market_dominance md
+           ON ov.symbol = md.symbol AND ov.data_referencia = md.data_referencia
+    LEFT JOIN top_gainers_losers tg
+           ON ov.symbol = tg.symbol AND ov.data_referencia = tg.data_referencia
+    WHERE ov.data_referencia = (SELECT MAX(data_referencia) FROM daily_overview)
+    """,
+)
+def crypto_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference dashboard view (`5-sql:2-50`) end-to-end over the
+    crypto fixture: 3-way LEFT join on (symbol, data_referencia) +
+    scalar-subquery latest filter, all four gold inputs built by the real
+    pipeline."""
+    latest = _latest(spark).cache()
+    gold = {
+        "daily_overview": cp.daily_overview(latest, ANALYSIS_AT),
+        "top_gainers_losers": cp.top_gainers_losers(latest, analysis_at=ANALYSIS_AT),
+        "market_dominance": cp.market_dominance(latest, ANALYSIS_AT),
+        "supply_dynamics": cp.supply_dynamics(latest, ANALYSIS_AT),
+    }
+    return cp.dashboard(spark, gold)
