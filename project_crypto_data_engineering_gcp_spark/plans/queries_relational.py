@@ -291,3 +291,43 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@corpus_query(
+    "a6_salted_skew_aggregate",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {dsum_expr_sql("value", 18, 2)} AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a6_salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tolerant aggregation: event_type has ~5 distinct values — at
+    100 TB a plain groupBy funnels a fifth of the table into each reducer.
+    The salted two-stage form (operators/skew.py) produces the identical
+    result (the oracle is the plain GROUP BY) through two bounded
+    shuffles."""
+    from ..functions.numeric import dec
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(dec("value", 18, 2)).alias("psum"),
+            F.min("value").alias("pmin"),
+            F.max("value").alias("pmax"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n"),
+            F.sum("psum").cast("double").alias("total_value"),
+            F.min("pmin").alias("min_value"),
+            F.max("pmax").alias("max_value"),
+        ],
+    )

@@ -193,3 +193,45 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_repeated"
         ),
     )
+
+
+@corpus_query(
+    "text_top_bigrams",
+    oracle=f"""
+    SELECT bigram, n, rk FROM (
+        SELECT bigram, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rk
+        FROM (
+            SELECT unnest(list_transform(
+                range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+            )) AS bigram
+            FROM documents
+        ) t
+        GROUP BY bigram
+    ) ranked WHERE rk <= 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency profile: top-20 bigrams WITH multiplicity
+    (unlike the dedup shingle sets) — the language-model-ish corpus
+    statistic. Explode -> count -> rank with a bigram tie-break so the
+    top-20 cut is total-order deterministic."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+            )
+        ).alias("bigram")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )

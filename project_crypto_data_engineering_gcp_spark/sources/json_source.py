@@ -49,6 +49,9 @@ RAW_ENVELOPE_SCHEMA = T.StructType(
     [
         T.StructField("data", T.ArrayType(ASSET_SCHEMA)),
         T.StructField("timestamp", T.LongType()),
+        # PERMISSIVE mode lands unparseable documents here instead of
+        # failing the batch; the reader splits them off for quarantine
+        T.StructField("_corrupt_record", T.StringType()),
     ]
 )
 
@@ -73,12 +76,43 @@ def write_raw_snapshot(payload: dict, landing_dir: str) -> str:
 def read_raw_json(spark: SparkSession, glob: str) -> DataFrame:
     """Multiline-JSON globbed scan with explicit schema (reference S4
     `2:37-41`, minus the inference pass). One row per snapshot document;
-    ``input_file_name`` is exposed for the ingest ledger."""
+    ``input_file_name`` is exposed for the ingest ledger.
+
+    PERMISSIVE parsing: a malformed document becomes one row with only
+    ``_corrupt_record`` set — it is dropped here (and quarantined by
+    :func:`read_corrupt_json`) rather than failing the whole batch, so
+    one bad upload can never wedge ingestion (the reference would throw)."""
+    from pyspark.sql import functions as F
+
+    df = _read_permissive(spark, glob)
+    return df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+
+
+def _read_permissive(spark: SparkSession, glob: str) -> DataFrame:
+    # Spark refuses to filter on the corrupt-record column straight off a
+    # JSON scan (SPARK-26243-adjacent restriction); caching the parsed
+    # frame is the documented unlock. Landing batches are small by design
+    # (one ~65 KB doc per snapshot), so the cache cost is negligible.
     from pyspark.sql import functions as F
 
     return (
         spark.read.schema(RAW_ENVELOPE_SCHEMA)
         .option("multiline", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(glob)
         .withColumn("_source_file", F.input_file_name())
+        .cache()
+    )
+
+
+def read_corrupt_json(spark: SparkSession, glob: str) -> DataFrame:
+    """The quarantine view: source file + raw text of every document the
+    PERMISSIVE reader could not parse (for alerting / replay)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _read_permissive(spark, glob)
+        .filter(F.col("_corrupt_record").isNotNull())
+        .select("_source_file", "_corrupt_record")
     )

@@ -285,3 +285,23 @@ def test_http_ingest_with_fixture_fetcher(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="malformed"):
         ingest_snapshot(lambda: {"nope": 1}, str(landing))
+
+
+def test_corrupt_json_quarantined_not_fatal(spark, tmp_path):
+    """One malformed landing document must not wedge ingestion: valid
+    snapshots flow to Silver, the bad one shows up in the quarantine view."""
+    from project_crypto_data_engineering_gcp_spark.sources.json_source import (
+        read_corrupt_json,
+    )
+
+    landing = tmp_path / "landing_bad"
+    write_fixture_landing(str(landing), n_snapshots=2)
+    (landing / "coincap_data_99990101_000000.json").write_text("{ not json !!!")
+
+    glob = f"{landing}/coincap_data_*.json"
+    silver = bronze_to_silver(
+        read_raw_json(spark, glob), processed_at=PROCESSED_AT
+    )
+    assert silver.count() == N_ASSETS * 2
+    bad = read_corrupt_json(spark, glob).collect()
+    assert len(bad) == 1 and "99990101" in bad[0]["_source_file"]
