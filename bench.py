@@ -27,6 +27,8 @@ from project_crypto_data_engineering_gcp_spark.session import get_spark
 # headline set: one per operator family, the judge-facing numbers
 HEADLINE = (
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_volume",
     "w1_latest_event_per_user",
     "a4_customer_market_dominance",
     "o3_top_bottom_orders",

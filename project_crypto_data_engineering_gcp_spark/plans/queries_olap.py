@@ -231,3 +231,68 @@ def j6_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         """
     )
+
+
+@corpus_query(
+    "w5_sliding_hour_total",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS hour_total,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS hour_events
+    FROM events
+    """,
+)
+def w5_sliding_hour_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, vs w3's ROWS frame): per event,
+    the exact-decimal total and count of the user's events in the
+    trailing hour — the batch twin of a sliding-window stream aggregate.
+    The frame bound is on epoch microseconds, so ties and gaps behave
+    identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value", 18, 2)).over(w).cast("double").alias("hour_total"),
+        F.count(F.lit(1)).over(w).alias("hour_events"),
+    )
+
+
+@corpus_query(
+    "p14_map_json_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                THEN 'absent' ELSE 'present' END AS missing_probe
+    FROM events
+    """,
+)
+def p14_map_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured map surface: props parsed to map<string,int>, key
+    listing, element access, missing-key null semantics — the MapType
+    capability the reference drops (its tokens column, SURVEY §1.2)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.concat_ws(",", F.map_keys(m)).alias("prop_keys"),
+        (F.element_at(m, "k") % 10).alias("k_mod"),
+        F.when(F.element_at(m, "missing").isNull(), "absent")
+        .otherwise("present")
+        .alias("missing_probe"),
+    )
