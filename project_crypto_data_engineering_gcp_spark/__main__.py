@@ -1,0 +1,91 @@
+"""CLI entry point — the replacement for the reference's control plane.
+
+A reference user today triggers: Pub/Sub -> Cloud Run fetch -> two
+Dataproc batch submissions -> BigQuery SQL. Here the same lifecycle is:
+
+    python -m project_crypto_data_engineering_gcp_spark ingest  --landing DIR [--fixture]
+    python -m project_crypto_data_engineering_gcp_spark run     --landing DIR --out DIR
+    python -m project_crypto_data_engineering_gcp_spark stream  --landing DIR --out DIR
+    python -m project_crypto_data_engineering_gcp_spark dashboard --out DIR [-n 20]
+
+`run` = batch medallion (ledger-gated Silver append -> four Gold tables,
+dual history/serving sinks -> dashboard row count). `stream` = the same
+through the checkpointed AvailableNow streaming path. `ingest` fetches
+one snapshot (CoinCap by default, deterministic fixture with --fixture)
+into the landing dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="project_crypto_data_engineering_gcp_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="fetch one market snapshot into the landing dir")
+    ing.add_argument("--landing", required=True)
+    ing.add_argument("--fixture", action="store_true",
+                     help="use the deterministic built-in fixture instead of the live API")
+    ing.add_argument("--api-key", default=None)
+
+    for name in ("run", "stream"):
+        s = sub.add_parser(name, help=f"{name} the medallion pipeline")
+        s.add_argument("--landing", required=True)
+        s.add_argument("--out", required=True)
+
+    d = sub.add_parser("dashboard", help="print the dashboard view")
+    d.add_argument("--out", required=True)
+    d.add_argument("-n", type=int, default=20)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "ingest":
+        from .sources.http_source import default_fetcher, ingest_snapshot
+
+        if args.fixture:
+            from .fixtures import snapshot_payload
+
+            fetch = lambda: snapshot_payload(0)  # noqa: E731
+        else:
+            fetch = default_fetcher(api_key=args.api_key)
+        path = ingest_snapshot(fetch, args.landing)
+        print(f"landed {path}")
+        return 0
+
+    from pyspark.sql import SparkSession
+
+    from .session import get_spark
+
+    # reuse an active session when embedded (tests, notebooks); own the
+    # lifecycle only when we created it
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark(f"spark_graft_{args.cmd}")
+    try:
+        if args.cmd == "run":
+            from .plans.runner import run_pipeline
+
+            dash = run_pipeline(spark, f"{args.landing}/coincap_data_*.json", args.out)
+            print(f"dashboard rows: {dash.count()}")
+        elif args.cmd == "stream":
+            from .streaming.incremental import stream_pipeline_available_now
+
+            rows = stream_pipeline_available_now(spark, args.landing, args.out)
+            print(f"silver rows appended: {rows}")
+        elif args.cmd == "dashboard":
+            from .plans.runner import run_dashboard
+
+            run_dashboard(spark, args.out).show(args.n, truncate=False)
+        return 0
+    finally:
+        if existing is None:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
