@@ -417,3 +417,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_similar"),
         F.max("cos_sim").alias("max_sim"),
     )
+
+
+@corpus_query("dedup_clusters_transitive", oracle=None)
+def dedup_clusters_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: 3-gram jaccard pairs -> connected
+    components -> (doc_id, cluster, keep) where keep marks the smallest
+    doc per cluster (the canonical representative a training-data dedup
+    would retain). Iterative label propagation — not SQL-expressible in
+    one query, so no oracle (driver records rows-only);
+    tests/test_components.py verifies against a union-find ground truth."""
+    from ..operators.components import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("node") == F.col("component")).alias("keep"),
+    )
