@@ -132,3 +132,37 @@ def stream_hourly_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    *,
+    gap: str = "6 hours",
+    watermark: str = "0 seconds",
+    query_name: str = "sessions",
+):
+    """Stream-native sessionization: ``session_window`` merges a user's
+    events separated by less than ``gap`` into one window whose end
+    extends with each event; the watermark closes sessions and bounds
+    state. The streaming twin of the batch lag/cumsum sessionizer
+    (plans/queries_reference.events_sessionized) — equivalence is tested.
+    Returns the started AvailableNow query on an in-memory sink."""
+    agg = (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 18, 2)).cast("double").alias("session_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

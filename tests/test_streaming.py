@@ -111,3 +111,40 @@ def test_stream_pipeline_end_to_end(spark, tmp_path):
     # second drain: no new files -> no rows, gold untouched
     assert stream_pipeline_available_now(spark, landing, out) == 0
     assert run_dashboard(spark, out).count() == N_ASSETS
+
+
+def test_session_window_matches_batch_sessionizer(spark, tmp_path):
+    """session_window (stream) and lag/cumsum (batch) must produce the
+    same sessions: same (user, start, end, count, exact value total)."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_reference import (
+        events_sessionized,
+    )
+    from project_crypto_data_engineering_gcp_spark.streaming.incremental import (
+        stream_sessionize,
+    )
+
+    src = str(tmp_path / "events_sess")
+    events = load_table(spark, SF_SMOKE, "events")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    q = stream_sessionize(
+        spark, spark.readStream.schema(events.schema).parquet(src),
+        query_name="sessions_t",
+    )
+    q.awaitTermination()
+    # append mode only emits CLOSED sessions: a session whose last event
+    # is within `gap` of the final watermark (max ts) stays open and is
+    # never emitted on a finite source — restrict both sides to closed
+    # sessions and require exact equality there
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=6)
+    streamed = spark.table("sessions_t").select(
+        "user_id", "session_start", "session_end", "n_events", "session_value"
+    ).filter(F.col("session_end") <= F.lit(cutoff))
+    batch = events_sessionized(spark, SF_SMOKE).select(
+        "user_id", "session_start", "session_end", "n_events", "session_value"
+    ).filter(F.col("session_end") <= F.lit(cutoff))
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
