@@ -17,6 +17,15 @@ carry <= 4 digits, etc. Callers pick scales that cover the true decimal
 width of the data — then every engine computes the *same rational number*
 and the final double is the correctly-rounded image of it in both Spark
 and DuckDB (verified empirically at sf0.01).
+
+ROUND design rule (enforced by convention across the corpus, verified by
+tests/test_parity_properties.py): only ROUND (a) computed/arbitrary
+doubles — whose probability of sitting on a short-decimal half boundary
+is ~2e-11 — or (b) data-borne short decimals at a scale >= their own
+decimal width. Rounding a short decimal BELOW its width diverges across
+engines on '...5'-terminated reprs: Spark rounds the shortest decimal
+representation (1.005 -> 1.01), DuckDB rounds the binary value
+(1.00499999... -> 1.0).
 """
 
 from __future__ import annotations
