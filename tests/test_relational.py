@@ -44,3 +44,22 @@ def test_range_join_bucketization_is_exact(spark):
         (F.col("gap_us") <= 0) | (F.col("gap_us") > 3_600_000_000)
     ).count() == 0
     assert n == df.distinct().count()  # bucket overlap introduced no dupes
+
+
+def test_minhash_recall_vs_exact_ngram(spark):
+    """MinHash+LSH candidates verified at the same threshold as the exact
+    shingle join must be a SUBSET of the exact result (verification is
+    exact) with high recall (banding may miss borderline pairs)."""
+    qs = all_queries()
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["dedup_ngram_jaccard"].fn(spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["dedup_minhash_lsh"].fn(spark, SF_ORACLE).collect()
+    }
+    assert exact, "expected nonempty exact near-dup pairs"
+    assert lsh <= exact
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall:.2f}"
