@@ -275,14 +275,20 @@ def o3_top_bottom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o1_ranked_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY materialized as an explicit rank column (reference
     O1/O2, `3:132,217` — the order-insensitive hash can't see row order,
-    so the sort is verified through the rank values)."""
+    so the sort is verified through the rank values).
+
+    Scale shape: the top-100 cut runs FIRST as TakeOrderedAndProject
+    (per-task heaps), and the global row_number window only ever sees the
+    100 survivors — a naive rank-then-filter would funnel the entire
+    table through one window partition."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
+    top = (
         orders.select("o_orderkey", "o_totalprice")
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= 100)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
     )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return top.withColumn("pos", F.row_number().over(w))
 
 
 # --------------------------------------------------------------------------

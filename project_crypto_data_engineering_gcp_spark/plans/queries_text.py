@@ -228,10 +228,11 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram")
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (
+    top = (
         bigrams.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)  # TakeOrdered first; the rank window sees only 20 rows
     )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return top.withColumn("rk", F.row_number().over(w))
