@@ -48,19 +48,30 @@ def as_media_frame(docs: DataFrame, media_type: str = "image/fake") -> DataFrame
     )
 
 
-def _decode_stub(payload: bytes, *, strict: bool = False) -> tuple[int, int, int]:
-    """STUB — NOT a real decoder. Deterministic fake dimensions from the
+def _make_decode_stub(strict: bool = False):
+    """Build the decode stub as a LOCAL function so cloudpickle ships it
+    by value inside worker closures (no package import on workers).
+
+    STUB — NOT a real decoder. Deterministic fake dimensions from the
     payload hash; swap for PIL/ffmpeg in a codec-equipped deployment."""
-    if strict:
-        raise NotImplementedError(
-            "media decode requires a codec library not present in this "
-            "environment; _decode_stub provides deterministic fake metadata"
-        )
-    h = hashlib.md5(payload).digest()
-    width = 16 + h[0] % 240
-    height = 16 + h[1] % 240
-    channels = 1 + h[2] % 4
-    return width, height, channels
+
+    def decode(payload: bytes) -> tuple[int, int, int]:
+        import hashlib as _hashlib  # stdlib: importable on any worker
+
+        if strict:
+            raise NotImplementedError(
+                "media decode requires a codec library not present in this "
+                "environment; the stub provides deterministic fake metadata"
+            )
+        h = _hashlib.md5(payload).digest()
+        return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4
+
+    return decode
+
+
+def _decode_stub(payload: bytes, *, strict: bool = False) -> tuple[int, int, int]:
+    """Driver-side convenience wrapper over :func:`_make_decode_stub`."""
+    return _make_decode_stub(strict)(payload)
 
 
 def extract_media_meta(media: DataFrame, *, strict: bool = False) -> DataFrame:
@@ -68,10 +79,16 @@ def extract_media_meta(media: DataFrame, *, strict: bool = False) -> DataFrame:
     byte length + sha256 (real), dimensions (stubbed decode). One pass,
     partition-parallel, no shuffle."""
 
+    # NOTE: the worker closure must be self-contained — referencing the
+    # module-level _decode_stub would make cloudpickle serialize it by
+    # reference, requiring this package on every worker's PYTHONPATH
+    # (breaks when the host application put the repo on sys.path only).
+    decode = _make_decode_stub(strict)
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["content"]
-            dims = [ _decode_stub(p, strict=strict) for p in payloads ]
+            dims = [decode(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -30,36 +30,42 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n bigint, cents bigint, last_us bigint"
 
 
-def _update_user_state(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    n, cents, last_us = state.get if state.exists else (0, 0, 0)
-    for pdf in batches:
-        n += len(pdf)
-        # exact accumulation: each 2-decimal value -> integer cents, then
-        # integer sum (order-independent, no fp drift across batches)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
-        last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
-    state.update((n, cents, last_us))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "total_value": [cents / 100.0],
-            "last_ts": [pd.Timestamp(last_us, unit="us")],
-        }
-    )
-
-
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Streaming per-user running totals with explicit keyed state.
-    Input schema: (user_id bigint, ts timestamp, value double)."""
+    Input schema: (user_id bigint, ts timestamp, value double).
+
+    The state-update function is defined locally so cloudpickle ships it
+    by value to workers (a module-level function would be pickled by
+    reference and require this package on every worker's PYTHONPATH)."""
+
+    def update_user_state(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        n, cents, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            # exact accumulation: each 2-decimal value -> integer cents,
+            # then integer sum (order-independent, no fp drift)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, cents, last_us))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "last_ts": [_pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
     return (
         events_stream.groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_state,
+            update_user_state,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
