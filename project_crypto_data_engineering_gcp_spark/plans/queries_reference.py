@@ -540,3 +540,32 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@corpus_query(
+    "w1b_latest_via_max_by",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, ts) AS last_event_id,
+           MAX(ts) AS last_ts,
+           arg_max(event_type, ts) AS last_type,
+           arg_max(value, ts) AS last_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def w1b_latest_via_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-shaped argmax (the max_by alternative to W1's
+    row_number window, SURVEY §4 'dedup/argmax'): partial-aggregatable,
+    so the map side pre-reduces each partition to one row per key before
+    the shuffle — cheaper than the window when only selected columns are
+    needed. Precondition: the order key is unique per group (events has
+    unique (user_id, ts)); tie-bearing data needs latest_snapshot's
+    explicit tiebreakers instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.max("ts").alias("last_ts"),
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.max_by("value", "ts").alias("last_value"),
+    )
