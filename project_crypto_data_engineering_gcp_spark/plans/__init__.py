@@ -9,5 +9,6 @@ from . import queries_multimodal  # noqa: F401
 from . import queries_relational  # noqa: F401
 from . import queries_olap  # noqa: F401
 from . import queries_crypto  # noqa: F401
+from . import queries_pandas  # noqa: F401
 
 __all__ = ["CorpusQuery", "corpus_query", "all_queries", "get_query"]
