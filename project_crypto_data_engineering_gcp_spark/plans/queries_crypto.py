@@ -206,3 +206,20 @@ def crypto_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supply_dynamics": cp.supply_dynamics(latest, ANALYSIS_AT),
     }
     return cp.dashboard(spark, gold)
+
+
+@corpus_query(
+    "crypto_silver_assets",
+    oracle=f"SELECT * FROM read_parquet('{_SILVER_PARQUET}')",
+)
+def crypto_silver_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bronze->Silver transform end-to-end (reference `2:44-65`):
+    multiline-JSON envelope read with explicit schema, explode, 13 typed
+    projections, epoch-ms -> string datetime (quirk Q3), audit literal.
+    Oracle = the pure-Python replica parquet, so every cast and format
+    choice is value-checked, not just the downstream aggregates."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = read_raw_json(spark, f"{_LANDING}/coincap_data_*.json")
+    return cp.bronze_to_silver(raw, processed_at=PROCESSED_AT).drop(
+        "_source_file", "tokens"
+    )
