@@ -436,3 +436,32 @@ def dedup_clusters_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster"),
         (F.col("node") == F.col("component")).alias("keep"),
     )
+
+
+@corpus_query(
+    "dedup_apply_keep_first",
+    oracle=f"""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (
+        SELECT d.*,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {md5_long_sql(canonical_text_sql("text"))}
+                   ORDER BY doc_id
+               ) AS rn
+        FROM documents d
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_apply_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of dedup: materialize the deduplicated corpus,
+    keeping the smallest doc_id per canonical token-set fingerprint.
+    Window-on-hash rather than self-join: one shuffle on the 60-bit
+    fingerprint, full rows preserved — the shape that actually rewrites
+    a training corpus at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(md5_long(canonical_text("text"))).orderBy("doc_id")
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -92,3 +92,25 @@ def test_silver_scan_prunes_partitions(spark, tmp_path):
     df = spark.read.parquet(silver_path(out)).filter("dt = '2025-05-24'")
     plan = plan_of(df)
     assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters", 1)[1]
+
+
+def test_q3_broadcasts_filtered_dim(spark):
+    plan = plan_of(QUERIES["q3_shipping_priority"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the mktsegment filter reaches the customer parquet scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(QUERIES["q5_nation_volume"].fn(spark, SF_ORACLE))
+    # region, nation, and the customer-side dim bundle all broadcast:
+    # lineitem/orders never shuffle for the dim joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_w5_range_frame_single_shuffle(spark):
+    plan = plan_of(QUERIES["w5_sliding_hour_total"].fn(spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
