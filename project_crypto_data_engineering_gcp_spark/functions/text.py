@@ -41,19 +41,24 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     :func:`shingles_of_tokens` on the array column."""
     name = col if isinstance(col, str) else None
     assert name is not None, "shingles() takes a column name (uses F.expr)"
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of being
+    # empty, so short texts must short-circuit to an empty array
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(split({name}, ' ')) - {k - 1}, 0)),"
-        f" i -> concat_ws(' ', slice(split({name}, ' '), i, {k}))))"
+        f"CASE WHEN size(split({name}, ' ')) < {k} THEN array()"
+        f" ELSE array_distinct(transform(sequence(1, size(split({name}, ' ')) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(split({name}, ' '), i, {k})))) END"
     )
 
 
 def shingles_of_tokens(arr_col: str, k: int = 3) -> Column:
     """Distinct k-shingles over an ALREADY-SPLIT token array column —
     the linear-cost form for bulk shingling (the lambda only slices the
-    bound array, no re-split per element)."""
+    bound array, no re-split per element). Short arrays (< k tokens)
+    yield an empty set (see :func:`shingles` re sequence(1,0))."""
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({arr_col}) - {k - 1}, 0)),"
-        f" i -> concat_ws(' ', slice({arr_col}, i, {k}))))"
+        f"CASE WHEN size({arr_col}) < {k} THEN array()"
+        f" ELSE array_distinct(transform(sequence(1, size({arr_col}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({arr_col}, i, {k})))) END"
     )
 
 

@@ -166,3 +166,20 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_events(
+    events_stream: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup: drop re-deliveries of the same (user_id,
+    ts) within the watermark horizon. dropDuplicatesWithinWatermark keeps
+    per-key state only until the watermark passes — bounded state, unlike
+    an unbounded dropDuplicates. The streaming twin of the batch
+    hash-groupBy dedup (at-least-once sources -> effectively-once rows)."""
+    keys = keys or ["user_id", "ts"]
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

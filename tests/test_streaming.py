@@ -148,3 +148,28 @@ def test_session_window_matches_batch_sessionizer(spark, tmp_path):
     assert streamed.count() == batch.count() > 0
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_dedup_drops_redelivery(spark, tmp_path):
+    """Duplicate the staged events (simulating at-least-once redelivery):
+    the watermarked streaming dedup must restore the original row count."""
+    from project_crypto_data_engineering_gcp_spark.streaming.incremental import (
+        stream_dedup_events,
+    )
+
+    src = str(tmp_path / "events_dup")
+    events = load_table(spark, SF_SMOKE, "events").select("user_id", "ts", "value")
+    events.unionAll(events).coalesce(2).write.mode("overwrite").parquet(src)
+
+    deduped = stream_dedup_events(
+        spark.readStream.schema(events.schema).parquet(src)
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory").queryName("dedup_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("dedup_t").count() == events.count()
