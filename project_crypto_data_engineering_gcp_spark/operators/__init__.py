@@ -3,6 +3,10 @@ from .topk import top_k, top_bottom_union
 from .share import with_share_of_total
 from .classify import when_chain
 from .asof import asof_join
+from .skew import salted_aggregate
+from .components import connected_components
+from .similarity import cosine_pairs_blockwise, topk_neighbors_blockwise
+from .multimodal import as_media_frame, extract_media_meta, sample_frames
 
 __all__ = [
     "latest_snapshot",
@@ -11,4 +15,11 @@ __all__ = [
     "with_share_of_total",
     "when_chain",
     "asof_join",
+    "salted_aggregate",
+    "connected_components",
+    "cosine_pairs_blockwise",
+    "topk_neighbors_blockwise",
+    "as_media_frame",
+    "extract_media_meta",
+    "sample_frames",
 ]
