@@ -35,22 +35,27 @@ def asof_join(
     payload: Sequence[str],
     *,
     suffix: str = "_asof",
+    right_tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     """For each left row, attach ``payload`` columns from the latest right
     row with same ``on`` keys and ``right_ts <= left_ts`` (backward as-of,
     inclusive). Payload columns are suffixed; left rows with no prior right
     row get NULLs (left-outer semantics).
 
-    Right-side ties on ``right_ts``: the row ordered last wins (matches
-    "most recently observed"); pass pre-deduped right for total determinism.
+    Right-side ties on ``right_ts``: pass ``right_tiebreakers`` (ascending;
+    the greatest wins, "most recently observed") to make the pick total —
+    without them, tied reference rows resolve in partition order.
     """
     on = list(on)
     pay_cols = [f"{p}{suffix}" for p in payload]
+    tb_cols = [f"__tb{i}" for i in range(len(right_tiebreakers))]
 
     lhs = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_probe"),
+        *[F.lit(None).cast(right.schema[t].dataType).alias(c)
+          for t, c in zip(right_tiebreakers, tb_cols)],
         *[F.lit(None).cast(right.schema[p].dataType).alias(c) for p, c in zip(payload, pay_cols)],
         F.struct(*[c for c in left.columns]).alias("__row"),
     )
@@ -58,14 +63,21 @@ def asof_join(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_probe"),
+        *[F.col(t).alias(c) for t, c in zip(right_tiebreakers, tb_cols)],
         *[F.col(p).alias(c) for p, c in zip(payload, pay_cols)],
         F.lit(None).cast(lhs.schema["__row"].dataType).alias("__row"),
     )
 
-    # reference rows sort before probe rows at equal ts => inclusive match
+    # reference rows sort before probe rows at equal ts (=> inclusive
+    # match); tied reference rows order by the tiebreakers, so the
+    # greatest-tiebreaker row is the last non-null the window carries
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__is_probe").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            *[F.col(c).asc_nulls_last() for c in tb_cols],
+            F.col("__is_probe").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lhs.unionByName(rhs).select(

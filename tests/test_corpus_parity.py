@@ -38,3 +38,23 @@ def test_query_runs_at_smoke_sf(spark, name):
     df = QUERIES[name].fn(spark, SF_SMOKE)
     assert df.columns, name
     assert df.count() >= 0
+
+
+def test_harness_detects_corruption(spark):
+    """Meta-test: the differential harness must actually FAIL on a value,
+    row-count, or column-name corruption (guards against a silently-weak
+    comparator making every parity test vacuous)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from .oracle_harness import assert_frames_match
+
+    df = spark.createDataFrame([(1, 2.5), (2, 3.5)], "k int, v double")
+    good = pd.DataFrame({"k": [1, 2], "v": [2.5, 3.5]})
+    assert_frames_match(df, good, "sanity")
+    with _pytest.raises(AssertionError):
+        assert_frames_match(df, good.assign(v=[2.5, 3.500001]), "value")
+    with _pytest.raises(AssertionError):
+        assert_frames_match(df, good.iloc[:1], "rows")
+    with _pytest.raises(AssertionError):
+        assert_frames_match(df, good.rename(columns={"v": "w"}), "cols")

@@ -99,3 +99,31 @@ def test_share_of_total_sums_to_100(spark):
     assert abs(got["pct"].sum() - 100.0) < 1e-4
     exp = pdf["val"] / pdf["val"].sum() * 100
     assert np.allclose(np.sort(got["pct"]), np.sort(np.round(exp, 8)), atol=1e-6)
+
+
+def test_asof_join_deterministic_under_reference_ties(spark):
+    """Duplicate reference timestamps: the greatest-tiebreaker row must
+    win, and the result must be identical across shuffles/runs."""
+    left = pd.DataFrame({"key": [1, 1, 2], "lts": [100, 200, 150], "seq": [0, 1, 2]})
+    right = pd.DataFrame(
+        {
+            "key": [1, 1, 1, 2, 2],
+            "rts": [100, 100, 150, 150, 150],
+            "rid": [7, 9, 3, 5, 4],
+            "rval": [70.0, 90.0, 30.0, 50.0, 40.0],
+        }
+    )
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    out = {
+        r["seq"]: (r["rval_asof"], r["rid_asof"])
+        for r in asof_join(
+            ldf, rdf, on=["key"], left_ts="lts", right_ts="rts",
+            payload=["rval", "rid"], right_tiebreakers=["rid"],
+        ).collect()
+    }
+    # key=1 @100: ties (rid 7, 9) -> rid 9 wins; @200: rts 150 -> rid 3
+    # key=2 @150: ties (rid 5, 4) -> rid 5 wins
+    assert out[0] == (90.0, 9)
+    assert out[1] == (30.0, 3)
+    assert out[2] == (50.0, 5)
