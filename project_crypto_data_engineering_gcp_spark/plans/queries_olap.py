@@ -296,3 +296,127 @@ def p14_map_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("present")
         .alias("missing_probe"),
     )
+
+
+@corpus_query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY n_orders
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape: histogram of per-customer order counts — LEFT
+    join preserving orderless customers (COUNT of a null column = 0),
+    then a second aggregation over the first's output. Two shuffles,
+    both on shrinking data."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@corpus_query(
+    "q16_suppliers_not_in",
+    oracle="""
+    SELECT p_brand, COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM lineitem ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p_brand
+    """,
+)
+def q16_suppliers_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape with NOT IN — the null-aware anti join, a
+    semantically distinct join type (one NULL in the subquery empties the
+    result; Catalyst plans NullAwareAntiJoin). Run through Spark SQL to
+    exercise exactly that plan."""
+    for t in ("lineitem", "part", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM lineitem ps JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE ps.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        )
+        GROUP BY p_brand
+        """
+    )
+
+
+@corpus_query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: HAVING-filtered aggregate feeding joins — the
+    aggregate shrinks lineitem to a handful of qualifying orders BEFORE
+    any join touches the wide tables (the join inputs are post-HAVING)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, orders.o_orderkey == big.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+@corpus_query(
+    "q20_parts_with_surplus_stock",
+    oracle=f"""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey IN (
+        SELECT l_partkey FROM lineitem
+        GROUP BY l_partkey
+        HAVING SUM(l_quantity) > (
+            SELECT 0.02 * SUM(l_quantity) FROM lineitem
+        )
+    )
+    """,
+)
+def q20_parts_with_surplus_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape: IN over a HAVING aggregate whose threshold is
+    itself a scalar subquery — nested subquery rewriting (semi join over
+    an aggregate gated by a broadcast scalar). Spark SQL verbatim."""
+    for t in ("part", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_partkey IN (
+            SELECT l_partkey FROM lineitem
+            GROUP BY l_partkey
+            HAVING SUM(l_quantity) > (
+                SELECT 0.02 * SUM(l_quantity) FROM lineitem
+            )
+        )
+        """
+    )

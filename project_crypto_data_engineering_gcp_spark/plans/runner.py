@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.json_source import read_raw_json
 from ..sources.ledger import filter_new_files, read_ledger, record_ingested
-from ..sources.sinks import formatted, read_table
+from ..sources.sinks import formatted, read_table, table_format
 from .crypto_pipeline import (
     bronze_to_silver,
     dashboard,
@@ -99,6 +99,18 @@ def run_gold(
         gold[name] = df
     latest.unpersist()
     return gold
+
+
+def read_gold_history(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
+    """Read a gold HISTORY table with schema merging across appends
+    (reference S7 `3:86-90`: Delta merges schema at write; for parquet
+    the union schema is resolved at READ — older rows surface NULL for
+    columns added later)."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .format(table_format())
+        .load(os.path.join(out_dir, "gold", "history", name))
+    )
 
 
 def run_dashboard(spark: SparkSession, out_dir: str) -> DataFrame:

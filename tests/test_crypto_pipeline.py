@@ -305,3 +305,32 @@ def test_corrupt_json_quarantined_not_fatal(spark, tmp_path):
     assert silver.count() == N_ASSETS * 2
     bad = read_corrupt_json(spark, glob).collect()
     assert len(bad) == 1 and "99990101" in bad[0]["_source_file"]
+
+
+def test_gold_history_schema_evolution(spark, landing, tmp_path):
+    """Reference S7 semantics: an evolved gold table (new column) appends
+    to history, and the merged-schema read surfaces the union schema with
+    NULLs for pre-evolution rows."""
+    from project_crypto_data_engineering_gcp_spark.plans.runner import (
+        read_gold_history,
+        run_gold,
+        run_silver,
+    )
+
+    out = str(tmp_path / "out_evo")
+    run_silver(spark, f"{landing}/coincap_data_*.json", out, processed_at=PROCESSED_AT)
+    run_gold(spark, out, analysis_at=ANALYSIS_AT)
+
+    # simulate evolution: append a batch carrying an extra column
+    evolved = (
+        read_gold_history(spark, out, "daily_overview")
+        .withColumn("risk_score", F.round(F.col("rank") * 0.1, 4))
+    )
+    evolved.write.mode("append").parquet(
+        str(tmp_path / "out_evo" / "gold" / "history" / "daily_overview")
+    )
+
+    merged = read_gold_history(spark, out, "daily_overview")
+    assert "risk_score" in merged.columns
+    assert merged.filter(F.col("risk_score").isNull()).count() == N_ASSETS
+    assert merged.filter(F.col("risk_score").isNotNull()).count() == N_ASSETS
