@@ -236,3 +236,75 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
     return top.withColumn("rk", F.row_number().over(w))
+
+
+@corpus_query(
+    "text_redacted",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS redacted,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_redactions,
+           length(text) - length(regexp_replace(text, '[0-9]+', '', 'g'))
+               AS n_digit_chars
+    FROM documents
+    """,
+)
+def text_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction scrub (the PII-masking shape of a training-data
+    pipeline): digit runs replaced with a mask plus audit counts — pure
+    regexp expression work, scan-stage at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), "[0-9]+", "#").alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias(
+            "n_redactions"
+        ),
+        (
+            F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]+", ""))
+        ).alias("n_digit_chars"),
+    )
+
+
+@corpus_query(
+    "text_quality_by_lang",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               len({tokens_sql("text")}) AS n_tokens,
+               ROUND(CAST(len(list_distinct({tokens_sql("text")})) AS DOUBLE)
+                     / len({tokens_sql("text")}), 6) AS distinct_ratio
+        FROM documents
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           SUM(q.n_tokens) AS total_tokens,
+           CAST(SUM(CAST(q.distinct_ratio AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_distinct_ratio
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation rollup: per-language document counts, token
+    volume, and mean lexical diversity. The mean goes through an exact
+    decimal sum of the rounded-6 ratios (a double sum of 500+ ratios is
+    partition-order-dependent; the decimal path is bit-deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text"))
+    q = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(tokens("text"))).cast("double") / n_tokens, 6
+        ).alias("distinct_ratio"),
+    )
+    return q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.sum(F.col("distinct_ratio").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_distinct_ratio"),
+    )
