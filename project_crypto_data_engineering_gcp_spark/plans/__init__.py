@@ -8,6 +8,7 @@ from . import queries_similarity  # noqa: F401
 from . import queries_multimodal  # noqa: F401
 from . import queries_relational  # noqa: F401
 from . import queries_olap  # noqa: F401
+from . import queries_olap_deep  # noqa: F401
 from . import queries_crypto  # noqa: F401
 from . import queries_pandas  # noqa: F401
 

@@ -1,0 +1,526 @@
+"""Deeper OLAP query shapes (TPC-H Q2/Q4/Q7/Q8/Q10/Q12/Q14/Q15/Q17/Q19/Q22
+adapted to the testdata's columns — no partsupp/commitdate/shipmode here,
+so each query keeps the *plan shape* of its namesake on the columns that
+exist).
+
+Together with queries_olap.py this completes the classic decision-support
+menu: EXISTS/NOT-EXISTS rewrites, disjunctive predicate pushdown,
+conditional aggregation, correlated-average thresholds, argmin-per-group,
+scalar-subquery maxima, and multi-dimension nation-pair rollups. All money
+math goes through the exact-decimal parity scheme (functions/numeric.py);
+counts of CASE-sums are cast to BIGINT on the DuckDB side (its SUM(int)
+returns HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.numeric import dec
+from ..sources.tables import load_table
+from .corpus import corpus_query
+
+_REVENUE_DEC = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+def _revenue() -> F.Column:
+    return dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+
+
+@corpus_query(
+    "q2_cheapest_supplier",
+    oracle="""
+    WITH shipped AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), ranked AS (
+        SELECT sh.l_partkey AS p_partkey, su.s_suppkey, su.s_name, su.s_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sh.l_partkey ORDER BY su.s_acctbal, su.s_suppkey
+               ) AS rn
+        FROM shipped sh JOIN supplier su ON su.s_suppkey = sh.l_suppkey
+    )
+    SELECT p_partkey, s_suppkey, s_name, s_acctbal FROM ranked WHERE rn = 1
+    """,
+)
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape (argmin-per-group join-back): for every part, the
+    lowest-acctbal supplier that ever shipped it, suppkey as tiebreaker.
+    The DISTINCT shrinks lineitem to the (part, supplier) edge set before
+    the supplier dim (broadcast) and the ranking window touch it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    w = Window.partitionBy("l_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        shipped.join(F.broadcast(supp), supp.s_suppkey == shipped.l_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+        )
+    )
+
+
+@corpus_query(
+    "q4_priority_with_returns",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: EXISTS decorrelated to a LEFT SEMI join — order
+    counts by priority for a half-year window, keeping only orders with
+    at least one returned line. The semi join never widens orders and
+    deduplicates lineitem matches for free."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "leftsemi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@corpus_query(
+    "q7_nation_trade_flows",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               {_REVENUE_DEC} AS vol
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) flows
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape: bidirectional nation-pair trade volume by ship
+    year. Supplier+nation and customer+nation sides both broadcast (the
+    nation filter prunes them to ~1/25 each); lineitem-orders is the only
+    big join, and the pair filter is pushed below the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_side = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("s_nk"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust_side = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("c_nk"),
+                F.col("n_name").alias("cust_nation"),
+            ),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", "cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_side), li.l_suppkey == supp_side.s_suppkey)
+        .join(F.broadcast(cust_side), orders.o_custkey == cust_side.c_custkey)
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@corpus_query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE)
+               / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               n1.n_name AS supp_nation,
+               {_REVENUE_DEC} AS vol
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n2.n_regionkey
+        WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    ) all_sales
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8 shape: one nation's share of PROMO-part revenue sold into
+    EUROPE, by order year. The numerator is a null-else conditional
+    decimal SUM (SUM skips the non-matching NULLs exactly like DuckDB);
+    both sums are exact decimals so the final double ratio is
+    bit-deterministic. Part/supplier/customer dims all broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp_side = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("s_nk"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("s_nk"),
+    )
+    cust_side = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+                    F.col("n_nationkey").alias("c_nk")
+                )
+            ),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .select("c_custkey")
+    )
+    vol = _revenue()
+    sales = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(F.broadcast(supp_side), supp_side.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(cust_side), cust_side.c_custkey == orders.o_custkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("supp_nation"),
+            vol.alias("vol"),
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol"))).cast(
+                "double"
+            )
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@corpus_query(
+    "q10_returned_revenue_topk",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape: top-20 customers by revenue lost to returns in a
+    half-year window — selective fact filter, star join with broadcast
+    dims, grouped exact-decimal revenue, TakeOrderedAndProject top-k with
+    a custkey tiebreaker (exact sums make the ordering engine-stable)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@corpus_query(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape: conditional aggregation — per line status, how
+    many 1996-shipped lines belong to urgent/high vs other orders. The
+    CASE-sums are integer counts (no float order-dependence); orders
+    carries only two columns into the join after pruning."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@corpus_query(
+    "q14_promo_revenue_by_month",
+    oracle=f"""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+           CAST(100 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol END)
+                           AS DOUBLE)
+                / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS promo_share
+    FROM (
+        SELECT l_shipdate, p_type, {_REVENUE_DEC} AS vol
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    ) sales
+    GROUP BY ym
+    """,
+)
+def q14_promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape, widened to a per-month series: PROMO parts' share
+    of each 1996 month's revenue. Conditional decimal numerator over an
+    exact decimal denominator; part broadcasts; one shuffle (the month
+    aggregate)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    vol = _revenue()
+    sales = li.join(F.broadcast(part), part.p_partkey == li.l_partkey).select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ym"),
+        F.col("p_type"),
+        vol.alias("vol"),
+    )
+    return sales.groupBy("ym").agg(
+        (
+            F.lit(100)
+            * F.sum(F.when(F.col("p_type") == "PROMO", F.col("vol"))).cast("double")
+            / F.sum("vol").cast("double")
+        )
+        .cast("double")
+        .alias("promo_share")
+    )
+
+
+@corpus_query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 shape: the supplier(s) hitting the MAX of a derived
+    per-supplier revenue view — scalar subquery over an aggregate of an
+    aggregate. The revenue frame is computed once and reused for both the
+    max and the equality filter (cached to avoid double lineage); the
+    double equality is safe because both sides come from the same exact
+    decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
+        .cache()
+    )
+    rev.count()  # populate before both consumers race the cache
+    best = rev.agg(F.max("total_revenue").alias("best_revenue"))
+    return (
+        rev.join(F.broadcast(best), F.col("total_revenue") == F.col("best_revenue"))
+        .join(F.broadcast(supp), supp.s_suppkey == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@corpus_query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               CAST(COUNT(*) AS DECIMAL(10,0)) AS n_lines
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pq.n_lines < pq.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape: revenue from orders below 20% of the part's
+    average quantity. The correlated AVG threshold is decorrelated into a
+    per-part aggregate joined back; the < comparison is done in cleared
+    form (5 * n * qty < sum_qty) so it is exact integer/decimal math in
+    both engines — no float threshold to disagree on."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(dec("l_quantity", 18, 2)).alias("sum_qty"),
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n_lines"),
+    )
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(pq, F.col("pq_partkey") == li.l_partkey)
+        .filter(dec("l_quantity", 18, 2) * 5 * F.col("n_lines") < F.col("sum_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice", 12, 2)).cast("double") / 7.0)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@corpus_query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19 shape: three OR'd brand/size/quantity bands over the
+    part-lineitem join. Catalyst extracts the common join key and pushes
+    the per-side conjuncts (brand/size unions to the part scan, quantity
+    union to lineitem) below the join before evaluating the residual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    bands = (
+        ((br == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((br == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((br == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .filter(bands)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@corpus_query(
+    "q22_dormant_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS threshold
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.threshold
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape: above-average-balance customers who never
+    ordered, rolled up by segment. The global average is an exact
+    decimal-sum/count scalar broadcast back via cross join (no driver
+    collect); the NOT EXISTS is a LEFT ANTI join on orders. The threshold
+    double is bit-identical across engines, so the > cut is stable."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec("c_acctbal", 18, 2)).cast("double") / F.count(F.lit(1))).alias(
+                "threshold"
+            )
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec("c_acctbal", 18, 2)).cast("double").alias("total_bal"),
+        )
+    )
