@@ -114,3 +114,45 @@ def test_w5_range_frame_single_shuffle(spark):
     plan = plan_of(QUERIES["w5_sliding_hour_total"].fn(spark, SF_ORACLE))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_q4_exists_compiles_to_semi_join(spark):
+    plan = plan_of(QUERIES["q4_priority_with_returns"].fn(spark, SF_ORACLE))
+    # EXISTS shape: LeftSemi (never widens orders), returnflag filter at scan
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q10_topk_pruned_star(spark):
+    plan = plan_of(QUERIES["q10_returned_revenue_topk"].fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # lineitem scan pruned to the 4 needed columns
+    li_schema = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "l_orderkey" in l
+    ][0]
+    assert "l_shipdate" not in li_schema and "l_partkey" not in li_schema
+
+
+def test_q19_disjuncts_push_to_both_scans(spark):
+    plan = plan_of(QUERIES["q19_disjunctive_predicates"].fn(spark, SF_ORACLE), "formatted")
+    # Catalyst splits the OR bands per side: the quantity-band union reaches
+    # the lineitem scan, the brand/size union reaches the part scan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    li_pushed = [l for l in pushed if "l_quantity" in l]
+    part_pushed = [l for l in pushed if "p_brand" in l]
+    assert li_pushed and "Or(" in li_pushed[0]
+    assert part_pushed and "Or(" in part_pushed[0]
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    plan = plan_of(QUERIES["q22_dormant_rich_customers"].fn(spark, SF_ORACLE))
+    assert "LeftAnti" in plan
+    # the global-average threshold arrives as a broadcast 1-row frame,
+    # never via a driver collect
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # orders scan pruned to the join key only
+    orders_schema = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "o_custkey" in l
+    ][0]
+    assert "o_totalprice" not in orders_schema
