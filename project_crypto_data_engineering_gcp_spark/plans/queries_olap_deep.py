@@ -482,6 +482,199 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @corpus_query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6: the pure scan-filter-aggregate — discount revenue that
+    would be forfeited by dropping mid-band discounts on small-quantity
+    1996 lines. All three predicates push to the parquet scan (date range,
+    discount band, quantity cap); no join, no shuffle beyond the final
+    2-phase aggregate. The benchmark's floor for scan throughput."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec("l_extendedprice", 12, 2) * dec("l_discount", 4, 2))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@corpus_query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM({_REVENUE_DEC}
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9 shape: profit on red parts by supplier nation and order
+    year. The reference schema has no partsupp, so per-unit cost is the
+    part's retail price (same plan shape: 4 broadcast dims + the one big
+    lineitem-orders join). The name LIKE prunes part before broadcast;
+    profit stays exact decimal until the final double cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    profit = _revenue() - dec("p_retailprice", 12, 2) * dec("l_quantity", 18, 2)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nation), nation.n_nationkey == supp.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@corpus_query(
+    "q11_important_parts",
+    oracle="""
+    WITH base AS (
+        SELECT l_partkey,
+               CAST(p_retailprice AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(18,2)) AS v
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    value_by_part AS (
+        SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS part_value
+        FROM base GROUP BY l_partkey
+    ),
+    total AS (SELECT CAST(SUM(v) AS DOUBLE) * 0.0006 AS threshold FROM base)
+    SELECT l_partkey, part_value
+    FROM value_by_part, total
+    WHERE part_value > threshold
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape: parts whose shipped inventory value exceeds
+    0.06% of the total (retailprice x quantity standing in for partsupp's
+    supplycost x availqty). The per-part and global sums share one scanned
+    base frame (cached, eagerly populated); both are exact decimals, so
+    threshold and values cast to the same doubles in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .select(
+            "l_partkey",
+            (dec("p_retailprice", 12, 2) * dec("l_quantity", 18, 2)).alias("v"),
+        )
+        .cache()
+    )
+    base.count()  # populate before the two aggregates race the cache
+    by_part = base.groupBy("l_partkey").agg(
+        F.sum("v").cast("double").alias("part_value")
+    )
+    threshold = base.agg(
+        (F.sum("v").cast("double") * F.lit(0.0006)).alias("threshold")
+    )
+    return (
+        by_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@corpus_query(
+    "q21_sole_returning_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 shape: suppliers solely responsible for returns on
+    finalized multi-supplier orders ('R' lines standing in for the
+    missing receipt-after-commit columns). The correlated EXISTS /
+    NOT-EXISTS pair decorrelates to a LEFT SEMI + LEFT ANTI self-join on
+    lineitem, each shrunk to its DISTINCT (orderkey, suppkey) edge set
+    before shuffling, then top-20 via TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = (
+        li.select(
+            F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+        ).distinct()
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+        .distinct()
+    )
+    return (
+        l1.join(orders_f, l1.l_orderkey == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("k2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("k3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
+            "leftanti",
+        )
+        .join(F.broadcast(supp), supp.s_suppkey == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@corpus_query(
     "q22_dormant_rich_customers",
     oracle="""
     WITH avg_bal AS (
