@@ -121,6 +121,69 @@ def _lsh_bucket_sql() -> str:
     )
 
 
+IVF_CELLS = 16  # vectors with vec_id < IVF_CELLS are the centroids
+IVF_PROBE = 4
+
+
+@corpus_query(
+    "sim_ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               {normalized_sql("embedding", "nrm")} AS nv
+        FROM (SELECT vec_id, embedding,
+                     {norm_sql("embedding")} AS nrm
+              FROM embeddings) raw
+    ),
+    cent AS (SELECT vec_id AS cid, nv AS cv FROM e WHERE vec_id < {IVF_CELLS}),
+    scored AS (
+        SELECT e.vec_id, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({dot_double_sql("e.nv", "cent.cv")}, 6) DESC,
+                            cent.cid
+               ) AS crk
+        FROM e CROSS JOIN cent
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM scored WHERE crk = 1),
+    probes AS (
+        SELECT vec_id AS qid, cid AS pcell FROM scored
+        WHERE crk <= {IVF_PROBE} AND vec_id < {TOPK_QUERIES}
+    )
+    SELECT vec_a, vec_b, cos_sim, rk FROM (
+        SELECT p.qid AS vec_a, a.vec_id AS vec_b,
+               ROUND({dot_double_sql("q.nv", "c.nv")}, 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY ROUND({dot_double_sql("q.nv", "c.nv")}, 6) DESC,
+                            a.vec_id
+               ) AS rk
+        FROM probes p
+        JOIN assign a ON a.cell = p.pcell AND a.vec_id <> p.qid
+        JOIN e q ON q.vec_id = p.qid
+        JOIN e c ON c.vec_id = a.vec_id
+    ) t WHERE rk <= {TOPK_K}
+    """,
+)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{TOPK_K} neighbors via an IVF coarse quantizer:
+    the first {IVF_CELLS} vectors act as deterministic centroids (no
+    k-means — reproducible and oracle-expressible), every vector lives in
+    its nearest centroid's cell, and each query scans only its
+    {IVF_PROBE} nearest cells. The complementary scale path to sign-bit
+    LSH: data-adaptive cells instead of fixed hyperplanes."""
+    from ..operators.similarity import ivf_topk_blockwise
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_blockwise(
+        emb,
+        k=TOPK_K,
+        query_pred=lambda v: v < TOPK_QUERIES,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+    )
+
+
 @corpus_query(
     "sim_ann_lsh_topk",
     oracle=f"""

@@ -33,6 +33,23 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert 0.05 < recall <= 1.0, recall
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with 4-of-16 probed cells should recover most of the exact
+    top-k (data-adaptive cells beat fixed hyperplanes on recall), and
+    never exceed it."""
+    qs = all_queries()
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in qs["sim_topk_neighbors"].fn(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in qs["sim_ann_ivf_topk"].fn(spark, SF_ORACLE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert 0.3 < recall <= 1.0, recall
+
+
 def test_range_join_bucketization_is_exact(spark):
     """The bucketized range join must equal the naive inequality join
     (here checked via row count against the DuckDB naive formulation,
