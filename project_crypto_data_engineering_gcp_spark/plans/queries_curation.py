@@ -14,9 +14,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import md5_long, md5_long_sql
-from ..functions.text import canonical_text, canonical_text_sql
+from ..functions.text import (
+    canonical_text,
+    canonical_text_sql,
+    stopword_count,
+    stopword_count_sql,
+    tokens,
+    tokens_sql,
+)
 from ..sources.tables import load_table
 from .corpus import corpus_query
+from .queries_text import STOPWORDS
 
 SPLIT_SALT = "split-v1:"
 TRAIN_PCT, VAL_PCT = 90, 5  # remainder = test
@@ -148,4 +156,109 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         train.join(F.broadcast(test), train.fingerprint == test.fp_test)
         .select("train_doc", "test_doc", "fingerprint")
+    )
+
+
+PACK_CAPACITY = 512  # tokens per packed context window
+
+
+@corpus_query(
+    "curate_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang, len({tokens_sql("text")}) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS cum_before
+        FROM sized
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum_before // {PACK_CAPACITY} AS BIGINT) AS bin_id
+    FROM cum
+    """,
+)
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride packing of documents into {PACK_CAPACITY}-token context
+    windows: per language, docs in doc_id order accumulate a running
+    token count and land in bin floor(tokens_before / capacity) — the
+    deterministic fixed-stride packing used to batch pretraining data
+    (docs may straddle a boundary; true first-fit packing is inherently
+    sequential and not a relational plan). One window shuffle on lang;
+    integer running sums, so no float drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    return sized.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_CAPACITY
+        ).alias("bin_id"),
+    )
+
+
+QUALITY_CUT_PCT = 0.25  # drop the bottom quartile per language
+
+
+def _quality_sql() -> str:
+    return f"""ROUND(
+        0.5 * (CAST(len(list_distinct({tokens_sql("text")})) AS DOUBLE)
+               / len({tokens_sql("text")}))
+        + 0.3 * (1 - CAST({stopword_count_sql("text", STOPWORDS)} AS DOUBLE)
+                     / len({tokens_sql("text")}))
+        + 0.2 * least(1.0, len({tokens_sql("text")}) / 64.0), 6)"""
+
+
+def _quality_col() -> F.Column:
+    n_tokens = F.size(tokens("text"))
+    distinct_ratio = F.size(F.array_distinct(tokens("text"))).cast("double") / n_tokens
+    stop_ratio = stopword_count("text", STOPWORDS).cast("double") / n_tokens
+    return F.round(
+        0.5 * distinct_ratio
+        + 0.3 * (F.lit(1) - stop_ratio)
+        + 0.2 * F.least(F.lit(1.0), n_tokens / F.lit(64.0)),
+        6,
+    )
+
+
+@corpus_query(
+    "curate_quality_cut",
+    oracle=f"""
+    SELECT doc_id, lang, quality, ROUND(pr, 6) AS pctile FROM (
+        SELECT doc_id, lang, quality,
+               PERCENT_RANK() OVER (
+                   PARTITION BY lang ORDER BY quality, doc_id
+               ) AS pr
+        FROM (SELECT doc_id, lang, {_quality_sql()} AS quality FROM documents) s
+    ) ranked
+    WHERE pr >= {QUALITY_CUT_PCT}
+    """,
+)
+def curate_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-percentile filter: drop each language's
+    bottom quartile by the heuristic quality score (ties broken by
+    doc_id, so the percentile is a pure function of the data). The
+    per-language normalization is what keeps a verbose language's docs
+    from outranking a terse one's — cutting on the raw global score
+    would empty whole languages. percent_rank is (rank-1)/(n-1) on
+    integer ranks: bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        docs.select("doc_id", "lang", _quality_col().alias("quality"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= QUALITY_CUT_PCT)
+        .select("doc_id", "lang", "quality", F.round("pr", 6).alias("pctile"))
     )
