@@ -41,6 +41,9 @@ HEADLINE = (
     "dedup_ngram_jaccard",
     "sim_cosine_pairs",
     "sim_topk_neighbors",
+    "q6_forecast_revenue",
+    "sim_ann_ivf_topk",
+    "curate_decontaminate",
 )
 
 
