@@ -106,6 +106,89 @@ def extract_media_meta(media: DataFrame, *, strict: bool = False) -> DataFrame:
     return media.mapInPandas(op, schema=MEDIA_META_SCHEMA)
 
 
+RESIZE_META_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "target_w int, target_h int, scale_x double, scale_y double, "
+    "n_bytes_out long"
+)
+
+
+def resize_media_meta(
+    media: DataFrame, *, target_w: int, target_h: int, strict: bool = False
+) -> DataFrame:
+    """Resize plumbing: per payload, the (stub-)decoded source dimensions,
+    the requested target box, the float scale factors a real resampler
+    would apply, and the output byte budget (capped at the source size —
+    the fake payload can't be upsampled). The actual pixel resample is the
+    stubbed step; everything around it — Arrow batching, schema, the
+    metadata arithmetic — is the real pipeline shape."""
+
+    decode = _make_decode_stub(strict)  # local: ships by value (see above)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode(p) for p in pdf["content"]]
+            w = pd.Series([d[0] for d in dims], dtype="int32")
+            h = pd.Series([d[1] for d in dims], dtype="int32")
+            c = pd.Series([d[2] for d in dims], dtype="int32")
+            n_bytes = pdf["content"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "channels": c,
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "scale_x": (target_w / w.astype("float64")).round(6),
+                    "scale_y": (target_h / h.astype("float64")).round(6),
+                    "n_bytes_out": pd.concat(
+                        [n_bytes, (target_w * target_h * c).astype("int64")], axis=1
+                    ).min(axis=1),
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZE_META_SCHEMA)
+
+
+N_HIST_BINS = 16
+
+
+def byte_histogram(media: DataFrame) -> DataFrame:
+    """Feature extraction over raw payload bytes: a {N_HIST_BINS}-bin
+    byte-value histogram, normalized to a density vector — the cheap
+    content-type / corruption signal computed before any codec runs.
+    numpy ``bincount`` over the whole Arrow batch at once; no Python
+    per-byte loop, no shuffle. (No SQL oracle — byte-level work on
+    multi-byte UTF-8 payloads isn't expressible in DuckDB; a pytest
+    property cross-checks against a pure-Python count.)"""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # self-contained closure: no package import
+
+        for pdf in batches:
+            out_ids, out_hists, out_bytes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                counts = np.bincount(arr >> 4, minlength=N_HIST_BINS)
+                out_ids.append(doc_id)
+                out_bytes.append(len(arr))
+                out_hists.append(
+                    (counts / max(len(arr), 1)).round(6).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "n_bytes": pd.Series(out_bytes, dtype="int64"),
+                    "density": out_hists,
+                }
+            )
+
+    return media.mapInPandas(
+        op, schema="doc_id long, n_bytes long, density array<double>"
+    )
+
+
 def sample_frames(
     media: DataFrame, *, n_frames: int = 4, frame_stride_bytes: int = 64
 ) -> DataFrame:

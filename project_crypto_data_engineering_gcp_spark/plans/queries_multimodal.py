@@ -11,12 +11,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.multimodal import as_media_frame, extract_media_meta, sample_frames
+from ..operators.multimodal import (
+    as_media_frame,
+    byte_histogram,
+    extract_media_meta,
+    resize_media_meta,
+    sample_frames,
+)
 from ..sources.tables import load_table
 from .corpus import corpus_query
 
 FRAME_STRIDE = 64
 N_FRAMES = 4
+RESIZE_W, RESIZE_H = 224, 224
+
+
+def _stub_dim_sql(hex_pos: int, mod: int, base: int) -> str:
+    """DuckDB twin of the decode stub's md5-derived fake dimensions:
+    byte i of md5(utf8(text)) == hex chars [2i+1, 2i+2] parsed base-16.
+    DuckDB's md5(VARCHAR) hashes the UTF-8 encoding — identical bytes to
+    the Python stub's md5(payload)."""
+    return (
+        f"CAST({base} + ('0x' || substr(md5(text), {hex_pos}, 2))::INT"
+        f" % {mod} AS INTEGER)"
+    )
 
 
 @corpus_query(
@@ -64,11 +82,61 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, n_frames=N_FRAMES, frame_stride_bytes=FRAME_STRIDE)
 
 
-@corpus_query("mm_media_meta_stub", oracle=None)
+@corpus_query(
+    "mm_media_meta_stub",
+    oracle=f"""
+    SELECT doc_id, 'image/fake' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           {_stub_dim_sql(1, 240, 16)} AS width,
+           {_stub_dim_sql(3, 240, 16)} AS height,
+           {_stub_dim_sql(5, 4, 1)} AS channels
+    FROM documents
+    """,
+)
 def mm_media_meta_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas metadata extraction with the STUBBED
     decode (deterministic fake dimensions — see operators/multimodal.py).
-    No SQL oracle (Python-side decode); tests cross-check n_bytes/sha256
-    against the expression-based mm_payload_meta."""
+    Fully oracle-checked even though the decode is Python-side: the fake
+    dims are a pure md5 function of the payload, which DuckDB replays."""
     media = as_media_frame(load_table(spark, sf_dir, "documents"))
     return extract_media_meta(media)
+
+
+@corpus_query(
+    "mm_resize_meta",
+    oracle=f"""
+    WITH decoded AS (
+        SELECT doc_id,
+               {_stub_dim_sql(1, 240, 16)} AS width,
+               {_stub_dim_sql(3, 240, 16)} AS height,
+               {_stub_dim_sql(5, 4, 1)} AS channels,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT doc_id, width, height, channels,
+           {RESIZE_W} AS target_w, {RESIZE_H} AS target_h,
+           ROUND({RESIZE_W} / CAST(width AS DOUBLE), 6) AS scale_x,
+           ROUND({RESIZE_H} / CAST(height AS DOUBLE), 6) AS scale_y,
+           LEAST(n_bytes, {RESIZE_W} * {RESIZE_H} * CAST(channels AS BIGINT))
+               AS n_bytes_out
+    FROM decoded
+    """,
+)
+def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing to a {RESIZE_W}x{RESIZE_H} box: source dims from
+    the stub decode, float scale factors, and the output byte budget.
+    Scale-factor rounding is tie-free for any width in [16, 256), so
+    numpy's and DuckDB's rounding agree bit-for-bit."""
+    media = as_media_frame(load_table(spark, sf_dir, "documents"))
+    return resize_media_meta(media, target_w=RESIZE_W, target_h=RESIZE_H)
+
+
+@corpus_query("mm_byte_histogram", oracle=None)
+def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-value histogram features (16 bins over the high nibble),
+    normalized densities via one numpy bincount per payload. Rows-only
+    check: byte-level work over multi-byte UTF-8 isn't expressible in
+    DuckDB SQL; a pytest property cross-checks a pure-Python count."""
+    media = as_media_frame(load_table(spark, sf_dir, "documents"))
+    return byte_histogram(media)

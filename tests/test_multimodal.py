@@ -51,3 +51,24 @@ def test_frame_sample_offsets(spark):
     frames = mm_frame_sample(spark, SF_SMOKE)
     assert frames.filter(F.col("frame_offset") % 64 != 0).count() == 0
     assert frames.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0] <= 4
+
+
+def test_byte_histogram_matches_pure_python(spark):
+    from collections import Counter
+
+    from project_crypto_data_engineering_gcp_spark.operators.multimodal import (
+        N_HIST_BINS,
+        byte_histogram,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = as_media_frame(docs)
+    got = {r["doc_id"]: r for r in byte_histogram(media).collect()}
+    for r in docs.select("doc_id", "text").limit(20).collect():
+        payload = r["text"].encode("utf-8")
+        counts = Counter(b >> 4 for b in payload)
+        want = [round(counts.get(i, 0) / len(payload), 6) for i in range(N_HIST_BINS)]
+        row = got[r["doc_id"]]
+        assert row["n_bytes"] == len(payload)
+        assert row["density"] == want
+        assert abs(sum(row["density"]) - 1.0) < 1e-5
