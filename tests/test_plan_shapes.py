@@ -145,6 +145,42 @@ def test_q19_disjuncts_push_to_both_scans(spark):
     assert part_pushed and "Or(" in part_pushed[0]
 
 
+def test_q6_all_predicates_reach_scan(spark):
+    plan = plan_of(QUERIES["q6_forecast_revenue"].fn(spark, SF_ORACLE), "formatted")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    # date range, discount band, and quantity cap all push to parquet
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert plan.count("Exchange hashpartitioning") == 0  # scan -> 2-phase agg only
+
+
+def test_q9_broadcasts_all_dims(spark):
+    plan = plan_of(QUERIES["q9_product_profit"].fn(spark, SF_ORACLE))
+    # part/supplier/nation all broadcast; lineitem-orders is the only big join
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the name filter reaches the part scan
+    assert "Contains(p_name,red)" in plan or "p_name" in plan
+
+
+def test_q21_semi_and_anti_self_joins(spark):
+    plan = plan_of(QUERIES["q21_sole_returning_supplier"].fn(spark, SF_ORACLE))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_curation_windows_single_shuffle(spark):
+    # packing and quality cut each need exactly the one lang-window shuffle
+    for name in ("curate_pack_sequences", "curate_quality_cut"):
+        plan = plan_of(QUERIES[name].fn(spark, SF_ORACLE))
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Window" in plan, name
+
+
+def test_decontaminate_broadcasts_test_slice(spark):
+    plan = plan_of(QUERIES["curate_decontaminate"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_q22_anti_join_and_broadcast_scalar(spark):
     plan = plan_of(QUERIES["q22_dormant_rich_customers"].fn(spark, SF_ORACLE))
     assert "LeftAnti" in plan
