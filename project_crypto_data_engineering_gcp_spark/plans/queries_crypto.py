@@ -22,7 +22,7 @@ import tempfile
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..fixtures import silver_rows, write_fixture_landing
 from ..plans import crypto_pipeline as cp
@@ -222,4 +222,107 @@ def crypto_silver_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = read_raw_json(spark, f"{_LANDING}/coincap_data_*.json")
     return cp.bronze_to_silver(raw, processed_at=PROCESSED_AT).drop(
         "_source_file", "tokens"
+    )
+
+
+def _silver(spark: SparkSession) -> DataFrame:
+    """The real Bronze->Silver frame over the fixture landing (UTC)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = read_raw_json(spark, f"{_LANDING}/coincap_data_*.json")
+    return cp.bronze_to_silver(raw, processed_at=PROCESSED_AT)
+
+
+@corpus_query(
+    "crypto_scd2_history",
+    oracle=f"""
+    SELECT id, symbol, price_usd,
+           data_referencia AS valid_from,
+           LEAD(data_referencia) OVER (
+               PARTITION BY id ORDER BY data_referencia
+           ) AS valid_to,
+           LEAD(data_referencia) OVER (
+               PARTITION BY id ORDER BY data_referencia
+           ) IS NULL AS is_current
+    FROM read_parquet('{_SILVER_PARQUET}')
+    """,
+)
+def crypto_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history over the append-only Silver snapshots: each
+    asset row gets a [valid_from, valid_to) interval via lead() over its
+    snapshot order, the open interval marking the current version. This
+    is the dimension-history capability the reference's append-everything
+    Delta sink implies but never materializes (readme's history claim vs
+    `3:86-90`). String timestamps sort chronologically in the fixed
+    from_unixtime format (quirk Q3 preserved)."""
+    w = Window.partitionBy("id").orderBy("data_referencia")
+    return _silver(spark).select(
+        "id",
+        "symbol",
+        "price_usd",
+        F.col("data_referencia").alias("valid_from"),
+        F.lead("data_referencia").over(w).alias("valid_to"),
+        F.lead("data_referencia").over(w).isNull().alias("is_current"),
+    )
+
+
+@corpus_query(
+    "crypto_merge_upsert",
+    oracle=f"""
+    WITH silver AS (SELECT * FROM read_parquet('{_SILVER_PARQUET}')),
+    mx AS (SELECT MAX(data_referencia) AS m FROM silver),
+    target AS (
+        SELECT id, symbol, price_usd, data_referencia
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY id ORDER BY data_referencia DESC
+            ) AS rn
+            FROM silver, mx WHERE data_referencia < m AND rank <= 35
+        ) t WHERE rn = 1
+    ),
+    source AS (
+        SELECT id, symbol, price_usd, data_referencia
+        FROM silver, mx WHERE data_referencia = m AND rank > 5
+    )
+    SELECT COALESCE(s.id, t.id) AS id,
+           CASE WHEN s.id IS NOT NULL THEN s.symbol ELSE t.symbol END AS symbol,
+           CASE WHEN s.id IS NOT NULL THEN s.price_usd ELSE t.price_usd END
+               AS price_usd,
+           CASE WHEN s.id IS NOT NULL THEN s.data_referencia
+                ELSE t.data_referencia END AS data_referencia,
+           CASE WHEN s.id IS NOT NULL AND t.id IS NOT NULL THEN 'updated'
+                WHEN s.id IS NOT NULL THEN 'inserted'
+                ELSE 'retained' END AS merge_action
+    FROM target t FULL OUTER JOIN source s ON t.id = s.id
+    """,
+)
+def crypto_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet (operators/merge.py): the
+    serving table (previous latest, ranks <= 35) upserted with the newest
+    snapshot batch (ranks > 5) — matched assets update, new assets
+    insert, assets absent from the batch are retained. The rank slices
+    are deterministic stand-ins for feed churn; the full-outer-join +
+    coalesce plan is exactly what Delta's MERGE runs underneath."""
+    from ..operators.merge import merge_upsert
+
+    silver = _silver(spark).cache()
+    silver.count()  # both slices below traverse this frame
+    max_ts = silver.agg(F.max("data_referencia").alias("m"))
+    w = Window.partitionBy("id").orderBy(F.col("data_referencia").desc())
+    target = (
+        silver.crossJoin(F.broadcast(max_ts))
+        .filter((F.col("data_referencia") < F.col("m")) & (F.col("rank") <= 35))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "symbol", "price_usd", "data_referencia")
+    )
+    source = (
+        silver.crossJoin(F.broadcast(max_ts))
+        .filter((F.col("data_referencia") == F.col("m")) & (F.col("rank") > 5))
+        .select("id", "symbol", "price_usd", "data_referencia")
+    )
+    return merge_upsert(
+        target,
+        source,
+        key_cols=["id"],
+        payload_cols=["symbol", "price_usd", "data_referencia"],
     )
