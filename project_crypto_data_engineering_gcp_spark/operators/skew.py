@@ -40,3 +40,33 @@ def salted_aggregate(
     )
     partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    *,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-split inner equi-join: the big side gets a per-row salt (same
+    derivation as :func:`salted_aggregate` — result-independent), the
+    small side is replicated ``salt_buckets`` ways via an exploded
+    sequence, and the join runs on (keys + salt). A hot key's rows land
+    on ``salt_buckets`` reducers instead of one; output is identical to
+    the plain join, salt dropped.
+
+    This is the static form of what AQE's skew-join does adaptively —
+    it earns its keep when the skew is known ahead of time (a
+    low-cardinality join key like an event type or country code), where
+    splitting pre-shuffle beats detecting post-shuffle. Cost: the small
+    side shuffles ``salt_buckets``x its size."""
+    b = big.withColumn(
+        "__salt",
+        (F.spark_partition_id() * 131071 + F.monotonically_increasing_id())
+        % salt_buckets,
+    )
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return b.join(s, on=[*on, "__salt"], how="inner").drop("__salt")

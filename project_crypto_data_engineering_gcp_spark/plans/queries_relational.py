@@ -331,3 +331,64 @@ def a6_salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pmax").alias("max_value"),
         ],
     )
+
+
+@corpus_query(
+    "j7_salted_skew_join",
+    oracle="""
+    WITH type_stats AS (
+        SELECT event_type, COUNT(*) AS type_n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, t.type_n
+    FROM events e JOIN type_stats t ON t.event_type = e.event_type
+    """,
+)
+def j7_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split join on a 5-value hot key: the per-type stats dim is
+    replicated across salt buckets and events join on (event_type, salt)
+    — a hot type's rows spread over salt_buckets reducers instead of one
+    (operators/skew.py salted_join, the static form of AQE skew-join for
+    skew known ahead of time). Output equals the plain join; the oracle
+    IS the plain join."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    type_stats = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_n"))
+    return salted_join(ev, type_stats, ["event_type"], salt_buckets=8).select(
+        "event_id", "event_type", "value", "type_n"
+    )
+
+
+HIST_BIN_WIDTH = 50_000.0
+
+
+@corpus_query(
+    "a7_order_price_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin_id,
+           CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT)
+               * {HIST_BIN_WIDTH} AS bin_lo,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def a7_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bin assignment is a pure
+    projection (floor-division — no sampled quantiles, no driver pass),
+    so the whole histogram is one map-side-combinable aggregation. The
+    distribution profile every pipeline reads before choosing salting /
+    bucketing constants."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH)
+    return (
+        orders.select(
+            bin_id.alias("bin_id"),
+            (bin_id * HIST_BIN_WIDTH).alias("bin_lo"),
+        )
+        .groupBy("bin_id", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
