@@ -392,3 +392,45 @@ def a7_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin_id", "bin_lo")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@corpus_query(
+    "w6_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, ts, masked_value,
+           LAST_VALUE(masked_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                   AS masked_value
+        FROM events
+    ) m
+    """,
+)
+def w6_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (gap-filling) over a per-user event series: error
+    events' readings are masked to NULL, then carried forward from the
+    last observation via last(ignorenulls) over an ordered running frame
+    — the standard sensor/time-series repair. One shuffle on user_id;
+    values pass through unchanged (no arithmetic), so parity is exact.
+    ts is unique per user in the testdata, making the frame order total."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("masked_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.withColumn(
+        "filled_value", F.last("masked_value", ignorenulls=True).over(w)
+    )
