@@ -434,3 +434,67 @@ def w6_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masked.withColumn(
         "filled_value", F.last("masked_value", ignorenulls=True).over(w)
     )
+
+
+@corpus_query(
+    "dq_constraint_violations",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS rule, COUNT(*) AS n_violations
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_quantity', COUNT(*)
+    FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range', COUNT(*)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'orders_null_custkey', COUNT(*)
+    FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_orphan_custkey', COUNT(*)
+    FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate as one query: each integrity rule (FK
+    orphans via anti-join, range and null checks as conditional counts)
+    reports its violation count — the dbt-test-style scan a pipeline runs
+    before promoting a batch. Anti-joins shuffle on the key; the scalar
+    rules fold into their scans. Empty violations here prove the testdata
+    generator's invariants; on dirty data the counts localize the
+    breakage without a second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def rule(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("rule"), "n_violations"
+        )
+
+    return (
+        rule(
+            "lineitem_orphan_orderkey",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+        )
+        .unionByName(
+            rule("lineitem_nonpositive_quantity", li.filter(F.col("l_quantity") <= 0))
+        )
+        .unionByName(
+            rule(
+                "lineitem_discount_out_of_range",
+                li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            )
+        )
+        .unionByName(
+            rule("orders_null_custkey", orders.filter(F.col("o_custkey").isNull()))
+        )
+        .unionByName(
+            rule(
+                "orders_orphan_custkey",
+                orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
+            )
+        )
+    )
