@@ -308,3 +308,66 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_distinct_ratio"),
     )
+
+
+TFIDF_TOPK = 5
+
+
+@corpus_query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tokens_sql("text")}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, weight, rk FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS weight,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC,
+                            tf.term
+               ) AS rk
+        FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    ) t WHERE rk <= {TFIDF_TOPK}
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index term weighting: per document, the top-{TFIDF_TOPK}
+    most characteristic terms by tf x (N/df) — the retrieval-indexing
+    shape (tf from one grouped count, df from a distinct count, a
+    broadcast scalar N). The classic idf takes ln(N/df); we keep the raw
+    ratio because integer-derived double division is bit-deterministic
+    across engines while libm log rounding is not (see the ROUND design
+    rule in tests/test_parity_properties.py). Term tiebreak makes the
+    cut stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .cache()
+    )
+    toks.count()  # tf and df below both traverse this frame
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "weight", F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "weight", "rk")
+    )
