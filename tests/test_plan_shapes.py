@@ -181,6 +181,29 @@ def test_decontaminate_broadcasts_test_slice(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_merge_upsert_single_join(spark):
+    from project_crypto_data_engineering_gcp_spark.operators.merge import merge_upsert
+
+    t = spark.range(5).selectExpr("id", "id * 2 AS v")
+    s = spark.range(3, 8).selectExpr("id", "id * 3 AS v")
+    plan = plan_of(merge_upsert(t, s, ["id"], ["v"]))
+    assert "FullOuter" in plan
+    assert plan.count("Join") == 1  # one join, no re-scan per action
+
+
+def test_tfidf_broadcasts_df_and_scalar(spark):
+    plan = plan_of(QUERIES["text_tfidf_topk"].fn(spark, SF_ORACLE))
+    # term-df map and corpus-size scalar both broadcast; only tf shuffles
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_forward_fill_single_shuffle(spark):
+    plan = plan_of(QUERIES["w6_forward_fill"].fn(spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
 def test_q22_anti_join_and_broadcast_scalar(spark):
     plan = plan_of(QUERIES["q22_dormant_rich_customers"].fn(spark, SF_ORACLE))
     assert "LeftAnti" in plan
