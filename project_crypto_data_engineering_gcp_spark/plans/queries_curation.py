@@ -262,3 +262,45 @@ def curate_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") >= QUALITY_CUT_PCT)
         .select("doc_id", "lang", "quality", F.round("pr", 6).alias("pctile"))
     )
+
+
+MIX_TAKE = 200  # schedule length of the mixture prefix
+
+
+@corpus_query(
+    "curate_mix_sources",
+    oracle=f"""
+    WITH weighted AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 1
+                    THEN 3.0 ELSE 1.0 END AS weight,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, rn, ROUND(rn / weight, 6) AS position
+    FROM weighted
+    ORDER BY position, source, doc_id
+    LIMIT {MIX_TAKE}
+    """,
+)
+def curate_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source interleaving: each source's docs get positions
+    rn/weight (odd-numbered sources weighted 3x — the up-sampled
+    domains), and the training schedule is the position-ordered prefix —
+    deterministic data mixing without RNG. The prefix comes out of
+    TakeOrderedAndProject (per-task heaps, no global sort); at 100 TB
+    the position column is also a range-partitioning key, so the full
+    schedule writes out sorted without one reducer seeing everything."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    weight = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 1, F.lit(3.0)
+    ).otherwise(F.lit(1.0))
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("position", F.round(F.col("rn") / weight, 6))
+        .orderBy("position", "source", "doc_id")
+        .limit(MIX_TAKE)
+        .select("doc_id", "source", "rn", "position")
+    )
