@@ -156,36 +156,50 @@ N_HIST_BINS = 16
 
 def byte_histogram(media: DataFrame) -> DataFrame:
     """Feature extraction over raw payload bytes: a {N_HIST_BINS}-bin
-    byte-value histogram, normalized to a density vector — the cheap
+    byte-value histogram (high nibble), normalized densities — the cheap
     content-type / corruption signal computed before any codec runs.
     numpy ``bincount`` over the whole Arrow batch at once; no Python
-    per-byte loop, no shuffle. (No SQL oracle — byte-level work on
-    multi-byte UTF-8 payloads isn't expressible in DuckDB; a pytest
-    property cross-checks against a pure-Python count.)"""
+    per-byte loop, no shuffle.
+
+    Output is LONG format — one (doc_id, bin, n_in_bin, density) row per
+    bin, all {N_HIST_BINS} bins emitted (zeros included) — so downstream
+    aggregation, the driver's order-insensitive hash, and SQL oracles all
+    work on scalar columns (array columns crash the driver canonicalizer,
+    round-1 ERR). density = n_in_bin / n_bytes as a single IEEE double
+    division of two exact ints — bit-identical in numpy, Spark, and
+    DuckDB with NO rounding step (round() tie behavior differs between
+    engines; plain division doesn't)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # self-contained closure: no package import
 
+        bins = np.arange(N_HIST_BINS, dtype=np.int32)
         for pdf in batches:
-            out_ids, out_hists, out_bytes = [], [], []
+            out_ids, out_bins, out_counts, out_bytes = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 counts = np.bincount(arr >> 4, minlength=N_HIST_BINS)
-                out_ids.append(doc_id)
-                out_bytes.append(len(arr))
-                out_hists.append(
-                    (counts / max(len(arr), 1)).round(6).tolist()
-                )
+                out_ids.append(np.full(N_HIST_BINS, doc_id, dtype=np.int64))
+                out_bins.append(bins)
+                out_counts.append(counts.astype(np.int64))
+                out_bytes.append(np.full(N_HIST_BINS, len(arr), dtype=np.int64))
+            if not out_ids:
+                continue
+            n_in_bin = np.concatenate(out_counts)
+            n_bytes = np.concatenate(out_bytes)
             yield pd.DataFrame(
                 {
-                    "doc_id": out_ids,
-                    "n_bytes": pd.Series(out_bytes, dtype="int64"),
-                    "density": out_hists,
+                    "doc_id": np.concatenate(out_ids),
+                    "n_bytes": n_bytes,
+                    "bin": np.concatenate(out_bins),
+                    "n_in_bin": n_in_bin,
+                    "density": n_in_bin / np.maximum(n_bytes, 1),
                 }
             )
 
     return media.mapInPandas(
-        op, schema="doc_id long, n_bytes long, density array<double>"
+        op,
+        schema="doc_id long, n_bytes long, bin int, n_in_bin long, density double",
     )
 
 

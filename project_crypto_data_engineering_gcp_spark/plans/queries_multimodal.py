@@ -132,11 +132,40 @@ def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media_meta(media, target_w=RESIZE_W, target_h=RESIZE_H)
 
 
-@corpus_query("mm_byte_histogram", oracle=None)
+@corpus_query(
+    "mm_byte_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               hex(encode(text)) AS hx
+        FROM documents
+    ), nib AS (
+        -- high nibble of byte i == hex digit at odd position 2i+1
+        SELECT b.doc_id,
+               strpos('0123456789ABCDEF',
+                      substr(b.hx, CAST(2 * u.i + 1 AS BIGINT), 1)) - 1 AS bin
+        FROM b, UNNEST(range(0, b.n_bytes)) AS u(i)
+    ), cnt AS (
+        SELECT doc_id, bin, CAST(COUNT(*) AS BIGINT) AS n_in_bin
+        FROM nib GROUP BY doc_id, bin
+    )
+    SELECT b.doc_id,
+           b.n_bytes,
+           CAST(g.bin AS INTEGER) AS bin,
+           COALESCE(c.n_in_bin, 0) AS n_in_bin,
+           CAST(COALESCE(c.n_in_bin, 0) AS DOUBLE)
+               / GREATEST(b.n_bytes, 1) AS density
+    FROM b
+    CROSS JOIN (SELECT UNNEST(range(0, 16)) AS bin) g
+    LEFT JOIN cnt c ON c.doc_id = b.doc_id AND c.bin = g.bin
+    """,
+)
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-value histogram features (16 bins over the high nibble),
-    normalized densities via one numpy bincount per payload. Rows-only
-    check: byte-level work over multi-byte UTF-8 isn't expressible in
-    DuckDB SQL; a pytest property cross-checks a pure-Python count."""
+    """Byte-value histogram features (16 bins over the high nibble) in
+    LONG format — one row per (doc, bin), zero bins included — via one
+    numpy bincount per payload. density is a single IEEE double division
+    (no rounding), so numpy and the DuckDB oracle (which replays the
+    nibble extraction off ``hex(encode(text))``) agree bit-for-bit."""
     media = as_media_frame(load_table(spark, sf_dir, "documents"))
     return byte_histogram(media)

@@ -473,8 +473,9 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sess AS (
         SELECT user_id, event_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_seq
         FROM gaps
     )
     SELECT user_id, session_seq,

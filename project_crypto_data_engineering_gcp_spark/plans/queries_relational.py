@@ -424,7 +424,12 @@ def w6_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.when(F.col("event_type") != "error", F.col("value")).alias("masked_value"),
+        # Mirror the oracle's CASE exactly: only event_type == 'error' masks.
+        # (`event_type != 'error'` would also mask NULL event_type rows —
+        # a latent cross-engine divergence if events ever carry NULLs.)
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("masked_value"),
     )
     w = (
         Window.partitionBy("user_id")

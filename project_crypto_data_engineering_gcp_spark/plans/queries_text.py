@@ -278,7 +278,7 @@ def text_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.lang,
            COUNT(*) AS n_docs,
-           SUM(q.n_tokens) AS total_tokens,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(q.distinct_ratio AS DECIMAL(18,6))) AS DOUBLE)
                / COUNT(*) AS avg_distinct_ratio
     FROM documents d JOIN q ON q.doc_id = d.doc_id

@@ -35,7 +35,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s) or isinstance(
             s.dtype, pd.api.types.pandas_dtype("Int64").__class__
         ):
-            df[c] = s.astype("float64")  # unify int widths / nullable ints
+            # Unify int widths to int64 but KEEP integer-ness: the driver's
+            # hash is type-sensitive, so an oracle HUGEINT (DuckDB SUM(int))
+            # arriving as float64 must FAIL here, not be coerced green.
+            if s.isna().any():
+                df[c] = s.astype("float64")  # nullable ints: both engines
+                # surface these as float64 in pandas, nothing to compare
+            else:
+                df[c] = s.astype("int64")
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
     df = df.sort_values(by=list(df.columns), na_position="last", kind="mergesort")
@@ -51,6 +58,10 @@ def assert_frames_match(spark_df, duck_df: pd.DataFrame, name: str = "") -> None
     assert len(sp) == len(du), f"{name}: row count spark={len(sp)} duck={len(du)}"
     for c in sp.columns:
         a, b = sp[c], du[c]
+        assert a.dtype.kind == b.dtype.kind, (
+            f"{name}: column {c!r} dtype-kind mismatch "
+            f"spark={a.dtype} duck={b.dtype} (uncast HUGEINT oracle SUM?)"
+        )
         if pd.api.types.is_float_dtype(a):
             eq = (a.values == b.values) | (np.isnan(a.values) & np.isnan(b.values))
         else:

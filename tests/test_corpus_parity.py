@@ -40,6 +40,34 @@ def test_query_runs_at_smoke_sf(spark, name):
     assert df.count() >= 0
 
 
+def test_no_hugeint_oracle_columns():
+    """DuckDB SUM(integer) yields HUGEINT, which the driver's type-sensitive
+    value hash treats differently from Spark's bigint (round-1 red rows
+    events_sessionized / text_quality_by_lang). Mechanically DESCRIBE every
+    oracle and reject HUGEINT output columns — they must be CAST AS BIGINT."""
+    import duckdb
+
+    from project_crypto_data_engineering_gcp_spark.sources.tables import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        cols = [
+            (c, t)
+            for c, t, *_ in con.execute(f"DESCRIBE {q.oracle}").fetchall()
+            if t in ("HUGEINT", "UHUGEINT")
+        ]
+        if cols:
+            offenders[name] = cols
+    assert not offenders, f"uncast HUGEINT oracle columns: {offenders}"
+
+
 def test_harness_detects_corruption(spark):
     """Meta-test: the differential harness must actually FAIL on a value,
     row-count, or column-name corruption (guards against a silently-weak

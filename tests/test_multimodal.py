@@ -63,12 +63,17 @@ def test_byte_histogram_matches_pure_python(spark):
 
     docs = load_table(spark, SF_SMOKE, "documents")
     media = as_media_frame(docs)
-    got = {r["doc_id"]: r for r in byte_histogram(media).collect()}
+    got = {}
+    for r in byte_histogram(media).collect():
+        got.setdefault(r["doc_id"], {})[r["bin"]] = r
     for r in docs.select("doc_id", "text").limit(20).collect():
         payload = r["text"].encode("utf-8")
         counts = Counter(b >> 4 for b in payload)
-        want = [round(counts.get(i, 0) / len(payload), 6) for i in range(N_HIST_BINS)]
-        row = got[r["doc_id"]]
-        assert row["n_bytes"] == len(payload)
-        assert row["density"] == want
-        assert abs(sum(row["density"]) - 1.0) < 1e-5
+        rows = got[r["doc_id"]]
+        assert sorted(rows) == list(range(N_HIST_BINS))  # all bins, zeros too
+        for i in range(N_HIST_BINS):
+            row = rows[i]
+            assert row["n_bytes"] == len(payload)
+            assert row["n_in_bin"] == counts.get(i, 0)
+            assert row["density"] == counts.get(i, 0) / len(payload)
+        assert abs(sum(rows[i]["density"] for i in rows) - 1.0) < 1e-9
