@@ -419,14 +419,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@corpus_query("dedup_clusters_transitive", oracle=None)
+def _clusters_oracle() -> str:
+    """Connected components IS SQL-expressible via a recursive CTE:
+    ``reach(node, r)`` starts at the undirected edge set and closes over
+    "node reaches whatever its neighbours reach"; UNION-dedup bounds the
+    state at nodes x components and guarantees a fixpoint. MIN(r) per
+    node is then the canonical (smallest-id) cluster label — exactly the
+    label-propagation fixpoint the Spark operator computes."""
+    return f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {NGRAM_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n0
+        UNION
+        SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
+    )
+    SELECT node AS doc_id,
+           MIN(r) AS cluster,
+           node = MIN(r) AS keep
+    FROM reach
+    GROUP BY node
+    """
+
+
+@corpus_query("dedup_clusters_transitive", oracle=_clusters_oracle())
 def dedup_clusters_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: 3-gram jaccard pairs -> connected
     components -> (doc_id, cluster, keep) where keep marks the smallest
     doc per cluster (the canonical representative a training-data dedup
-    would retain). Iterative label propagation — not SQL-expressible in
-    one query, so no oracle (driver records rows-only);
-    tests/test_components.py verifies against a union-find ground truth."""
+    would retain). The Spark side is iterative label propagation
+    (operators/components.py); the oracle replays it as a DuckDB
+    recursive CTE reachability fixpoint, so the driver gets a full
+    value-hash check (round 1 recorded ERR no_oracle here).
+    tests/test_components.py additionally verifies a union-find ground
+    truth."""
     from ..operators.components import connected_components
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")

@@ -158,17 +158,37 @@ def percentiles_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@corpus_query("approx_distinct_parts", oracle=None)
+@corpus_query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n,
+           TRUE AS approx_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HyperLogLog++ distinct count): sketch-based
-    by design, so no exact oracle — the driver records rows-only;
-    tests/test_relational.py bounds the error against the exact count.
+    """Approximate aggregates (HyperLogLog++ distinct count). The sketch
+    value itself is engine-specific, so the driver-checkable contract is
+    the HLL ERROR BOUND: ``approx_within_tol`` asserts the approximate
+    count lands within 3x the configured rsd (5%) of the exact count —
+    the oracle states the same invariant as a literal TRUE. The raw
+    sketch estimate stays out of the hashed output (not reproducible in
+    SQL); tests/test_relational.py still bounds it directly.
     At 100 TB this is THE way to count distincts without a huge shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.05)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.15 * F.countDistinct("l_partkey")
+        ).alias("approx_within_tol"),
     )
 
 
@@ -270,13 +290,30 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- streaming entry
 
 
-@corpus_query("streaming_hourly_rollup", oracle=None)
+@corpus_query(
+    "streaming_hourly_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n,
+           {dsum_expr_sql("value", 18, 2)} AS total_value
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR
+              <= (SELECT MAX(ts) FROM events)
+    GROUP BY 1, 2
+    """,
+)
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Structured Streaming tumbling-window rollup run end-to-end
-    (file source -> watermark -> windowed agg -> AvailableNow drain) and
-    returned as the materialized result. No SQL oracle (streaming
-    semantics); tests/test_streaming.py proves batch==stream equality —
-    the driver records the rows-only check."""
+    (file source -> watermark -> windowed agg -> AvailableNow drain).
+
+    Oracle-checkable despite streaming semantics: in append mode a window
+    is emitted once the watermark passes its end, and AvailableNow's final
+    commit advances the watermark to max(ts) — so every window ending
+    >= 1 hour before max(ts) is DEFINITELY emitted regardless of the
+    engine's strict-vs-inclusive eviction comparison. Both sides filter
+    to exactly those closed windows (hour_start + 2h <= max(ts)); the
+    trailing still-open window is the only row excluded. Aggregates use
+    the same exact-decimal sum as the batch twin -> bit parity."""
     from ..streaming.incremental import stream_hourly_rollup
 
     events = load_table(spark, sf_dir, "events")
@@ -290,7 +327,13 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name=name,
     )
     q.awaitTermination()
-    return spark.table(name)
+    max_ts = events.agg(F.max("ts").alias("max_ts"))
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(max_ts))
+        .filter(F.col("hour_start") + F.expr("INTERVAL 2 HOURS") <= F.col("max_ts"))
+        .drop("max_ts")
+    )
 
 
 @corpus_query(

@@ -10,11 +10,12 @@ from .conftest import SF_ORACLE
 
 
 def test_approx_distinct_error_bound(spark):
-    """HLL++ default rsd is 5%; assert the sketch stays within 3x of it."""
+    """HLL++ rsd is 5%; the query's approx_within_tol flag asserts the
+    sketch stays within 3x of it — every group must come back True (the
+    oracle states the same invariant as literal TRUE)."""
     df = all_queries()["approx_distinct_parts"].fn(spark, SF_ORACLE)
-    for r in df.collect():
-        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
-        assert rel_err < 0.15, r
+    rows = df.collect()
+    assert rows and all(r["approx_within_tol"] for r in rows), rows
 
 
 def test_lsh_recall_vs_bruteforce(spark):
