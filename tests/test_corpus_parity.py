@@ -40,6 +40,29 @@ def test_query_runs_at_smoke_sf(spark, name):
     assert df.count() >= 0
 
 
+def test_check_window_priority_order():
+    """The driver's correctness gate reads ~50 entries in dict order; pin
+    that the priority list (a) names only real queries, (b) leads the
+    registry, and (c) puts every crypto/TPC-H/curation query inside the
+    50-entry window."""
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import (
+        CHECK_WINDOW_PRIORITY,
+    )
+
+    names = list(QUERIES)
+    missing = [n for n in CHECK_WINDOW_PRIORITY if n not in QUERIES]
+    assert not missing, f"priority names not in registry: {missing}"
+    assert names[: len(CHECK_WINDOW_PRIORITY)] == list(CHECK_WINDOW_PRIORITY)
+    window = set(names[:50])
+    must_cover = [
+        n
+        for n in QUERIES
+        if n.startswith(("crypto_", "curate_")) or n.split("_")[0] in {f"q{i}" for i in range(1, 23)}
+    ]
+    uncovered = [n for n in must_cover if n not in window]
+    assert not uncovered, f"outside driver check window: {uncovered}"
+
+
 def test_no_hugeint_oracle_columns():
     """DuckDB SUM(integer) yields HUGEINT, which the driver's type-sensitive
     value hash treats differently from Spark's bigint (round-1 red rows
