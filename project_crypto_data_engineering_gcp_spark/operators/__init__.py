@@ -5,7 +5,13 @@ from .classify import when_chain
 from .asof import asof_join
 from .skew import salted_aggregate
 from .components import connected_components
-from .similarity import cosine_pairs_blockwise, topk_neighbors_blockwise
+from .similarity import (
+    cosine_pairs_blockwise,
+    cosine_pairs_grid,
+    ivf_topk_distributed,
+    topk_neighbors_blockwise,
+    topk_neighbors_distributed,
+)
 from .multimodal import as_media_frame, extract_media_meta, sample_frames
 
 __all__ = [
@@ -18,7 +24,10 @@ __all__ = [
     "salted_aggregate",
     "connected_components",
     "cosine_pairs_blockwise",
+    "cosine_pairs_grid",
+    "ivf_topk_distributed",
     "topk_neighbors_blockwise",
+    "topk_neighbors_distributed",
     "as_media_frame",
     "extract_media_meta",
     "sample_frames",

@@ -1,24 +1,44 @@
-"""Blockwise all-pairs cosine similarity (brute-force ANN baseline).
+"""Similarity search over ``array<float>`` embedding columns.
 
-The scalable brute-force shape: the INDEX side (bounded — an ANN index
-shard, here the whole embeddings table) is collected once and shipped to
-every task in the closure (~0.5 MB per 1k x 64-dim vectors); the QUERY
-side streams through ``mapInPandas`` partition-parallel, each batch
-computing a (batch x index) similarity block in numpy. Tasks receive only
-``vec_id`` through Arrow — payload vectors never cross per-row.
+Two families, same bit-exact arithmetic:
 
-Bit-parity with the fold-based oracle (functions/vectors.py): numpy work
-is vectorized ACROSS pairs but accumulated dimension-by-dimension in a
-Python loop, i.e. ``acc += A[:,i] * B[:,i]`` — per pair this is exactly
-the left-fold's (round(product), round(add)) sequence, so results are
-bit-identical to Spark's ``aggregate`` fold and DuckDB's ``list_sum``
-fold while running ~100x faster than interpreted HOF expression trees
-(measured 24 s -> ~2 s on the 2M-pair sf0.1 bench).
+DISTRIBUTED (the 100 TB layout — default for the corpus queries):
+  * ``cosine_pairs_grid``    — exact all-pairs-above-threshold via the
+    block-grid self-join: each vector is replicated (JVM-side) to its
+    ``n_blocks`` block-pair tiles and every (bi, bj) tile computes
+    independently in ``applyInPandas``. Shuffle volume is N x n_blocks
+    raw vectors (NOT N^2 pairs); the unavoidable exact N^2 FLOPs run
+    tiled across the cluster. ONE Python stage.
+  * ``topk_neighbors_distributed`` — per-query top-k. The bounded query
+    set (bounded by contract: a filter like ``vec_id < 20``) is
+    collected/broadcast — never the index. With ``bucket_dims`` the
+    candidates come from a BROADCAST HASH equi-join on the JVM-computed
+    sign-bit LSH bucket, so pairwise compute is pruned IN THE JOIN to
+    actual bucket collisions; without, the exact brute force runs as
+    partial-top-k-per-partition (each partition emits its local top-k,
+    one window re-ranks — the classic distributed top-k shape).
+  * ``ivf_topk_distributed`` — IVF ANN: the only driver-side state is
+    the (n_cells x dim) centroid matrix (bounded by construction);
+    vectors get their nearest-centroid cell row-locally, query probes
+    are built driver-side from the bounded query set, and a BROADCAST
+    HASH equi-join on the cell id selects candidates — compute scales
+    with n_probe / n_cells of the index, pruned before any full dot.
 
-100 TB note: for an index too large for one closure, shard the index,
-run this per shard, and merge per-query top-k / threshold unions — the
-standard brute-force-over-shards layout; or switch to the LSH-bucketed
-variant in plans/queries_similarity.py.
+BLOCKWISE CLOSURE (small-index fast path):
+  * ``*_blockwise`` — the whole index collected once into the task
+    closure, query ids streaming through mapInPandas. Lowest latency
+    when the index genuinely fits; guarded by ``MAX_CLOSURE_INDEX_ROWS``
+    and raises beyond it — never silently ships an unbounded index.
+
+Bit-parity (both families): numpy work is vectorized ACROSS pairs but
+accumulated dimension-by-dimension — ``acc += A[:, i] * B[:, i]`` — which
+is per pair exactly the left-fold (multiply, add) sequence of
+functions/vectors.py, DuckDB's ``list_sum(list_transform(...))``, and
+Spark's ``aggregate`` fold, so every path hashes identically to the SQL
+oracles while running ~40x faster than interpreted HOF expression trees.
+Normalization is row-local, so fusing it into the compute stage (instead
+of a separate normalize pass) changes nothing bit-wise and saves a whole
+Python stage per query (~1s of pure stage overhead at 32 partitions).
 """
 
 from __future__ import annotations
@@ -28,21 +48,457 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 PAIRS_SCHEMA = (
     "vec_a bigint, vec_b bigint, label_a int, label_b int, cos_sim double"
 )
+TOPK_SCHEMA = "vec_a bigint, vec_b bigint, cos_sim double, rk int"
+
+# Closure-path guard: above this the index no longer belongs in a task
+# closure — callers must use the distributed layout instead.
+MAX_CLOSURE_INDEX_ROWS = 100_000
 
 
-def _normalize_rows(mat: np.ndarray) -> np.ndarray:
-    """Unit-normalize rows with fold-identical arithmetic: squared norms
-    accumulated dimension-by-dimension, then one rounded divide per
-    element — matches normalized()/normalized_sql bit-for-bit."""
-    acc = np.zeros(mat.shape[0], dtype=np.float64)
-    for i in range(mat.shape[1]):
-        acc += mat[:, i] * mat[:, i]
-    return mat / np.sqrt(acc)[:, None]
+def _fold_kernels():
+    """The numpy fold kernels, defined as LOCAL functions so cloudpickle
+    ships them BY VALUE inside worker closures — Python workers must not
+    need this package importable (driver may run from a foreign cwd; see
+    the same pattern in operators/multimodal.py)."""
+    import numpy as np  # noqa: F811 — worker-side import
+
+    def normalize_rows(mat):
+        # Unit-normalize rows with fold-identical arithmetic: squared
+        # norms accumulated dimension-by-dimension, then one divide per
+        # element — matches normalized()/normalized_sql bit-for-bit.
+        acc = np.zeros(mat.shape[0], dtype=np.float64)
+        for i in range(mat.shape[1]):
+            acc += mat[:, i] * mat[:, i]
+        return mat / np.sqrt(acc)[:, None]
+
+    def block_cos(a, b):
+        # (m x d) x (n x d) -> (m x n) cosine block, dimension-sequential
+        # so each entry is bit-identical to the scalar left-fold.
+        acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+        for i in range(a.shape[1]):
+            acc += a[:, i][:, None] * b[:, i][None, :]
+        return acc
+
+    def stack_raw(col):
+        # RAW embedding column -> (rows x dim) float64 matrix, via
+        # float32 exactly as the parquet stores it (float->double exact).
+        return np.stack([np.asarray(v, dtype=np.float32) for v in col]).astype(
+            np.float64
+        )
+
+    def stack64(col):
+        # Already-double column (normalized vectors) -> float64 matrix.
+        # Must NOT round-trip through float32 (would truncate).
+        return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+    return normalize_rows, block_cos, stack_raw, stack64
+
+
+# by-value kernel instances (qualname is _fold_kernels.<locals>.*, so any
+# closure capturing these is serialized self-contained)
+_normalize_rows, _block_cos, _stack, _stack64 = _fold_kernels()
+
+
+def lsh_bucket_col(bucket_dims: tuple[int, ...], embedding: str = "embedding") -> Column:
+    """Sign-bit LSH bucket id as a pure JVM Column expression (1-based
+    dims) — identical to the oracle's CASE chain, no Python involved."""
+    bucket = F.lit(0)
+    for i, d in enumerate(bucket_dims):
+        bucket = bucket + F.when(
+            F.element_at(F.col(embedding), d) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+# --------------------------------------------------------------------------
+# distributed layout
+# --------------------------------------------------------------------------
+
+
+def _spread(df: DataFrame, cap: int = 16) -> DataFrame:
+    """Spread an under-partitioned scan before a Python compute stage.
+    The testdata tables are single parquet files (1 input partition -> the
+    whole stage would run on 1 of 32 cores); a real 100 TB scan already
+    has thousands of partitions and must NOT be re-shuffled here — so
+    repartition only when the input has fewer partitions than the target.
+    The cap bounds per-stage Python task overhead (~35 ms/task) where the
+    per-task compute is small."""
+    sc = df.sparkSession.sparkContext
+    target = min(sc.defaultParallelism, cap)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def normalized_frame(
+    emb: DataFrame,
+    *,
+    with_label: bool = False,
+    bucket_dims: tuple[int, ...] | None = None,
+) -> DataFrame:
+    """(vec_id[, label], nv array<double>[, bucket int]): every vector
+    unit-normalized in place — row-local mapInPandas, partition-parallel,
+    nothing collected. ``bucket_dims`` (1-based) adds the sign-bit LSH
+    bucket computed from the RAW embedding values. Building block for
+    pipelines that reuse normalized vectors across several queries."""
+    cols = ["vec_id", "label", "embedding"] if with_label else ["vec_id", "embedding"]
+    schema = "vec_id bigint" + (", label int" if with_label else "") + ", nv array<double>"
+    if bucket_dims is not None:
+        schema += ", bucket int"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _stack(pdf["embedding"])
+            nv = _normalize_rows(mat)
+            out = {"vec_id": pdf["vec_id"].astype("int64")}
+            if with_label:
+                out["label"] = pdf["label"].astype("int32")
+            out["nv"] = list(nv)
+            if bucket_dims is not None:
+                bucket = np.zeros(len(pdf), dtype=np.int32)
+                for i, d in enumerate(bucket_dims):
+                    bucket += (mat[:, d - 1] >= 0).astype(np.int32) << i
+                out["bucket"] = bucket
+            yield pd.DataFrame(out)
+
+    return _spread(emb.select(*cols)).mapInPandas(op, schema=schema)
+
+
+def cosine_pairs_grid(
+    emb: DataFrame,
+    *,
+    threshold: float,
+    n_blocks: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact all (a < b) pairs with cosine >= threshold, block-grid
+    layout: vector v (block = vec_id mod n_blocks) is replicated JVM-side
+    to the n_blocks tile groups (min(b, x), max(b, x)); each (bi, bj)
+    tile normalizes its raw vectors (row-local, fold-identical) and
+    computes its |bi| x |bj| block independently. No driver collect, no
+    N^2 shuffle — shuffle is N x n_blocks raw vectors; the N^2 FLOPs of
+    an EXACT all-pairs run tiled across the cluster in ONE Python
+    stage."""
+    spark = emb.sparkSession
+    partners = spark.range(n_blocks).select(F.col("id").cast("int").alias("partner"))
+    rep = (
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("block"),
+        )
+        .crossJoin(F.broadcast(partners))
+        .select(
+            F.least("block", "partner").alias("bi"),
+            F.greatest("block", "partner").alias("bj"),
+            "vec_id",
+            "label",
+            "embedding",
+            "block",
+        )
+    )
+    thr = float(threshold)
+    rd = int(round_digits)
+
+    def tile(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = int(key[0]), int(key[1])
+        left = pdf[pdf["block"] == bi]
+        right = pdf[pdf["block"] == bj] if bj != bi else left
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {c.split()[0]: [] for c in PAIRS_SCHEMA.split(", ")}
+            ).astype({"cos_sim": "float64"})
+        ida = left["vec_id"].to_numpy(dtype=np.int64)
+        idb = right["vec_id"].to_numpy(dtype=np.int64)
+        la = left["label"].to_numpy(dtype=np.int32)
+        lb = right["label"].to_numpy(dtype=np.int32)
+        acc = _block_cos(
+            _normalize_rows(_stack(left["embedding"])),
+            _normalize_rows(_stack(right["embedding"])),
+        )
+        ai, ci = np.nonzero((acc >= thr) & (ida[:, None] < idb[None, :]))
+        out = {
+            "vec_a": ida[ai],
+            "vec_b": idb[ci],
+            "label_a": la[ai],
+            "label_b": lb[ci],
+            "cos_sim": np.round(acc[ai, ci], rd),
+        }
+        if bi != bj:
+            # pairs oriented right->left (smaller id on the right side)
+            aj, cj = np.nonzero((acc >= thr) & (ida[:, None] > idb[None, :]))
+            out = {
+                "vec_a": np.concatenate([out["vec_a"], idb[cj]]),
+                "vec_b": np.concatenate([out["vec_b"], ida[aj]]),
+                "label_a": np.concatenate([out["label_a"], lb[cj]]),
+                "label_b": np.concatenate([out["label_b"], la[aj]]),
+                "cos_sim": np.concatenate(
+                    [out["cos_sim"], np.round(acc[aj, cj], rd)]
+                ),
+            }
+        return pd.DataFrame(out)
+
+    return rep.groupBy("bi", "bj").applyInPandas(tile, schema=PAIRS_SCHEMA)
+
+
+def _rank_topk(
+    scored: DataFrame, k: int, *, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Deterministic top-k: row_number over (rounded cos desc, vec_b asc)
+    per query — identical to the oracle's ROW_NUMBER ranking."""
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    cols = ["vec_a", "vec_b", *extra_cols, "cos_sim", "rk"]
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*cols)
+    )
+
+
+def _collect_queries(emb: DataFrame, query_filter: Column):
+    """Collect the QUERY set (bounded by contract — e.g. ``vec_id < 20``;
+    never the index) and normalize driver-side with the same fold."""
+    rows = emb.filter(query_filter).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    qnv = (
+        _normalize_rows(
+            np.stack(
+                [np.asarray(r["embedding"], dtype=np.float32) for r in rows]
+            ).astype(np.float64)
+        )
+        if rows
+        else np.zeros((0, 0))
+    )
+    return qids, qnv
+
+
+def topk_neighbors_distributed(
+    emb: DataFrame,
+    *,
+    k: int,
+    query_filter: Column,
+    bucket_dims: tuple[int, ...] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-query top-k neighbors, distributed. The query set is bounded
+    by contract (``query_filter``); the INDEX is never collected.
+
+    * ``bucket_dims`` set  -> LSH ANN: the JVM computes each row's
+      sign-bit bucket; the (tiny) query frame broadcasts and a BROADCAST
+      HASH equi-join on the bucket selects candidates — pruning happens
+      in the join, BEFORE any dot product runs, so pairwise compute is
+      proportional to actual bucket collisions. One Python stage scores
+      the surviving pairs (normalize-and-dot, row-local, fold-exact);
+      one window shuffle (scalars only — vectors never shuffle) ranks.
+
+    * ``bucket_dims`` None -> exact brute force: every partition scores
+      its rows against the broadcast queries and emits only its LOCAL
+      top-k per query (a superset of the global top-k by construction);
+      the same window re-ranks. One Python stage, k x partitions rows
+      per query shuffled."""
+    rd = int(round_digits)
+    if bucket_dims is not None:
+        bucket = lsh_bucket_col(bucket_dims)
+        index = emb.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("cemb"),
+            bucket.alias("bucket"),
+        )
+        queries = (
+            emb.filter(query_filter)
+            .select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("qemb"),
+                bucket.alias("qbucket"),
+            )
+        )
+        cand = index.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_b") != F.col("vec_a")),
+        )
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = _normalize_rows(_stack(pdf["qemb"]))
+                b = _normalize_rows(_stack(pdf["cemb"]))
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for i in range(a.shape[1]):  # fold-identical
+                    acc += a[:, i] * b[:, i]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].astype("int64"),
+                        "vec_b": pdf["vec_b"].astype("int64"),
+                        "bucket": pdf["bucket"].astype("int32"),
+                        "cos_sim": np.round(acc, rd),
+                    }
+                )
+
+        scored = cand.mapInPandas(
+            score, schema="vec_a bigint, vec_b bigint, bucket int, cos_sim double"
+        )
+        return _rank_topk(scored, k, extra_cols=("bucket",))
+
+    # brute force: partial top-k per partition against the broadcast queries
+    qids, qnv = _collect_queries(emb, query_filter)
+    kk = int(k)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not len(qids):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cos_r = np.round(
+                _block_cos(qnv, _normalize_rows(_stack(pdf["embedding"]))), rd
+            )
+            out = {"vec_a": [], "vec_b": [], "cos_sim": []}
+            for qi, qid in enumerate(qids):
+                cand = np.nonzero(ids != qid)[0]
+                order = cand[np.lexsort((ids[cand], -cos_r[qi, cand]))][:kk]
+                out["vec_a"].extend([qid] * len(order))
+                out["vec_b"].extend(ids[order])
+                out["cos_sim"].extend(cos_r[qi, order])
+            yield pd.DataFrame(out)
+
+    scored = _spread(emb.select("vec_id", "embedding")).mapInPandas(
+        partial, schema="vec_a bigint, vec_b bigint, cos_sim double"
+    )
+    return _rank_topk(scored, k)
+
+
+def ivf_topk_distributed(
+    emb: DataFrame,
+    *,
+    k: int,
+    query_filter: Column,
+    n_cells: int,
+    n_probe: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF ANN top-k, cell-partitioned: the coarse quantizer is the first
+    ``n_cells`` vectors by vec_id (deterministic, reproducible, and
+    SQL-expressible — no k-means iterations). Driver-side state is ONLY
+    the (n_cells x dim) centroid matrix and the bounded query set, never
+    the index. Index vectors get their nearest cell row-locally
+    (centroids in the task closure); query probes (query x n_probe
+    nearest cells) are built driver-side; a BROADCAST HASH equi-join on
+    the cell id selects candidates — compute scales with
+    n_probe / n_cells of the index, pruned in the join before any full
+    dot product runs. Vectors never shuffle: the join is broadcast and
+    the ranking window moves scalars only."""
+    rd = int(round_digits)
+    spark = emb.sparkSession
+    cent_rows = (
+        emb.select("vec_id", "embedding").filter(F.col("vec_id") < n_cells).collect()
+    )  # O(n_cells x dim): the quantizer, not the index
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cmat = _normalize_rows(
+        np.stack(
+            [np.asarray(r["embedding"], dtype=np.float32) for r in cent_rows]
+        ).astype(np.float64)
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nv = _normalize_rows(_stack(pdf["embedding"]))
+            csim_r = np.round(_block_cos(nv, cmat), rd)
+            cell = np.empty(len(pdf), dtype=np.int64)
+            for r in range(len(pdf)):
+                # nearest centroid by (rounded cos desc, centroid id asc)
+                cell[r] = cent_ids[np.lexsort((cent_ids, -csim_r[r]))[0]]
+            yield pd.DataFrame(
+                {
+                    "vec_b": pdf["vec_id"].astype("int64"),
+                    "cell": cell,
+                    "cnv": list(nv),
+                }
+            )
+
+    index = _spread(emb.select("vec_id", "embedding")).mapInPandas(
+        assign, schema="vec_b bigint, cell bigint, cnv array<double>"
+    )
+
+    # probes driver-side from the bounded query set: (vec_a, pcell, qnv)
+    qids, qnv = _collect_queries(emb, query_filter)
+    probe_rows = []
+    if len(qids):
+        qsim_r = np.round(_block_cos(qnv, cmat), rd)
+        for qi, qid in enumerate(qids):
+            order = cent_ids[np.lexsort((cent_ids, -qsim_r[qi]))][:n_probe]
+            for c in order:
+                probe_rows.append((int(qid), int(c), qnv[qi].tolist()))
+    probes = spark.createDataFrame(
+        probe_rows, schema="vec_a bigint, pcell bigint, qnv array<double>"
+    )
+
+    cand = index.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("pcell")) & (F.col("vec_b") != F.col("vec_a")),
+    )
+
+    def dot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = _stack64(pdf["qnv"])
+            b = _stack64(pdf["cnv"])
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for i in range(a.shape[1]):  # fold-identical
+                acc += a[:, i] * b[:, i]
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].astype("int64"),
+                    "vec_b": pdf["vec_b"].astype("int64"),
+                    "cos_sim": np.round(acc, rd),
+                }
+            )
+
+    scored = cand.mapInPandas(dot, schema="vec_a bigint, vec_b bigint, cos_sim double")
+    return _rank_topk(scored, k)
+
+
+# --------------------------------------------------------------------------
+# blockwise closure fast path (small index only)
+# --------------------------------------------------------------------------
+
+
+def _collect_index(emb: DataFrame, cols: list[str]):
+    rows = emb.select(*cols).collect()
+    if len(rows) > MAX_CLOSURE_INDEX_ROWS:
+        raise ValueError(
+            f"index has {len(rows)} rows > MAX_CLOSURE_INDEX_ROWS="
+            f"{MAX_CLOSURE_INDEX_ROWS}; use the distributed layout "
+            "(cosine_pairs_grid / topk_neighbors_distributed / "
+            "ivf_topk_distributed) instead of the closure fast path"
+        )
+    return rows
 
 
 def cosine_pairs_blockwise(
@@ -51,25 +507,26 @@ def cosine_pairs_blockwise(
     threshold: float,
     round_digits: int = 6,
 ) -> DataFrame:
-    """All (a < b) pairs with cosine >= threshold over an embeddings frame
-    (columns: vec_id, label, embedding array<float>)."""
-    index_rows = emb.select("vec_id", "label", "embedding").collect()
+    """All (a < b) pairs with cosine >= threshold — closure fast path:
+    the (bounded, guarded) index ships to every task; query ids stream
+    through mapInPandas computing (batch x index) blocks."""
+    index_rows = _collect_index(emb, ["vec_id", "label", "embedding"])
     ids = np.array([r["vec_id"] for r in index_rows], dtype=np.int64)
     labels = np.array([r["label"] for r in index_rows], dtype=np.int32)
-    mat = np.array(
-        [np.asarray(r["embedding"], dtype=np.float32) for r in index_rows]
-    ).astype(np.float64)
-    nv = _normalize_rows(mat)
+    nv = _normalize_rows(
+        np.array(
+            [np.asarray(r["embedding"], dtype=np.float32) for r in index_rows]
+        ).astype(np.float64)
+    )
     pos = {int(v): i for i, v in enumerate(ids)}
-    dim = nv.shape[1]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
         for pdf in batches:
             rows = [pos[int(v)] for v in pdf["vec_id"]]
-            a = nv[rows]  # (m, dim)
-            acc = np.zeros((a.shape[0], nv.shape[0]), dtype=np.float64)
-            for i in range(dim):  # dimension-sequential: fold-identical
-                acc += a[:, i][:, None] * nv[:, i][None, :]
+            acc = _block_cos(nv[rows], nv)
             ai, bi = np.nonzero(
                 (acc >= threshold) & (ids[rows][:, None] < ids[None, :])
             )
@@ -83,13 +540,7 @@ def cosine_pairs_blockwise(
                 }
             )
 
-    # single-file tables scan as one partition: spread query rows across
-    # the cluster so blocks compute in parallel
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    return emb.select("vec_id").repartition(par).mapInPandas(op, schema=PAIRS_SCHEMA)
-
-
-TOPK_SCHEMA = "vec_a bigint, vec_b bigint, cos_sim double, rk int"
+    return _spread(emb.select("vec_id")).mapInPandas(op, schema=PAIRS_SCHEMA)
 
 
 def topk_neighbors_blockwise(
@@ -100,22 +551,15 @@ def topk_neighbors_blockwise(
     round_digits: int = 6,
     bucket_dims: "tuple[int, ...] | None" = None,
 ) -> DataFrame:
-    """Top-k neighbors per query vector (queries = rows passing
-    ``query_pred``), ranked by (rounded cosine desc, vec_id asc) — the
-    rounded-rank makes the cut deterministic cross-engine at float ulp
-    level. Same blockwise layout as :func:`cosine_pairs_blockwise`.
-
-    ``bucket_dims``: optional 1-based dimensions whose sign bits form an
-    LSH bucket id; when given, candidates are restricted to the query's
-    bucket and emitted rows carry it — the ANN scale path."""
-    index_rows = emb.select("vec_id", "embedding").collect()
+    """Top-k neighbors per query vector — closure fast path (guarded).
+    ``bucket_dims`` restricts candidates to the query's sign-bit bucket."""
+    index_rows = _collect_index(emb, ["vec_id", "embedding"])
     ids = np.array([r["vec_id"] for r in index_rows], dtype=np.int64)
     mat = np.array(
         [np.asarray(r["embedding"], dtype=np.float32) for r in index_rows]
     ).astype(np.float64)
     nv = _normalize_rows(mat)
     pos = {int(v): i for i, v in enumerate(ids)}
-    dim = nv.shape[1]
     bucket_of = None
     if bucket_dims is not None:
         bucket_of = np.zeros(len(ids), dtype=np.int64)
@@ -124,6 +568,9 @@ def topk_neighbors_blockwise(
     schema = TOPK_SCHEMA if bucket_of is None else TOPK_SCHEMA + ", bucket int"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
         for pdf in batches:
             qids = [int(v) for v in pdf["vec_id"] if query_pred(int(v))]
             if not qids:
@@ -132,11 +579,7 @@ def topk_neighbors_blockwise(
                 ).astype({"cos_sim": "float64"})
                 continue
             rows = [pos[v] for v in qids]
-            a = nv[rows]
-            acc = np.zeros((a.shape[0], nv.shape[0]), dtype=np.float64)
-            for i in range(dim):  # dimension-sequential: fold-identical
-                acc += a[:, i][:, None] * nv[:, i][None, :]
-            cos_r = np.round(acc, round_digits)
+            cos_r = np.round(_block_cos(nv[rows], nv), round_digits)
             out = {c.split()[0]: [] for c in schema.split(", ")}
             for qi, (qid, row) in enumerate(zip(qids, rows)):
                 mask = ids != qid
@@ -153,85 +596,4 @@ def topk_neighbors_blockwise(
                     out["bucket"].extend([int(bucket_of[row])] * len(order))
             yield pd.DataFrame(out)
 
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    return emb.select("vec_id").repartition(par).mapInPandas(op, schema=schema)
-
-
-def ivf_topk_blockwise(
-    emb: DataFrame,
-    *,
-    k: int,
-    query_pred,
-    n_cells: int,
-    n_probe: int,
-    round_digits: int = 6,
-) -> DataFrame:
-    """IVF-partitioned approximate top-k: a deterministic coarse quantizer
-    (the first ``n_cells`` vectors by vec_id serve as centroids — no
-    k-means iterations, so the index is reproducible and SQL-expressible),
-    every vector assigned to its nearest centroid by (rounded cosine desc,
-    centroid id asc), and each query scanning only the ``n_probe`` cells
-    whose centroids are nearest to it. Cost per query drops from N to
-    ~N * n_probe / n_cells vs brute force, trading recall.
-
-    All centroid similarities use the same dimension-sequential
-    accumulation as the pair similarities, so assignment, probe choice,
-    and final ranking are bit-identical to the fold-based SQL oracle.
-
-    100 TB note: this is the real IVF layout — the assignment becomes a
-    partitioning column (repartition by cell), queries broadcast to their
-    probed cells only, and cells scan in parallel with no all-pairs
-    shuffle. Centroids stay a driver-side O(n_cells x dim) closure.
-    """
-    index_rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in index_rows], dtype=np.int64)
-    mat = np.array(
-        [np.asarray(r["embedding"], dtype=np.float32) for r in index_rows]
-    ).astype(np.float64)
-    nv = _normalize_rows(mat)
-    pos = {int(v): i for i, v in enumerate(ids)}
-    dim = nv.shape[1]
-
-    cent_mask = ids < n_cells
-    cent_ids = ids[cent_mask]
-    cmat = nv[cent_mask]
-    csim = np.zeros((nv.shape[0], cmat.shape[0]), dtype=np.float64)
-    for i in range(dim):  # dimension-sequential: fold-identical
-        csim += nv[:, i][:, None] * cmat[:, i][None, :]
-    csim_r = np.round(csim, round_digits)
-    # per vector: centroids by (rounded cos desc, centroid id asc)
-    cell = np.empty(nv.shape[0], dtype=np.int64)
-    probe_order = np.empty((nv.shape[0], cmat.shape[0]), dtype=np.int64)
-    for r in range(nv.shape[0]):
-        order = cent_ids[np.lexsort((cent_ids, -csim_r[r]))]
-        cell[r] = order[0]
-        probe_order[r] = order
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            qids = [int(v) for v in pdf["vec_id"] if query_pred(int(v))]
-            if not qids:
-                yield pd.DataFrame(
-                    {c.split()[0]: [] for c in TOPK_SCHEMA.split(", ")}
-                ).astype({"cos_sim": "float64"})
-                continue
-            rows = [pos[v] for v in qids]
-            a = nv[rows]
-            acc = np.zeros((a.shape[0], nv.shape[0]), dtype=np.float64)
-            for i in range(dim):  # dimension-sequential: fold-identical
-                acc += a[:, i][:, None] * nv[:, i][None, :]
-            cos_r = np.round(acc, round_digits)
-            out = {c.split()[0]: [] for c in TOPK_SCHEMA.split(", ")}
-            for qi, (qid, row) in enumerate(zip(qids, rows)):
-                probed = set(probe_order[row][:n_probe].tolist())
-                mask = (ids != qid) & np.isin(cell, list(probed))
-                cand = np.nonzero(mask)[0]
-                order = cand[np.lexsort((ids[cand], -cos_r[qi, cand]))][:k]
-                out["vec_a"].extend([qid] * len(order))
-                out["vec_b"].extend(ids[order])
-                out["cos_sim"].extend(cos_r[qi, order])
-                out["rk"].extend(range(1, len(order) + 1))
-            yield pd.DataFrame(out)
-
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    return emb.select("vec_id").repartition(par).mapInPandas(op, schema=TOPK_SCHEMA)
+    return _spread(emb.select("vec_id")).mapInPandas(op, schema=schema)

@@ -406,12 +406,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder): every vector whose cosine to a LOWER-id vector exceeds
     {EMBEDDING_DEDUP_THRESHOLD} is marked a duplicate of the smallest such
     id — the one-pass keep-first policy (full transitive clustering is the
-    iterative connected-components extension). Pair generation reuses the
-    blockwise numpy operator; see operators/similarity.py."""
-    from ..operators.similarity import cosine_pairs_blockwise
+    iterative connected-components extension). Pair generation uses the
+    distributed block-grid self-join; see operators/similarity.py."""
+    from ..operators.similarity import cosine_pairs_grid
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_blockwise(emb, threshold=EMBEDDING_DEDUP_THRESHOLD)
+    pairs = cosine_pairs_grid(emb, threshold=EMBEDDING_DEDUP_THRESHOLD)
     return pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
         F.min("vec_a").alias("dup_of"),
         F.count(F.lit(1)).alias("n_similar"),

@@ -74,14 +74,15 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine similarity join: all pairs above
     {COSINE_PAIR_THRESHOLD} — the exact baseline ANN answers are measured
-    against. Runs as the blockwise numpy operator (index side in the task
-    closure, query ids streaming through mapInPandas) with
-    dimension-sequential accumulation, bit-identical to the fold-based
-    oracle; see operators/similarity.py for the 100 TB sharding story."""
+    against. Runs as the distributed block-grid self-join
+    (operators/similarity.cosine_pairs_grid): no driver collect, shuffle
+    is N x n_blocks rows, and the unavoidable exact N^2 FLOPs tile across
+    the cluster — the layout that survives a 100x scale-up. Arithmetic is
+    dimension-sequential, bit-identical to the fold-based oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    from ..operators.similarity import cosine_pairs_blockwise
+    from ..operators.similarity import cosine_pairs_grid
 
-    return cosine_pairs_blockwise(emb, threshold=COSINE_PAIR_THRESHOLD)
+    return cosine_pairs_grid(emb, threshold=COSINE_PAIR_THRESHOLD)
 
 
 @corpus_query(
@@ -105,12 +106,16 @@ def sim_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-{TOPK_K} nearest neighbors for the first
     {TOPK_QUERIES} query vectors, as the blockwise numpy operator.
     Ranking is on the ROUNDED cosine with vec_id tie-break, making the
-    cut deterministic cross-engine even at float ulp differences."""
-    from ..operators.similarity import topk_neighbors_blockwise
+    cut deterministic cross-engine even at float ulp differences.
+
+    Distributed layout: the {TOPK_QUERIES} queries broadcast; the index
+    streams partition-parallel through the nested-loop join (brute force
+    IS every pair) — no whole-index collect; one window shuffle ranks."""
+    from ..operators.similarity import topk_neighbors_distributed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return topk_neighbors_blockwise(
-        emb, k=TOPK_K, query_pred=lambda v: v < TOPK_QUERIES
+    return topk_neighbors_distributed(
+        emb, k=TOPK_K, query_filter=F.col("vec_id") < TOPK_QUERIES
     )
 
 
@@ -171,14 +176,20 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means — reproducible and oracle-expressible), every vector lives in
     its nearest centroid's cell, and each query scans only its
     {IVF_PROBE} nearest cells. The complementary scale path to sign-bit
-    LSH: data-adaptive cells instead of fixed hyperplanes."""
-    from ..operators.similarity import ivf_topk_blockwise
+    LSH: data-adaptive cells instead of fixed hyperplanes.
+
+    Cell-partitioned layout: the only driver-side state is the
+    (n_cells x dim) centroid matrix; vectors get their cell row-locally,
+    query probes explode to {IVF_PROBE} cells, and a broadcast hash
+    equi-join on the cell id prunes candidates BEFORE any full dot
+    product — compute scales with n_probe/n_cells, not N^2."""
+    from ..operators.similarity import ivf_topk_distributed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk_blockwise(
+    return ivf_topk_distributed(
         emb,
         k=TOPK_K,
-        query_pred=lambda v: v < TOPK_QUERIES,
+        query_filter=F.col("vec_id") < TOPK_QUERIES,
         n_cells=IVF_CELLS,
         n_probe=IVF_PROBE,
     )
@@ -214,13 +225,18 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     but deterministic random-hyperplane LSH); candidates are same-bucket
     only. The scale path: the pairwise work is gated on bucket equality,
     so cost drops by ~2^bits vs brute force, trading recall (measured
-    against sim_topk_neighbors)."""
-    from ..operators.similarity import topk_neighbors_blockwise
+    against sim_topk_neighbors).
+
+    Bucket-partitioned layout: candidates come from a broadcast hash
+    equi-join on the bucket id — pruning happens in the JOIN, before any
+    dot product runs, so pairwise compute is proportional to actual
+    bucket collisions; no whole-index collect."""
+    from ..operators.similarity import topk_neighbors_distributed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return topk_neighbors_blockwise(
+    return topk_neighbors_distributed(
         emb,
         k=TOPK_K,
-        query_pred=lambda v: v < TOPK_QUERIES,
+        query_filter=F.col("vec_id") < TOPK_QUERIES,
         bucket_dims=LSH_DIMS,
     )

@@ -215,3 +215,51 @@ def test_q22_anti_join_and_broadcast_scalar(spark):
         l for l in plan.splitlines() if "ReadSchema" in l and "o_custkey" in l
     ][0]
     assert "o_totalprice" not in orders_schema
+
+
+def test_ann_lsh_is_bucket_equijoin(spark):
+    """LSH ANN must prune IN THE JOIN: candidates from a broadcast hash
+    equi-join on the bucket id, no cartesian/nested-loop all-pairs stage,
+    and no whole-index collect (the plan is lazy — building it runs no
+    job)."""
+    plan = plan_of(QUERIES["sim_ann_lsh_topk"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_ivf_is_cell_equijoin(spark):
+    """IVF ANN: probe->cell broadcast hash equi-join; compute scales with
+    n_probe/n_cells, never a full N^2 stage."""
+    plan = plan_of(QUERIES["sim_ann_ivf_topk"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_pairs_grid_no_collect_and_bounded_shuffle(spark):
+    """The exact all-pairs grid: plan builds lazily (no driver collect of
+    the index) and the shuffle is the block-grid groupBy, not an N^2
+    pair materialization."""
+    plan = plan_of(QUERIES["sim_cosine_pairs"].fn(spark, SF_ORACLE))
+    assert "FlatMapGroupsInPandas" in plan  # tiled applyInPandas compute
+    assert "CartesianProduct" not in plan
+
+
+def test_blockwise_closure_guard():
+    """The closure fast path must refuse an index larger than
+    MAX_CLOSURE_INDEX_ROWS instead of collecting it to the driver."""
+    from project_crypto_data_engineering_gcp_spark.operators import similarity as s
+
+    class FakeRows(list):
+        pass
+
+    class FakeDF:
+        def select(self, *cols):
+            return self
+
+        def collect(self):
+            return [None] * (s.MAX_CLOSURE_INDEX_ROWS + 1)
+
+    with pytest.raises(ValueError, match="MAX_CLOSURE_INDEX_ROWS"):
+        s._collect_index(FakeDF(), ["vec_id"])
