@@ -53,11 +53,38 @@ def run_silver(
     landing_glob: str,
     out_dir: str,
     processed_at: str | None = None,
+    *,
+    require_input: bool = False,
 ) -> int:
     """Bronze -> Silver increment: ingest files not yet in the ledger,
     append to the partitioned Silver table, record them. Returns rows
-    appended."""
-    raw = read_raw_json(spark, landing_glob)
+    appended.
+
+    ``require_input=True`` replays the reference's landing-validation
+    gate (S10, the DAG's poll-for-files sensor `4-dag:53-81`): fail
+    loudly when the glob matches NO snapshot files at all, instead of
+    silently writing no Silver rows. With ``require_input=False`` an
+    unmatched glob is a graceful no-op (0 rows) — the shape a poller
+    wants. Already-ledgered files always count as input — a rerun over
+    fully-processed landings stays a no-op either way."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = read_raw_json(spark, landing_glob)
+        empty = raw.isEmpty()
+    except AnalysisException as e:  # Spark raises PATH_NOT_FOUND on 0-match globs
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        raw, empty = None, True
+    if empty:
+        if require_input:
+            raise FileNotFoundError(
+                f"landing glob {landing_glob!r} matched no snapshot files "
+                "(reference S10 validation gate; pass require_input=False "
+                "to allow an empty landing)"
+            )
+        if raw is None:
+            return 0
     ledger = read_ledger(spark, out_dir)
     fresh = filter_new_files(raw, ledger)
 
@@ -130,7 +157,11 @@ def run_pipeline(
     processed_at: str | None = None,
     analysis_at: str | None = None,
 ) -> DataFrame:
-    """Full batch run: ingest -> silver -> gold -> dashboard DataFrame."""
-    run_silver(spark, landing_glob, out_dir, processed_at=processed_at)
+    """Full batch run: ingest -> silver -> gold -> dashboard DataFrame.
+    Fails on an empty landing (reference S10 gate) — a full pipeline run
+    over nothing is an orchestration error, not a no-op."""
+    run_silver(
+        spark, landing_glob, out_dir, processed_at=processed_at, require_input=True
+    )
     run_gold(spark, out_dir, analysis_at=analysis_at)
     return run_dashboard(spark, out_dir)
