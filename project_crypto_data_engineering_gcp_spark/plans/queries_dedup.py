@@ -64,6 +64,20 @@ def _shingle_frame(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
+# One shingle cache per (session, table, k): minhash and ngram-jaccard both
+# traverse the same 3-gram inverted index — without sharing, each query pays
+# its own scan + repartition + cache population (~4.5 s of the round-1
+# minhash bench number was exactly this first touch).
+_SHINGLE_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _shared_shingle_frame(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key not in _SHINGLE_MEMO:
+        _SHINGLE_MEMO[key] = _shingle_frame(load_table(spark, sf_dir, "documents"), k)
+    return _SHINGLE_MEMO[key]
+
+
 @corpus_query(
     "dedup_exact",
     oracle=f"""
@@ -188,8 +202,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join touches only candidate docs' tokens. Hot band-key buckets
     (degenerate LSH collisions) would be capped before the self-join at
     production scale."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _shingle_frame(docs, MINHASH_SHINGLE_K)
+    toks = _shared_shingle_frame(spark, sf_dir, MINHASH_SHINGLE_K)
 
     # one md5 per shingle, then the affine hash family (see MINHASH_AB);
     # cached: the band self-join references the signature frame on both
@@ -301,8 +314,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the self-join fan-out is sum over shingles of df^2; production
     would drop shingles with document frequency above a cap (stop-shingle
     filter) before joining — omitted here so the oracle stays exact."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_frame(docs, 3).withColumnRenamed("tok", "s")
+    sh = _shared_shingle_frame(spark, sf_dir, 3).withColumnRenamed("tok", "s")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
