@@ -77,3 +77,46 @@ def test_byte_histogram_matches_pure_python(spark):
             assert row["n_in_bin"] == counts.get(i, 0)
             assert row["density"] == counts.get(i, 0) / len(payload)
         assert abs(sum(rows[i]["density"] for i in rows) - 1.0) < 1e-9
+
+
+def test_binaryfile_media_ingestion(spark, tmp_path):
+    """Real media ingestion path: binaryFile scan -> multimodal frame,
+    with listing-level glob pruning, length pushdown, and the engine's
+    stable 60-bit path hash as doc_id; the ingested frame feeds the same
+    multimodal operators as the documents-derived one."""
+    from project_crypto_data_engineering_gcp_spark.operators.multimodal import (
+        extract_media_meta,
+    )
+    from project_crypto_data_engineering_gcp_spark.sources.media_source import (
+        read_media_dir,
+        write_media_fixture,
+    )
+
+    d = str(tmp_path / "media")
+    write_media_fixture(
+        d,
+        {
+            "a.jpg": b"\xff\xd8\xff" + b"x" * 64,
+            "b.png": b"\x89PNG" + b"y" * 32,
+            "c.wav": b"RIFF" + b"z" * 128,
+            "notes.txt": b"not media",
+        },
+    )
+    media = read_media_dir(spark, d, glob="*.{jpg,png,wav}")
+    rows = {r["source_path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.jpg", "b.png", "c.wav"}  # txt pruned at listing
+    assert rows["a.jpg"]["media_type"] == "image/jpeg"
+    assert rows["c.wav"]["media_type"] == "audio/wav"
+    assert rows["b.png"]["n_bytes"] == 36
+    assert bytes(rows["b.png"]["content"])[:4] == b"\x89PNG"
+    assert len({r["doc_id"] for r in rows.values()}) == 3  # distinct stable ids
+
+    # size pushdown: only files <= 50 bytes survive, and the filter is
+    # applied on the file-index length, not after reading payloads
+    small = read_media_dir(spark, d, glob="*.{jpg,png,wav}", max_bytes=50)
+    assert {r["source_path"].rsplit("/", 1)[-1] for r in small.collect()} == {"b.png"}
+
+    # the ingested frame drives the same operators as as_media_frame
+    meta = extract_media_meta(media.select("doc_id", "content", "media_type"))
+    assert meta.count() == 3
+    assert {c for c in ("width", "height", "channels")} <= set(meta.columns)
