@@ -263,3 +263,22 @@ def test_blockwise_closure_guard():
 
     with pytest.raises(ValueError, match="MAX_CLOSURE_INDEX_ROWS"):
         s._collect_index(FakeDF(), ["vec_id"])
+
+
+def test_crypto_dashboard_broadcasts_gold_tables(spark):
+    """The reference-parity dashboard joins the four gold tables: all
+    equi-joins broadcast (gold tables are output-sized), the global
+    market total arrives as a broadcast 1-row aggregate, and nothing
+    degenerates into a cartesian product or sort-merge join."""
+    plan = plan_of(QUERIES["crypto_dashboard"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_crypto_scd2_single_shuffle(spark):
+    """SCD2 history (lead-interval form): exactly one hash shuffle (the
+    per-asset window), no join at all."""
+    plan = plan_of(QUERIES["crypto_scd2_history"].fn(spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
