@@ -17,6 +17,7 @@ from ..functions.hashing import md5_long, md5_long_sql
 from ..functions.text import (
     canonical_text,
     canonical_text_sql,
+    shingles_sql,
     stopword_count,
     stopword_count_sql,
     tokens,
@@ -303,4 +304,73 @@ def curate_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("position", "source", "doc_id")
         .limit(MIX_TAKE)
         .select("doc_id", "source", "rn", "position")
+    )
+
+
+NGRAM_DECON_K = 3  # n-gram width; production eval-decontamination uses ~13
+                   # on full-length documents — the fixture docs are short,
+                   # so 3 keeps the query's collision structure non-trivial
+
+
+@corpus_query(
+    "curate_ngram_decontaminate",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT doc_id, text,
+               {_split_label_sql(f'({_split_bucket_sql()})')} AS split
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, split,
+               unnest({shingles_sql("text", NGRAM_DECON_K)}) AS s
+        FROM labeled
+    )
+    SELECT tr.doc_id AS train_doc,
+           CAST(COUNT(DISTINCT tr.s) AS BIGINT) AS n_shared_ngrams,
+           CAST(COUNT(DISTINCT te.doc_id) AS BIGINT) AS n_test_docs,
+           MIN(te.doc_id) AS example_test_doc
+    FROM sh tr
+    JOIN sh te ON te.s = tr.s AND tr.split = 'train' AND te.split = 'test'
+    GROUP BY tr.doc_id
+    """,
+)
+def curate_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination — the standard LLM-practice
+    contamination test (exact fingerprint equality misses paraphrased /
+    partially-copied eval items; any shared {NGRAM_DECON_K}-gram flags
+    the train doc for review). Per flagged train doc: how many distinct
+    n-grams leak, into how many test docs, and an example.
+
+    Scale shape: the shingle explode is linear; the test-side shingle
+    set is a ~5% slice of the corpus and ships as a BROADCAST to the
+    train-side inverted index — no shuffle of the train corpus at all;
+    the groupBy shuffles only (train_doc, shingle) survivors. The same
+    stop-shingle df-cap as dedup_ngram_jaccard applies before the join
+    at production scale."""
+    from ..functions.text import shingles_of_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        tokens("text").alias("__toks"),
+        _split_label(_split_bucket()).alias("split"),
+    ).select(
+        "doc_id",
+        "split",
+        F.explode(shingles_of_tokens("__toks", NGRAM_DECON_K)).alias("s"),
+    )
+    train = labeled.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    test = labeled.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), F.col("s").alias("s_test")
+    )
+    return (
+        train.join(F.broadcast(test), F.col("s") == F.col("s_test"))
+        .groupBy("train_doc")
+        .agg(
+            F.countDistinct("s").alias("n_shared_ngrams"),
+            F.countDistinct("test_doc").alias("n_test_docs"),
+            F.min("test_doc").alias("example_test_doc"),
+        )
     )
