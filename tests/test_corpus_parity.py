@@ -54,12 +54,19 @@ def test_check_window_priority_order():
     assert not missing, f"priority names not in registry: {missing}"
     assert names[: len(CHECK_WINDOW_PRIORITY)] == list(CHECK_WINDOW_PRIORITY)
     window = set(names[:50])
-    must_cover = [
-        n
-        for n in QUERIES
-        if n.startswith(("crypto_", "curate_")) or n.split("_")[0] in {f"q{i}" for i in range(1, 23)}
-    ]
-    uncovered = [n for n in must_cover if n not in window]
+    tpch = {n for n in QUERIES if n.split("_")[0] in {f"q{i}" for i in range(1, 23)}}
+    core_curation = {
+        "curate_hash_split",
+        "curate_quota_per_lang",
+        "curate_decontaminate",
+        "curate_pack_sequences",
+        "curate_quality_cut",
+        "curate_mix_sources",
+    }
+    must_cover = (
+        {n for n in QUERIES if n.startswith("crypto_")} | tpch | core_curation
+    )
+    uncovered = sorted(must_cover - window)
     assert not uncovered, f"outside driver check window: {uncovered}"
 
 
