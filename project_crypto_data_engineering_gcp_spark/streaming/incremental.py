@@ -183,3 +183,56 @@ def stream_dedup_events(
     return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def stream_interval_join(
+    purchases_stream: DataFrame,
+    views_stream: DataFrame,
+    *,
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+    query_name: str = "purchase_view_join",
+):
+    """Stream-stream INTERVAL join: attribute each purchase to the views
+    the same user made in the preceding ``max_lag`` window — the
+    streaming twin of the batch as-of/attribution join.
+
+    Both sides carry watermarks and the join predicate bounds event time
+    on both sides (v.ts in [p.ts - max_lag, p.ts]), which is what lets
+    Spark EXPIRE buffered state: a view older than watermark + max_lag
+    can never match a future purchase and is dropped. Without the time
+    bound the state would grow forever — the interval predicate is the
+    scale contract, not an optimization.
+
+    Returns the started AvailableNow query on an in-memory sink."""
+    p = (
+        purchases_stream.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    v = (
+        views_stream.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "purchase_value", "view_id", "view_ts")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -173,3 +173,49 @@ def test_stream_dedup_drops_redelivery(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.table("dedup_t").count() == events.count()
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (purchase <- preceding views) must
+    emit exactly the batch join's rows once the source is drained."""
+    from project_crypto_data_engineering_gcp_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    src = str(tmp_path / "events_src")
+    events = load_table(spark, SF_SMOKE, "events")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def stream():
+        return spark.readStream.schema(events.schema).parquet(src)
+
+    q = stream_interval_join(
+        stream().filter(F.col("event_type") == "purchase"),
+        stream().filter(F.col("event_type") == "view"),
+        query_name="pv_join_t",
+    )
+    q.awaitTermination()
+    streamed = spark.table("pv_join_t")
+
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    batch = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+    ).select(
+        "user_id", "purchase_id", "purchase_ts", "purchase_value", "view_id", "view_ts"
+    )
+    assert batch.count() > 0  # fixture has matches; vacuous otherwise
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
