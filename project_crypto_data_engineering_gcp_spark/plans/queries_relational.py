@@ -546,3 +546,111 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@corpus_query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value,
+           v.event_id AS view_id,
+           v.ts AS view_ts
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run end-to-end (two watermarked file
+    streams -> time-bounded inner join -> AvailableNow drain): every
+    purchase attributed to the user's views in the preceding 30 minutes.
+    Inner stream-stream joins emit matches eagerly (the watermark bounds
+    STATE, not emission), so the drained result equals the batch join
+    exactly — the oracle is the plain batch SQL. Values pass through
+    unchanged -> bit parity."""
+    from ..streaming.incremental import stream_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="sg_stream_pv_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    name = "sg_stream_pv_join"
+
+    def stream():
+        return spark.readStream.schema(events.schema).parquet(src)
+
+    q = stream_interval_join(
+        stream().filter(F.col("event_type") == "purchase"),
+        stream().filter(F.col("event_type") == "view"),
+        max_lag="30 minutes",
+        query_name=name,
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@corpus_query(
+    "streaming_sessionized",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                         > 21600000000::BIGINT
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_seq
+        FROM gaps
+    ), agg AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               {dsum_expr_sql("value", 18, 2)} AS session_value
+        FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT user_id, session_start, session_end, n_events, session_value
+    FROM agg
+    WHERE session_end + INTERVAL 7 HOUR <= (SELECT MAX(ts) FROM events)
+    """,
+)
+def streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-native sessionization (session_window, 6h gap) run
+    end-to-end and checked against the batch lag/cumsum sessionizer as
+    the oracle. Append mode finalizes a session once the watermark passes
+    session_end + gap; AvailableNow's final commit takes the watermark to
+    max(ts), so every session ending >= gap + 1h before max(ts) is
+    DEFINITELY emitted regardless of the eviction comparison's
+    strictness — both sides filter to exactly those sessions. (The two
+    sessionizers agree except on exact-gap ties, which the fixture
+    provably lacks; session values use the same exact-decimal sum.)"""
+    from ..streaming.incremental import stream_sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="sg_stream_sess_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    name = "sg_stream_sessions"
+    q = stream_sessionize(
+        spark,
+        spark.readStream.schema(events.schema).parquet(src),
+        gap="6 hours",
+        watermark="0 seconds",
+        query_name=name,
+    )
+    q.awaitTermination()
+    max_ts = events.agg(F.max("ts").alias("max_ts"))
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(max_ts))
+        .filter(F.col("session_end") + F.expr("INTERVAL 7 HOURS") <= F.col("max_ts"))
+        .drop("max_ts")
+    )
