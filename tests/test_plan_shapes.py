@@ -282,3 +282,23 @@ def test_crypto_scd2_single_shuffle(spark):
     plan = plan_of(QUERIES["crypto_scd2_history"].fn(spark, SF_ORACLE))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Corpus-wide invariant: no query's physical plan may contain a
+    CartesianProduct — every pairwise/join stage must be gated on an
+    equality key (or an intentional broadcast nested loop against a
+    bounded side). Streaming queries are excluded (building them runs
+    the stream end-to-end, and their join shapes are pinned by their own
+    tests)."""
+    from .conftest import SF_SMOKE
+
+    offenders = {}
+    for name, q in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        plan = plan_of(q.fn(spark, SF_SMOKE))
+        n = plan.count("CartesianProduct")
+        if n:
+            offenders[name] = n
+    assert not offenders, f"cartesian products in: {offenders}"
