@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins (omitted for non-SQL-expressible ops
-    -> driver records the weaker rows-only check)."""
+    """DuckDB-runnable ANSI SQL twins — every corpus query has one (the
+    formerly rows-only ops now check via recursive-CTE components, HLL
+    error-bound invariants, and deterministically-closed stream windows)."""
     return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}

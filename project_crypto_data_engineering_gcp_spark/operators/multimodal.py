@@ -203,6 +203,62 @@ def byte_histogram(media: DataFrame) -> DataFrame:
     )
 
 
+def byte_histogram_arrow(media: DataFrame) -> DataFrame:
+    """``byte_histogram`` on the zero-copy path: ``mapInArrow`` hands the
+    worker raw Arrow RecordBatches, so payload bytes are read STRAIGHT
+    from the BinaryArray's data buffer — no pandas materialization, no
+    per-payload Python objects, and the whole batch's histogram is one
+    vectorized ``np.add.at`` over (row-index, nibble) pairs instead of a
+    per-row loop. Bit-identical output to :func:`byte_histogram`
+    (tested); prefer this variant when payloads dominate the batch size.
+    """
+
+    def op(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        bins = np.arange(N_HIST_BINS, dtype=np.int32)
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            doc_id = rb.column(rb.schema.get_field_index("doc_id")).to_numpy(
+                zero_copy_only=False
+            )
+            content = rb.column(rb.schema.get_field_index("content"))
+            if isinstance(content, pa.ChunkedArray):  # pragma: no cover
+                content = content.combine_chunks()
+            # BinaryArray layout: buffers = [validity, int32 offsets, data]
+            offsets = np.frombuffer(content.buffers()[1], dtype=np.int32)[
+                content.offset : content.offset + n + 1
+            ]
+            data = np.frombuffer(content.buffers()[2], dtype=np.uint8)
+            lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+            # nibble histogram for ALL rows at once: scatter-add on
+            # (row, nibble) — no per-payload Python loop at all
+            row_of_byte = np.repeat(np.arange(n), lengths)
+            nibbles = data[offsets[0] : offsets[-1]] >> 4
+            counts = np.zeros((n, N_HIST_BINS), dtype=np.int64)
+            np.add.at(counts, (row_of_byte, nibbles), 1)
+            n_bytes = np.repeat(lengths, N_HIST_BINS)
+            flat = counts.reshape(-1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(doc_id, N_HIST_BINS), pa.int64()),
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(np.tile(bins, n), pa.int32()),
+                    pa.array(flat, pa.int64()),
+                    pa.array(flat / np.maximum(n_bytes, 1), pa.float64()),
+                ],
+                names=["doc_id", "n_bytes", "bin", "n_in_bin", "density"],
+            )
+
+    return media.select("doc_id", "content").mapInArrow(
+        op,
+        schema="doc_id long, n_bytes long, bin int, n_in_bin long, density double",
+    )
+
+
 def sample_frames(
     media: DataFrame, *, n_frames: int = 4, frame_stride_bytes: int = 64
 ) -> DataFrame:

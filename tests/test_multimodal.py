@@ -120,3 +120,19 @@ def test_binaryfile_media_ingestion(spark, tmp_path):
     meta = extract_media_meta(media.select("doc_id", "content", "media_type"))
     assert meta.count() == 3
     assert {c for c in ("width", "height", "channels")} <= set(meta.columns)
+
+
+def test_byte_histogram_arrow_matches_pandas_path(spark):
+    """The zero-copy mapInArrow histogram must be bit-identical to the
+    mapInPandas one (same long format, same IEEE densities)."""
+    from project_crypto_data_engineering_gcp_spark.operators.multimodal import (
+        byte_histogram,
+        byte_histogram_arrow,
+    )
+
+    media = as_media_frame(load_table(spark, SF_SMOKE, "documents"))
+    a = byte_histogram_arrow(media)
+    b = byte_histogram(media)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == b.count() > 0

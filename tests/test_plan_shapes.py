@@ -302,3 +302,18 @@ def test_no_cartesian_product_anywhere(spark):
         if n:
             offenders[name] = n
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_spread_leaves_partitioned_input_alone(spark):
+    """_spread must repartition ONLY under-partitioned scans: a frame
+    already at/above the target keeps its partitioning (a production
+    multi-file scan is never re-shuffled), a single-partition frame gets
+    spread."""
+    from project_crypto_data_engineering_gcp_spark.operators.similarity import _spread
+
+    wide = spark.range(1000).repartition(20)
+    assert _spread(wide, cap=16) is wide
+    narrow = spark.range(1000).coalesce(1)
+    assert _spread(narrow, cap=16).rdd.getNumPartitions() >= min(
+        16, spark.sparkContext.defaultParallelism
+    )
