@@ -135,42 +135,6 @@ def _spread(df: DataFrame, cap: int = 16) -> DataFrame:
     return df
 
 
-def normalized_frame(
-    emb: DataFrame,
-    *,
-    with_label: bool = False,
-    bucket_dims: tuple[int, ...] | None = None,
-) -> DataFrame:
-    """(vec_id[, label], nv array<double>[, bucket int]): every vector
-    unit-normalized in place — row-local mapInPandas, partition-parallel,
-    nothing collected. ``bucket_dims`` (1-based) adds the sign-bit LSH
-    bucket computed from the RAW embedding values. Building block for
-    pipelines that reuse normalized vectors across several queries."""
-    cols = ["vec_id", "label", "embedding"] if with_label else ["vec_id", "embedding"]
-    schema = "vec_id bigint" + (", label int" if with_label else "") + ", nv array<double>"
-    if bucket_dims is not None:
-        schema += ", bucket int"
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = _stack(pdf["embedding"])
-            nv = _normalize_rows(mat)
-            out = {"vec_id": pdf["vec_id"].astype("int64")}
-            if with_label:
-                out["label"] = pdf["label"].astype("int32")
-            out["nv"] = list(nv)
-            if bucket_dims is not None:
-                bucket = np.zeros(len(pdf), dtype=np.int32)
-                for i, d in enumerate(bucket_dims):
-                    bucket += (mat[:, d - 1] >= 0).astype(np.int32) << i
-                out["bucket"] = bucket
-            yield pd.DataFrame(out)
-
-    return _spread(emb.select(*cols)).mapInPandas(op, schema=schema)
-
-
 def cosine_pairs_grid(
     emb: DataFrame,
     *,
