@@ -374,3 +374,63 @@ def curate_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("test_doc").alias("example_test_doc"),
         )
     )
+
+
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _bucket_case_sql(n: str) -> str:
+    whens = " ".join(
+        f"WHEN {n} <= {b} THEN {b}" for b in LENGTH_BUCKETS
+    )
+    return f"CASE {whens} ELSE {LENGTH_BUCKETS[-1] * 2} END"
+
+
+def _bucket_case(n: F.Column) -> F.Column:
+    expr = F.lit(LENGTH_BUCKETS[-1] * 2)
+    for b in reversed(LENGTH_BUCKETS):
+        expr = F.when(n <= b, F.lit(b)).otherwise(expr)
+    return expr
+
+
+@corpus_query(
+    "curate_length_buckets",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               len({tokens_sql("text")}) AS n_tokens
+        FROM documents
+    ), bucketed AS (
+        SELECT lang, n_tokens,
+               {_bucket_case_sql("n_tokens")} AS bucket
+        FROM sized
+    )
+    SELECT lang, bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - n_tokens) AS DOUBLE)
+               / SUM(bucket) AS pad_waste_ratio
+    FROM bucketed
+    GROUP BY lang, bucket
+    """,
+)
+def curate_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length bucketing for batch shaping: documents assigned to a
+    fixed power-of-2 capacity menu (a CASE chain — deliberately NOT
+    log2(); fixed boundaries are what production batchers use and a libm
+    call would break cross-engine bit parity), with per-(lang, bucket)
+    volume and the padding-waste ratio the batcher would pay. The waste
+    ratio is one IEEE division of two exact integer sums — bit parity
+    without rounding. Scan-stage expression work + one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang", F.size(tokens("text")).alias("n_tokens")
+    ).withColumn("bucket", _bucket_case(F.col("n_tokens")))
+    return sized.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.sum(F.col("bucket") - F.col("n_tokens")).cast("double")
+            / F.sum("bucket")
+        ).alias("pad_waste_ratio"),
+    )
