@@ -1,0 +1,102 @@
+"""Custom PySpark DataSource for the snapshot landing directory.
+
+The modern (Spark 4) idiomatic form of the reference's ingestion surface:
+instead of driver-side JSON plumbing, the landing directory becomes a
+first-class ``spark.read.format("crypto_snapshots")`` source — one input
+partition PER SNAPSHOT FILE, each parsed on an executor, emitting
+bronze-fidelity rows (one per asset, every numeric still the API's
+decimal string) with the envelope timestamp and source file attached.
+
+Scale: partitions() lists files (driver metadata work); parsing runs
+where the data is. A million snapshot files = a million independent
+partitions with no driver involvement beyond the listing — the same
+contract as Spark's own file sources. Filter pushdown on the file name
+(time-ranged replays) happens naturally by pointing `path` at a narrower
+glob.
+
+The DataSource classes are built inside a factory so cloudpickle ships
+them BY VALUE to Python workers — registration must not require this
+package on the executors' import path (same rule as the numpy kernels in
+operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# bronze-fidelity field order (ASSET_SCHEMA in json_source.py) + envelope
+SNAPSHOT_DDL = (
+    "id string, rank string, symbol string, name string, supply string, "
+    "maxSupply string, marketCapUsd string, volumeUsd24Hr string, "
+    "priceUsd string, changePercent24Hr string, vwap24Hr string, "
+    "explorer string, tokens map<string, array<string>>, "
+    "timestamp bigint, _source_file string"
+)
+ASSET_FIELDS = (
+    "id",
+    "rank",
+    "symbol",
+    "name",
+    "supply",
+    "maxSupply",
+    "marketCapUsd",
+    "volumeUsd24Hr",
+    "priceUsd",
+    "changePercent24Hr",
+    "vwap24Hr",
+    "explorer",
+    "tokens",
+)
+
+
+def make_snapshot_datasource():
+    """Build the DataSource class (locally defined -> pickled by value)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    ddl = SNAPSHOT_DDL
+    fields = ASSET_FIELDS
+
+    class SnapshotPartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class SnapshotReader(DataSourceReader):
+        def __init__(self, options):
+            self.options = options
+
+        def partitions(self):
+            import glob as globmod
+            import os
+
+            root = self.options["path"]
+            if os.path.isdir(root):
+                root = os.path.join(root, "coincap_data_*.json")
+            files = sorted(globmod.glob(root))
+            return [SnapshotPartition(p) for p in files]
+
+        def read(self, partition):
+            import json
+
+            with open(partition.path, encoding="utf-8") as f:
+                doc = json.load(f)
+            ts = int(doc["timestamp"])
+            for asset in doc.get("data", []):
+                yield tuple(asset.get(k) for k in fields) + (ts, partition.path)
+
+    class SnapshotDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "crypto_snapshots"
+
+        def schema(self) -> str:
+            return ddl
+
+        def reader(self, schema):
+            return SnapshotReader(self.options)
+
+    return SnapshotDataSource
+
+
+def register_snapshot_source(spark: SparkSession) -> None:
+    """Register ``crypto_snapshots`` for ``spark.read.format(...)``."""
+    spark.dataSource.register(make_snapshot_datasource())

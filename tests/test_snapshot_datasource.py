@@ -1,0 +1,45 @@
+"""Custom crypto_snapshots DataSource: file-per-partition parallelism and
+bronze-fidelity equality with the multiline-JSON reader path."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from project_crypto_data_engineering_gcp_spark.sources.json_source import read_raw_json
+from project_crypto_data_engineering_gcp_spark.sources.snapshot_datasource import (
+    register_snapshot_source,
+)
+
+from .fixtures_crypto import N_ASSETS, SNAPSHOT_TS_MS, write_fixture_landing
+
+
+def test_datasource_matches_json_reader(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    write_fixture_landing(landing)
+    register_snapshot_source(spark)
+
+    ds = spark.read.format("crypto_snapshots").load(landing)
+    assert ds.count() == N_ASSETS * len(SNAPSHOT_TS_MS)
+    # one partition per snapshot file
+    assert ds.rdd.getNumPartitions() == len(SNAPSHOT_TS_MS)
+
+    via_json = (
+        read_raw_json(spark, f"{landing}/coincap_data_*.json")
+        .select(F.explode("data").alias("a"), "timestamp")
+        .select("a.*", "timestamp")
+    )
+    cols = [c for c in via_json.columns if c != "tokens"]  # map not except-able
+    a, b = ds.select(cols), via_json.select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # bronze fidelity: numerics are still the API's decimal strings
+    assert dict(ds.dtypes)["priceUsd"] == "string"
+
+    # narrowing the glob narrows the partitions (time-ranged replay)
+    one = spark.read.format("crypto_snapshots").load(
+        os.path.join(landing, "coincap_data_2025052*.json")
+    )
+    assert one.rdd.getNumPartitions() >= 1
+    assert one.count() % N_ASSETS == 0
