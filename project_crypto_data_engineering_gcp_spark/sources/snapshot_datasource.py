@@ -51,10 +51,32 @@ ASSET_FIELDS = (
 
 def make_snapshot_datasource():
     """Build the DataSource class (locally defined -> pickled by value)."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     ddl = SNAPSHOT_DDL
     fields = ASSET_FIELDS
+
+    def list_files(root):
+        import glob as globmod
+        import os
+
+        if os.path.isdir(root):
+            root = os.path.join(root, "coincap_data_*.json")
+        return sorted(globmod.glob(root))
+
+    def parse_file(path):
+        import json
+
+        with open(path, encoding="utf-8") as f:
+            doc = json.load(f)
+        ts = int(doc["timestamp"])
+        for asset in doc.get("data", []):
+            yield tuple(asset.get(k) for k in fields) + (ts, path)
 
     class SnapshotPartition(InputPartition):
         def __init__(self, path: str):
@@ -65,23 +87,58 @@ def make_snapshot_datasource():
             self.options = options
 
         def partitions(self):
-            import glob as globmod
-            import os
-
-            root = self.options["path"]
-            if os.path.isdir(root):
-                root = os.path.join(root, "coincap_data_*.json")
-            files = sorted(globmod.glob(root))
-            return [SnapshotPartition(p) for p in files]
+            return [SnapshotPartition(p) for p in list_files(self.options["path"])]
 
         def read(self, partition):
-            import json
+            yield from parse_file(partition.path)
 
-            with open(partition.path, encoding="utf-8") as f:
-                doc = json.load(f)
-            ts = int(doc["timestamp"])
-            for asset in doc.get("data", []):
-                yield tuple(asset.get(k) for k in fields) + (ts, partition.path)
+    class SnapshotStreamReader(SimpleDataSourceStreamReader):
+        """Incremental snapshot drain: the OFFSET is the set of file
+        names already emitted (landing files are replay-stable-named and
+        immutable — quirk Q8 — so name-set membership is exact-once).
+        Each micro-batch emits every not-yet-seen snapshot; the
+        checkpoint persists the offset dict, giving the same
+        exactly-once contract as the built-in file source."""
+
+        def __init__(self, options):
+            self.options = options
+
+        def initialOffset(self) -> dict:
+            return {"seen": ""}
+
+        def _emit(self, seen: set):
+            import os
+
+            new = [
+                p for p in list_files(self.options["path"])
+                if os.path.basename(p) not in seen
+            ]
+            for p in new:
+                yield from parse_file(p)
+
+        def read(self, start: dict):
+            import os
+
+            seen = set(filter(None, start.get("seen", "").split(",")))
+            rows = list(self._emit(seen))
+            names = sorted(
+                seen | {os.path.basename(p) for p in list_files(self.options["path"])}
+            )
+            return iter(rows), {"seen": ",".join(names)}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            # replay for recovery: emit files in end but not in start
+            seen = set(filter(None, start.get("seen", "").split(",")))
+            target = set(filter(None, end.get("seen", "").split(",")))
+            import os
+
+            for p in list_files(self.options["path"]):
+                name = os.path.basename(p)
+                if name in target and name not in seen:
+                    yield from parse_file(p)
+
+        def commit(self, end: dict) -> None:
+            pass  # landing files are immutable; nothing to acknowledge
 
     class SnapshotDataSource(DataSource):
         @classmethod
@@ -93,6 +150,9 @@ def make_snapshot_datasource():
 
         def reader(self, schema):
             return SnapshotReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return SnapshotStreamReader(self.options)
 
     return SnapshotDataSource
 

@@ -43,3 +43,53 @@ def test_datasource_matches_json_reader(spark, tmp_path):
     )
     assert one.rdd.getNumPartitions() >= 1
     assert one.count() % N_ASSETS == 0
+
+
+def test_datasource_streaming_incremental_drain(spark, tmp_path):
+    """The streaming side of the custom source: first AvailableNow drain
+    ingests every landed snapshot; new files after a checkpointed restart
+    are picked up incrementally (name-set offset = exactly-once)."""
+    import json
+
+    from project_crypto_data_engineering_gcp_spark.fixtures import snapshot_payload
+    from project_crypto_data_engineering_gcp_spark.sources.json_source import (
+        write_raw_snapshot,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    write_fixture_landing(landing)
+    register_snapshot_source(spark)
+
+    def drain():
+        rows = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.select("timestamp").collect())
+
+        q = (
+            spark.readStream.format("crypto_snapshots")
+            .load(landing)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    first = drain()
+    assert len(first) == N_ASSETS * len(SNAPSHOT_TS_MS)
+
+    # rerun with same checkpoint: nothing new -> no duplicate rows
+    assert drain() == []
+
+    # land one more snapshot (a later timestamp -> new file name) ->
+    # only its rows arrive
+    new_ts = max(SNAPSHOT_TS_MS) + 3_600_000
+    payload = snapshot_payload(0)
+    payload["timestamp"] = new_ts
+    write_raw_snapshot(payload, landing)
+    inc = drain()
+    assert len(inc) == N_ASSETS
+    assert {r["timestamp"] for r in inc} == {new_ts}
