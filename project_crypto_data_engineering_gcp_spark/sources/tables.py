@@ -47,3 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "props",
         )
     return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so the whole corpus
+    is queryable through plain ``spark.sql`` — the SQL-first entry point
+    (the DataFrame corpus queries and SQL share one Catalyst planner, so
+    a spark.sql formulation gets identical plans/pushdown)."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
