@@ -36,16 +36,27 @@ def asof_join(
     *,
     suffix: str = "_asof",
     right_tiebreakers: Sequence[str] = (),
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach ``payload`` columns from the latest right
-    row with same ``on`` keys and ``right_ts <= left_ts`` (backward as-of,
-    inclusive). Payload columns are suffixed; left rows with no prior right
-    row get NULLs (left-outer semantics).
+    """For each left row, attach ``payload`` columns from the nearest
+    right row with the same ``on`` keys (left-outer semantics; NULLs when
+    no match):
 
-    Right-side ties on ``right_ts``: pass ``right_tiebreakers`` (ascending;
-    the greatest wins, "most recently observed") to make the pick total —
-    without them, tied reference rows resolve in partition order.
+      * ``direction="backward"`` (default): latest right row with
+        ``right_ts <= left_ts``; ties on ``right_ts`` resolve to the
+        GREATEST ``right_tiebreakers`` ("most recently observed").
+      * ``direction="forward"``: earliest right row with
+        ``right_ts >= left_ts``; ties resolve to the SMALLEST
+        tiebreakers ("first following").
+
+    ``tolerance_seconds`` bounds the match distance (pandas
+    ``merge_asof(tolerance=...)``): a carried reference further than the
+    tolerance yields NULL payloads instead. Same single-shuffle plan —
+    the tolerance is a post-carry mask, not a join-condition explosion.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     pay_cols = [f"{p}{suffix}" for p in payload]
     tb_cols = [f"__tb{i}" for i in range(len(right_tiebreakers))]
@@ -54,6 +65,7 @@ def asof_join(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_probe"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__ref_ts"),
         *[F.lit(None).cast(right.schema[t].dataType).alias(c)
           for t, c in zip(right_tiebreakers, tb_cols)],
         *[F.lit(None).cast(right.schema[p].dataType).alias(c) for p, c in zip(payload, pay_cols)],
@@ -63,27 +75,53 @@ def asof_join(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_probe"),
+        F.col(right_ts).alias("__ref_ts"),
         *[F.col(t).alias(c) for t, c in zip(right_tiebreakers, tb_cols)],
         *[F.col(p).alias(c) for p, c in zip(payload, pay_cols)],
         F.lit(None).cast(lhs.schema["__row"].dataType).alias("__row"),
     )
 
     # reference rows sort before probe rows at equal ts (=> inclusive
-    # match); tied reference rows order by the tiebreakers, so the
-    # greatest-tiebreaker row is the last non-null the window carries
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(
+    # match). Backward: ascending scan, tied refs ascending so the
+    # greatest-tiebreaker row is the last carried. Forward: descending
+    # scan (the carry then holds the EARLIEST following ref), tied refs
+    # descending so the smallest-tiebreaker row is the last carried.
+    if direction == "backward":
+        order = [
             F.col("__ts").asc(),
             *[F.col(c).asc_nulls_last() for c in tb_cols],
             F.col("__is_probe").asc(),
-        )
+        ]
+    else:
+        order = [
+            F.col("__ts").desc(),
+            *[F.col(c).desc_nulls_last() for c in tb_cols],
+            F.col("__is_probe").asc(),
+        ]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lhs.unionByName(rhs).select(
         "__is_probe",
         "__row",
+        "__ts",
+        F.last("__ref_ts", ignorenulls=True).over(w).alias("__m_ts"),
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in pay_cols],
     )
+    if tolerance_seconds is not None:
+        tol_us = int(round(tolerance_seconds * 1_000_000))
+        dist = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m_ts"))
+            if direction == "backward"
+            else F.unix_micros(F.col("__m_ts")) - F.unix_micros(F.col("__ts"))
+        )
+        within = F.col("__m_ts").isNotNull() & (dist <= tol_us)
+        carried = carried.select(
+            "__is_probe",
+            "__row",
+            *[F.when(within, F.col(c)).alias(c) for c in pay_cols],
+        )
     out = carried.filter(F.col("__is_probe") == 1).select("__row.*", *pay_cols)
     return out

@@ -455,6 +455,57 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@corpus_query(
+    "asof_forward_error_tolerance",
+    oracle="""
+    SELECT event_id, user_id, ts, next_error_ts, next_error_id FROM (
+        SELECT p.event_id, p.user_id, p.ts,
+               e.ts AS next_error_ts,
+               e.event_id AS next_error_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id ORDER BY e.ts, e.event_id
+               ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts
+         AND e.ts <= p.ts + INTERVAL 1 HOUR
+    ) t WHERE rn = 1
+    """,
+)
+def asof_forward_error_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance (pandas ``merge_asof`` parity): each
+    purchase picks up the FIRST 'error' event for the same user within
+    the following hour (NULLs when none) — the incident-attribution
+    shape. Same single-shuffle union-tag + window-carry plan as the
+    backward form; the tolerance is a post-carry mask, never a range
+    join explosion. Ties on error ts resolve to the smallest event_id,
+    matching the oracle's ROW_NUMBER order."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["ts", "event_id"],
+        right_tiebreakers=["event_id"],
+        direction="forward",
+        tolerance_seconds=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("next_error_ts"),
+        F.col("event_id_asof").alias("next_error_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Event-stream batch analogs (§2.8 superset: sessionization, tumbling windows)
 # --------------------------------------------------------------------------
