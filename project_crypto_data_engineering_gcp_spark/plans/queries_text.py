@@ -371,3 +371,36 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TFIDF_TOPK)
         .select("doc_id", "term", "tf", "df", "weight", "rk")
     )
+
+
+@corpus_query(
+    "events_user_journey",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence extraction: each user's full ordered
+    event-type path as one string — the session/journey feature fed to
+    sequence models. Deterministic ordered aggregation WITHOUT a window
+    shuffle-then-collect: ``array_sort(collect_list(struct(ts, event_id,
+    type)))`` sorts inside the aggregation buffer, so the plan is one
+    map-side-combinable groupBy (collect_list partials merge), matching
+    DuckDB's ``string_agg(... ORDER BY)`` exactly — the (ts, event_id)
+    key is total, so the sequence is unambiguous on any cluster."""
+    from ..sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ">", F.transform(ordered, lambda x: x["event_type"])
+        ).alias("journey"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
