@@ -83,11 +83,78 @@ def make_snapshot_datasource():
             self.path = path
 
     class SnapshotReader(DataSourceReader):
+        """Batch reader with FILE-LEVEL filter pushdown: the landing
+        names encode the payload timestamp (quirk Q8, second precision),
+        so comparisons on the ``timestamp`` column prune whole files at
+        listing time. Pruning is conservative (the name floors the
+        epoch-ms value to seconds, so bounds widen by 999 ms) and every
+        filter is returned to Spark for exact re-evaluation — partial
+        pushdown, never a correctness dependency."""
+
         def __init__(self, options):
             self.options = options
+            self._lo = None  # inclusive lower bound on epoch-ms
+            self._hi = None  # inclusive upper bound on epoch-ms
+
+        def pushFilters(self, filters):
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                LessThan,
+                LessThanOrEqual,
+            )
+
+            comparisons = (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                LessThan,
+                LessThanOrEqual,
+            )
+            for f in filters:
+                if not isinstance(f, comparisons):
+                    continue  # IsNotNull etc: Spark evaluates, no pruning
+                if getattr(f, "attribute", None) != ("timestamp",):
+                    continue
+                v = f.value
+                if not isinstance(v, int):
+                    continue
+                if isinstance(f, EqualTo):
+                    self._lo = max(self._lo or v, v)
+                    self._hi = min(self._hi if self._hi is not None else v, v)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    self._lo = max(self._lo or v, v)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    self._hi = min(self._hi if self._hi is not None else v, v)
+            return filters  # Spark re-evaluates everything exactly
+
+        def _name_ms(self, path):
+            import os
+            import re
+            from datetime import datetime, timezone
+
+            m = re.search(r"coincap_data_(\d{8})_(\d{6})\.json$", os.path.basename(path))
+            if not m:
+                return None
+            dt = datetime.strptime(
+                m.group(1) + m.group(2), "%Y%m%d%H%M%S"
+            ).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1000)
 
         def partitions(self):
-            return [SnapshotPartition(p) for p in list_files(self.options["path"])]
+            files = list_files(self.options["path"])
+            kept = []
+            for p in files:
+                ms = self._name_ms(p)
+                if ms is not None:
+                    # name floors payload ms to the second: widen by 999
+                    if self._lo is not None and ms + 999 < self._lo:
+                        continue
+                    if self._hi is not None and ms > self._hi:
+                        continue
+                kept.append(p)
+            return [SnapshotPartition(p) for p in kept]
 
         def read(self, partition):
             yield from parse_file(partition.path)
@@ -158,5 +225,10 @@ def make_snapshot_datasource():
 
 
 def register_snapshot_source(spark: SparkSession) -> None:
-    """Register ``crypto_snapshots`` for ``spark.read.format(...)``."""
+    """Register ``crypto_snapshots`` for ``spark.read.format(...)``.
+    Python-data-source filter pushdown is opt-in session-wide; the reader
+    implements ``pushFilters`` (file-level timestamp pruning), and Spark
+    ERRORS on a pushFilters-implementing source while the flag is off —
+    so registration enables it."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(make_snapshot_datasource())

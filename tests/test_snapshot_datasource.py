@@ -93,3 +93,21 @@ def test_datasource_streaming_incremental_drain(spark, tmp_path):
     inc = drain()
     assert len(inc) == N_ASSETS
     assert {r["timestamp"] for r in inc} == {new_ts}
+
+
+def test_datasource_filename_filter_pushdown(spark, tmp_path):
+    """A timestamp predicate prunes whole snapshot FILES at listing time
+    (fewer partitions), while Spark still re-evaluates the filter exactly
+    (partial pushdown -> same rows as the unpruned read + filter)."""
+    landing = str(tmp_path / "landing")
+    write_fixture_landing(landing)
+    register_snapshot_source(spark)
+
+    cutoff = sorted(SNAPSHOT_TS_MS)[-1]  # only the last snapshot qualifies
+    full = spark.read.format("crypto_snapshots").load(landing)
+    pruned = full.filter(F.col("timestamp") >= cutoff)
+    assert pruned.rdd.getNumPartitions() == 1  # 2 of 3 files never open
+    assert pruned.count() == N_ASSETS
+    assert {r["timestamp"] for r in pruned.select("timestamp").distinct().collect()} == {cutoff}
+    # exact boundary semantics stay Spark's: a strict > excludes the file's rows
+    assert full.filter(F.col("timestamp") > cutoff).count() == 0
