@@ -654,3 +654,46 @@ def streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("session_end") + F.expr("INTERVAL 7 HOURS") <= F.col("max_ts"))
         .drop("max_ts")
     )
+
+
+@corpus_query(
+    "approx_quantiles_totalprice",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS exact_p95,
+           COUNT(*) AS n,
+           TRUE AS approx_within_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def approx_quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (Greenwald-Khanna approx_percentile) with
+    the same driver-checkable contract as the HLL query: the sketch value
+    is engine-specific, so the hashed output carries the exact quantiles
+    plus a boolean asserting the sketch landed within its accuracy bound
+    (relativeError=0.01 -> rank error n/100; value-domain check uses the
+    exact quantiles at +-2x that rank distance). At 100 TB the sketch is
+    the only sane percentile: mergeable partials, one pass, bounded
+    memory — vs exact percentile's full sort per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    rel_err = 0.01
+    exact50 = F.percentile("o_totalprice", F.lit(0.5))
+    exact95 = F.percentile("o_totalprice", F.lit(0.95))
+    # rank-error bound: approx pN must lie between the exact quantiles at
+    # N +- 2*rel_err (cushioned: percentile_approx guarantees rel_err)
+    lo50 = F.percentile("o_totalprice", F.lit(0.5 - 2 * rel_err))
+    hi50 = F.percentile("o_totalprice", F.lit(0.5 + 2 * rel_err))
+    lo95 = F.percentile("o_totalprice", F.lit(0.95 - 2 * rel_err))
+    hi95 = F.percentile("o_totalprice", F.lit(0.95 + 2 * rel_err))
+    ap50 = F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(100))
+    ap95 = F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(100))
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(exact50, 4).alias("exact_p50"),
+        F.round(exact95, 4).alias("exact_p95"),
+        F.count(F.lit(1)).alias("n"),
+        (
+            (ap50 >= lo50) & (ap50 <= hi50) & (ap95 >= lo95) & (ap95 <= hi95)
+        ).alias("approx_within_tol"),
+    )
