@@ -39,6 +39,17 @@ def _build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("dashboard", help="print the dashboard view")
     d.add_argument("--out", required=True)
     d.add_argument("-n", type=int, default=20)
+
+    c = sub.add_parser(
+        "curate", help="run the training-data curation pipeline over a testdata dir"
+    )
+    c.add_argument("--sf-dir", required=True, help="testdata dir with documents.parquet")
+    c.add_argument("--out", required=True)
+
+    k = sub.add_parser("compact", help="compact a parquet table's small files")
+    k.add_argument("--path", required=True)
+    k.add_argument("--target-mb", type=int, default=256)
+    k.add_argument("--sort-by", default=None, help="comma-separated clustering columns")
     return p
 
 
@@ -81,6 +92,23 @@ def main(argv: list[str] | None = None) -> int:
             from .plans.runner import run_dashboard
 
             run_dashboard(spark, args.out).show(args.n, truncate=False)
+        elif args.cmd == "curate":
+            from .plans.curation_pipeline import curate_training_shards
+
+            manifest = curate_training_shards(spark, args.sf_dir, args.out)
+            for k, v in manifest.items():
+                print(f"{k}: {v}")
+        elif args.cmd == "compact":
+            from .sources.maintenance import compact_table
+
+            sort_cols = args.sort_by.split(",") if args.sort_by else None
+            n = compact_table(
+                spark,
+                args.path,
+                target_file_bytes=args.target_mb * 1024 * 1024,
+                sort_cols=sort_cols,
+            )
+            print(f"compacted to {n} files")
         return 0
     finally:
         if existing is None:
