@@ -111,13 +111,22 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in pay_cols],
     )
     if tolerance_seconds is not None:
-        tol_us = int(round(tolerance_seconds * 1_000_000))
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        if isinstance(
+            right.schema[right_ts].dataType, (TimestampType, TimestampNTZType)
+        ):
+            probe_v = F.unix_micros(F.col("__ts"))
+            match_v = F.unix_micros(F.col("__m_ts"))
+            tol = F.lit(int(round(tolerance_seconds * 1_000_000)))
+        else:  # numeric event-time axis: tolerance in the same unit
+            probe_v = F.col("__ts")
+            match_v = F.col("__m_ts")
+            tol = F.lit(tolerance_seconds)
         dist = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m_ts"))
-            if direction == "backward"
-            else F.unix_micros(F.col("__m_ts")) - F.unix_micros(F.col("__ts"))
+            probe_v - match_v if direction == "backward" else match_v - probe_v
         )
-        within = F.col("__m_ts").isNotNull() & (dist <= tol_us)
+        within = F.col("__m_ts").isNotNull() & (dist <= tol)
         carried = carried.select(
             "__is_probe",
             "__row",

@@ -136,3 +136,26 @@ def test_byte_histogram_arrow_matches_pandas_path(spark):
     assert a.columns == b.columns
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.count() == b.count() > 0
+
+
+def test_byte_histogram_handles_edge_payloads(spark):
+    """Empty and non-ASCII payloads: zero-byte docs emit all-zero bins
+    (density 0, not NaN); multi-byte UTF-8 counts raw bytes."""
+    from project_crypto_data_engineering_gcp_spark.operators.multimodal import (
+        N_HIST_BINS,
+        byte_histogram,
+        byte_histogram_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "καλημέρα"), (3, "\x00\x7f")], "doc_id long, text string"
+    )
+    media = as_media_frame(docs)
+    for fn in (byte_histogram, byte_histogram_arrow):
+        rows = {(r["doc_id"], r["bin"]): r for r in fn(media).collect()}
+        assert len(rows) == 3 * N_HIST_BINS
+        assert all(rows[(1, b)]["n_in_bin"] == 0 for b in range(N_HIST_BINS))
+        assert all(rows[(1, b)]["density"] == 0.0 for b in range(N_HIST_BINS))
+        greek_bytes = "καλημέρα".encode("utf-8")
+        assert sum(rows[(2, b)]["n_in_bin"] for b in range(N_HIST_BINS)) == len(greek_bytes)
+        assert rows[(3, 0)]["n_in_bin"] == 1 and rows[(3, 7)]["n_in_bin"] == 1

@@ -179,3 +179,47 @@ def test_ngram_stop_shingle_cap_drops_hot_fanout(spark):
     capped_df = dedup_ngram_jaccard(spark, SF_SMOKE, stop_shingle_df_cap=2)
     assert capped_df.columns == exact_df.columns
     assert capped_df.count() >= 0  # runs; capped-universe scores differ by design
+
+
+def test_asof_join_forward_tolerance_matches_merge_asof(spark):
+    """direction='forward' + tolerance vs pandas merge_asof ground truth
+    (same dedup'd reference frame; timestamps are float seconds here, so
+    tolerance maps directly)."""
+    left = _events_frame(400, 29, with_dup_ts=False).rename(columns={"ts": "lts"})
+    right = _events_frame(300, 29, with_dup_ts=False)[
+        ["key", "ts", "val"]
+    ].drop_duplicates(["key", "ts"])
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right.rename(columns={"ts": "rts", "val": "rval"}))
+    tol = 50
+    got = (
+        asof_join(
+            ldf, rdf, on=["key"], left_ts="lts", right_ts="rts",
+            payload=["rval", "rts"],
+            direction="forward",
+            tolerance_seconds=tol,
+        )
+        .orderBy("seq")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        left.sort_values("lts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort").rename(
+            columns={"ts": "rts_e", "val": "rval_e"}
+        ),
+        left_on="lts",
+        right_on="rts_e",
+        by="key",
+        direction="forward",
+        allow_exact_matches=True,
+        tolerance=tol,
+    ).sort_values("seq").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (
+        got["rval_asof"].fillna(-1).to_numpy()
+        == exp["rval_e"].fillna(-1).to_numpy()
+    ).all()
+    assert (
+        got["rts_asof"].fillna(-1).to_numpy()
+        == exp["rts_e"].fillna(-1).to_numpy()
+    ).all()
