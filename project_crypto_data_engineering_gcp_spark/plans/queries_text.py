@@ -404,3 +404,61 @@ def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("journey"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@corpus_query(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               len(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' ')
+               )) AS total_3grams,
+               len(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' ')
+               ))) AS distinct_3grams
+        FROM documents
+    )
+    SELECT doc_id, total_3grams, distinct_3grams,
+           CASE WHEN total_3grams = 0 THEN 0.0
+                ELSE CAST(total_3grams - distinct_3grams AS DOUBLE)
+                     / total_3grams END AS repetition_ratio,
+           total_3grams - distinct_3grams > total_3grams * 0.2
+               AS flag_repetitive
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signal (the C4-style repeated-span
+    filter, n-gram form): fraction of a document's 3-gram OCCURRENCES
+    that are repeats of an earlier 3-gram. Templated/boilerplate/looping
+    text scores high and gets flagged (>20% repeated mass). Pure
+    expression work — the shingle list never explodes to rows; the ratio
+    is one IEEE division of exact ints (no rounding needed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # 3-grams WITH multiplicity (shingles_of_tokens dedups, so inline;
+    # split(text, ' ') is the same tokenization as functions/text.tokens)
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 3 THEN array() ELSE "
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) END"
+    )
+    g = docs.select(
+        "doc_id",
+        F.size(grams).alias("total_3grams"),
+        F.size(F.array_distinct(grams)).alias("distinct_3grams"),
+    )
+    rep = F.col("total_3grams") - F.col("distinct_3grams")
+    return g.select(
+        "doc_id",
+        "total_3grams",
+        "distinct_3grams",
+        F.when(F.col("total_3grams") == 0, F.lit(0.0))
+        .otherwise(rep.cast("double") / F.col("total_3grams"))
+        .alias("repetition_ratio"),
+        (rep > F.col("total_3grams") * 0.2).alias("flag_repetitive"),
+    )

@@ -223,3 +223,37 @@ def test_asof_join_forward_tolerance_matches_merge_asof(spark):
         got["rts_asof"].fillna(-1).to_numpy()
         == exp["rts_e"].fillna(-1).to_numpy()
     ).all()
+
+
+def test_cosine_pairs_grid_equals_blockwise(spark):
+    """The distributed block-grid all-pairs must emit exactly the closure
+    fast path's pairs (same threshold, same rounded sims) for any block
+    count — including n_blocks=1 (single tile) and a count larger than
+    the row count (many empty tiles)."""
+    from project_crypto_data_engineering_gcp_spark.operators.similarity import (
+        cosine_pairs_blockwise,
+        cosine_pairs_grid,
+    )
+
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(60),
+                "label": [i % 3 for i in range(60)],
+                "embedding": [
+                    rng.normal(0, 1, 16).astype(np.float32).tolist()
+                    for _ in range(60)
+                ],
+            }
+        ),
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    want = {tuple(r) for r in cosine_pairs_blockwise(emb, threshold=0.2).collect()}
+    assert want  # non-vacuous
+    for n_blocks in (1, 4, 97):
+        got = {
+            tuple(r)
+            for r in cosine_pairs_grid(emb, threshold=0.2, n_blocks=n_blocks).collect()
+        }
+        assert got == want, n_blocks
