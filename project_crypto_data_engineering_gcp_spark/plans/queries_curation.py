@@ -434,3 +434,67 @@ def curate_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("bucket")
         ).alias("pad_waste_ratio"),
     )
+
+
+# per-source sampling rates (the mix recipe's execution knob): sources
+# ending in an even digit downweighted to 30%, odd kept at 100%
+SAMPLE_RATE_EVEN, SAMPLE_RATE_ODD = 0.30, 1.00
+SAMPLE_SALT = "sample-v1:"
+SAMPLE_MOD = 1_000_000
+
+
+def _rate_col() -> F.Column:
+    last = F.substring("source", -1, 1).cast("int")
+    return F.when(last % 2 == 0, F.lit(SAMPLE_RATE_EVEN)).otherwise(
+        F.lit(SAMPLE_RATE_ODD)
+    )
+
+
+def _rate_sql() -> str:
+    return (
+        f"CASE WHEN CAST(substr(source, -1, 1) AS INT) % 2 = 0 "
+        f"THEN {SAMPLE_RATE_EVEN} ELSE {SAMPLE_RATE_ODD} END"
+    )
+
+
+@corpus_query(
+    "curate_sample_rates",
+    oracle=f"""
+    WITH sampled AS (
+        SELECT doc_id, source,
+               {md5_long_sql("CAST(doc_id AS VARCHAR)", SAMPLE_SALT)}
+                   % {SAMPLE_MOD} AS draw,
+               {_rate_sql()} AS rate
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (draw < rate * {SAMPLE_MOD}) AS n_kept,
+           ANY_VALUE(rate) AS rate
+    FROM sampled
+    GROUP BY source
+    """,
+)
+def curate_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source rate sampling — executing a data-mix
+    recipe (downweight noisy corpora, keep clean ones) WITHOUT RNG:
+    membership is salted-md5(doc_id) mod 1e6 < rate*1e6, a pure function
+    of the document id, so the same doc is kept on every run, any
+    cluster size, either engine — and rates can later be RAISED without
+    resampling the already-kept set (hash-threshold monotonicity: the
+    kept set at 30% is a subset of the kept set at 60%). Output audits
+    kept/total per source against its configured rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = md5_long(F.col("doc_id").cast("string"), SAMPLE_SALT) % SAMPLE_MOD
+    sampled = docs.select(
+        "source",
+        draw.alias("draw"),
+        _rate_col().alias("rate"),
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("draw") < F.col("rate") * SAMPLE_MOD, 1)).alias(
+            "n_kept"
+        ),
+        F.any_value("rate").alias("rate"),
+    )

@@ -697,3 +697,39 @@ def approx_quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ap50 >= lo50) & (ap50 <= hi50) & (ap95 >= lo95) & (ap95 <= hi95)
         ).alias("approx_within_tol"),
     )
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS column,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER ({c} IS NULL) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+
+
+@corpus_query(
+    "profile_orders",
+    oracle=" UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in (
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    ),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (the ANALYZE step): per-column row/null/
+    exact-distinct counts and stringified min/max for the whole orders
+    table — ALL columns' aggregates evaluate in a single partial/final
+    HashAggregate pair over one scan (operators/profile.py), then pivot
+    to long format via stack on the 1-row result (no extra shuffle)."""
+    from ..operators.profile import profile
+
+    return profile(load_table(spark, sf_dir, "orders"))
