@@ -79,3 +79,24 @@ def compact_table(
         for f in os.listdir(path)
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     )
+
+
+def morton_col(a: str, b: str, *, bits: int = 16) -> "F.Column":
+    """Z-order (Morton) interleave of two non-negative integer columns'
+    low ``bits`` bits — the multi-dimensional clustering key for
+    :func:`compact_table`: sorting by the Morton code keeps rows close
+    in BOTH dimensions close in the file, so parquet row-group min/max
+    stats prune point/range filters on EITHER column (the poor man's
+    Delta/Iceberg Z-ORDER, as a pure JVM expression).
+
+    Bit-interleave as a closed-form expression: sum over i of
+    bit_i(a) << 2i | bit_i(b) << (2i+1) — 2*bits output bits."""
+    code = F.lit(0).cast("long")
+    ca, cb = F.col(a).cast("long"), F.col(b).cast("long")
+    for i in range(bits):
+        code = (
+            code
+            + (F.shiftright(ca, i).bitwiseAND(1) * F.lit(1 << (2 * i)))
+            + (F.shiftright(cb, i).bitwiseAND(1) * F.lit(1 << (2 * i + 1)))
+        )
+    return code
