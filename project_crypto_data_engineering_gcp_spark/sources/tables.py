@@ -32,6 +32,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond TIMESTAMP applies, so both engines see identical values.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Engine-owned execution posture (safe on any session, incl. the
+    # plain default one the driver uses): AQE coalesces the default 200
+    # shuffle partitions down to the data's actual size at runtime.
+    # Performance-only — every result is partition-count-independent by
+    # design (exact decimal sums, total orderings), proven by running
+    # the whole corpus under both 200-partition plain and 32-partition
+    # tuned sessions.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
