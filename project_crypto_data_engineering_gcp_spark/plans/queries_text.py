@@ -462,3 +462,45 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("repetition_ratio"),
         (rep > F.col("total_3grams") * 0.2).alias("flag_repetitive"),
     )
+
+
+ROLL_B = 1_000_003          # polynomial base (fits acc*B + x in int64)
+ROLL_P = 2_147_483_647      # 2^31 - 1
+
+
+@corpus_query(
+    "text_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform({tokens_sql("text")},
+                                  t -> {md5_long_sql("t")} % {ROLL_P})),
+               (acc, x) -> (acc * {ROLL_B} + x) % {ROLL_P}
+           ) AS rolling_fp,
+           len({tokens_sql("text")}) AS n_tokens
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE document fingerprint: a Rabin-Karp polynomial
+    rolling hash folded left-to-right over per-token hashes —
+    h = (h*B + md5(token) mod P) mod P. Complements the
+    order-insensitive set fingerprint (text_fingerprint): two documents
+    with the same vocabulary in different order collide there but not
+    here, and the polynomial form extends to windowed substring
+    fingerprints (subtract the leading term) for plagiarism-style span
+    matching. Pure int64 arithmetic, bit-identical in both engines
+    (acc < 2^31, B ~ 2^20 -> acc*B + x < 2^52, no overflow)."""
+    docs = load_table(spark, sf_dir, "documents")
+    token_hashes = F.transform(tokens("text"), lambda t: md5_long(t) % ROLL_P)
+    rolling = F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_B + x) % ROLL_P,
+    )
+    return docs.select(
+        "doc_id",
+        rolling.alias("rolling_fp"),
+        F.size(tokens("text")).alias("n_tokens"),
+    )
