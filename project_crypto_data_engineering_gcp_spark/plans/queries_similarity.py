@@ -240,3 +240,43 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_filter=F.col("vec_id") < TOPK_QUERIES,
         bucket_dims=LSH_DIMS,
     )
+
+
+@corpus_query(
+    "sim_dimension_stats",
+    oracle="""
+    WITH e AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    )
+    SELECT dim,
+           COUNT(*) AS n,
+           MIN(x) AS min_val,
+           MAX(x) AS max_val,
+           COUNT(*) FILTER (x > 3.0 OR x < -3.0) AS n_outliers,
+           COUNT(*) FILTER (x = 0.0) AS n_zeros
+    FROM e GROUP BY dim
+    """,
+)
+def sim_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding hygiene: value range, |x|>3 outlier count,
+    and dead-dimension (zero) count across the corpus — the scan that
+    catches a broken encoder or a collapsed dimension before any ANN
+    index is built. posexplode + one aggregation on the dim key; every
+    output is an exact comparison/count (means of floats are deliberately
+    NOT emitted — double accumulation is partition-order-dependent and
+    float->decimal rounding ties diverge across engines at high scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(x).alias("min_val"),
+            F.max(x).alias("max_val"),
+            F.count(F.when((x > 3.0) | (x < -3.0), 1)).alias("n_outliers"),
+            F.count(F.when(x == 0.0, 1)).alias("n_zeros"),
+        )
+    )
