@@ -498,3 +498,55 @@ def curate_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.any_value("rate").alias("rate"),
     )
+
+
+CHUNK_SIZE, CHUNK_STRIDE = 64, 48  # tokens per chunk / stride (16 overlap)
+
+
+@corpus_query(
+    "curate_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {tokens_sql("text")} AS t FROM documents
+    ), starts AS (
+        SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - {CHUNK_SIZE}, 0)
+                               + {CHUNK_STRIDE}, {CHUNK_STRIDE})) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           array_to_string(list_slice(t, s, s + {CHUNK_SIZE} - 1), ' ')
+               AS chunk_text,
+           least(CAST(len(t) AS BIGINT) - s + 1, {CHUNK_SIZE}) AS n_tokens
+    FROM starts
+    WHERE s <= len(t)
+    """,
+)
+def curate_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (RAG / long-doc training
+    prep): each document splits into {CHUNK_SIZE}-token chunks with
+    stride {CHUNK_STRIDE} ({CHUNK_SIZE - CHUNK_STRIDE}-token overlap so
+    no boundary context is lost). Chunk starts come from an arithmetic
+    sequence (scan-stage expression), the slice+join is linear in output
+    size, and chunk_idx is derivable from the start offset — fully
+    deterministic, no window function needed at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    starts = F.expr(
+        f"sequence(1, greatest(size(split(text, ' ')) - {CHUNK_SIZE}, 0)"
+        f" + {CHUNK_STRIDE} - 1, {CHUNK_STRIDE})"
+    )
+    exploded = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(starts).alias("s"),
+    ).filter(F.col("s") <= F.size("t"))
+    return exploded.select(
+        "doc_id",
+        (((F.col("s") - 1) / CHUNK_STRIDE).cast("int")).alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("t", F.col("s"), CHUNK_SIZE)).alias("chunk_text"),
+        F.least(
+            F.size("t").cast("long") - F.col("s") + 1, F.lit(CHUNK_SIZE).cast("long")
+        ).alias("n_tokens"),
+    )
