@@ -77,6 +77,12 @@ def main() -> None:
     PASSES = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # drop cached blocks left by PREVIOUS queries: accumulated storage
+        # blocks from the dedup/similarity caches otherwise crowd executor
+        # memory and the tail queries measure GC pressure, not their plan
+        # (observed: sim_ann_ivf_topk 9.4s in-context vs 1.5s isolated).
+        # Each query still warms its own cache across its two passes.
+        spark.catalog.clearCache()
         q = queries[name]
         best = float("inf")
         for _ in range(PASSES):
