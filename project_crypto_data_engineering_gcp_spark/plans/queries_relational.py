@@ -733,3 +733,89 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile
 
     return profile(load_table(spark, sf_dir, "orders"))
+
+
+@corpus_query(
+    "o4_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rnk
+        FROM orders
+    ) t
+    WHERE rnk <= 3
+    """,
+)
+def o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise top-k (top-3 orders per priority class) — the "top-N
+    per key" companion to the global top-k (o3, reference O3 `3:158-171`
+    semantics generalized per group).
+
+    Scale shape: rank-window over the group key is ONE hash shuffle;
+    Spark inserts a WindowGroupLimit (per-partition top-k heaps ahead of
+    the shuffle) for row_number+filter plans, so the exchange carries at
+    most k rows per group per input partition, not whole groups — the
+    same partial-heap idea o3 gets from TakeOrderedAndProject. Tiebreak
+    on o_orderkey makes the cut deterministic; no arithmetic, so values
+    pass through bit-exact."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+@corpus_query(
+    "dedup_time_bucketed",
+    oracle="""
+    SELECT event_id, hour_bucket, user_id, event_type, ts FROM (
+        SELECT event_id, DATE_TRUNC('hour', ts) AS hour_bucket, user_id,
+               event_type, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY DATE_TRUNC('hour', ts), user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ) t
+    WHERE rn = 1
+    """,
+)
+def dedup_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state exact dedup: keep the FIRST occurrence of each
+    (user, event_type) within every hour bucket — the batch twin of
+    streaming `dropDuplicatesWithinWatermark`, where dedup state is
+    bounded by the time bucket instead of growing with the whole stream.
+
+    Scale shape: one hash shuffle on (hour_bucket, user_id, event_type)
+    — high-cardinality composite key, no skew; at 100 TB the same query
+    runs incrementally per arriving time bucket (the bucket IS the
+    processing grain), and state never exceeds one bucket's keys.
+    Keep-first is deterministic via the (ts, event_id) total order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        "user_id",
+        "event_type",
+        "ts",
+    )
+    w = Window.partitionBy("hour_bucket", "user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        bucketed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
