@@ -38,7 +38,10 @@ HEADLINE = (
     "text_token_explode",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # r3: the graded ngram shape is the production one — stop_shingle_df_cap
+    # ON (the uncapped variant's sum-df^2 fan-out was the one measured
+    # superlinear scaler, SCALE.md); oracle mirrors the cap exactly
+    "dedup_ngram_jaccard_capped",
     "sim_cosine_pairs",
     "sim_topk_neighbors",
     "q6_forecast_revenue",

@@ -38,68 +38,75 @@ class CorpusQuery:
 
 _REGISTRY: dict[str, CorpusQuery] = {}
 
-# The driver's correctness gate checks the FIRST ~50 registry entries only
-# (round 1 stopped at entry 50, leaving the crypto reference-parity queries,
-# the TPC-H menu, and curation with no driver evidence). all_queries() emits
-# this explicit priority list first so the check window covers the queries
-# the project exists for, then every remaining query in registration order.
+# The driver's correctness gate checks the FIRST ~50 registry entries only.
+# The window ROTATES per round so every corpus query accumulates a green
+# driver row: r1 covered entries 1-50 of the original order, r2 covered the
+# crypto/TPC-H/curation priority set, r3 (this window) covers the 26 queries
+# with no driver row from either prior round, the round's new additions,
+# a few fixed-in-r2 canaries, and refreshers whose only evidence is r1.
+# With this window, r1 ∪ r2 ∪ r3 covers all registered queries.
 CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
-    # reference-parity gold tables + dashboard (SURVEY §2.11 quirks Q1-Q8)
-    "crypto_daily_overview",
-    "crypto_top_gainers_losers",
-    "crypto_market_dominance",
-    "crypto_supply_dynamics",
-    "crypto_dashboard",
-    "crypto_silver_assets",
-    "crypto_scd2_history",
-    "crypto_merge_upsert",
-    # the full TPC-H menu (adapted shapes, SURVEY §2.4-2.7)
-    "q1_pricing_summary",
-    "q2_cheapest_supplier",
-    "q3_shipping_priority",
-    "q4_priority_with_returns",
-    "q5_nation_volume",
-    "q6_forecast_revenue",
-    "q7_nation_trade_flows",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue_topk",
-    "q11_important_parts",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_by_month",
-    "q15_top_supplier",
-    "q16_suppliers_not_in",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q20_parts_with_surplus_stock",
-    "q21_sole_returning_supplier",
-    "q22_dormant_rich_customers",
-    # training-data curation family
-    "curate_hash_split",
-    "curate_quota_per_lang",
-    "curate_decontaminate",
-    "curate_pack_sequences",
-    "curate_quality_cut",
-    "curate_mix_sources",
-    # round-1 red/err rows, fixed this round — need fresh driver evidence
+    # --- never driver-checked in r1/r2 (VERDICT r2 lead task) ---
+    # windows / navigation / time-series
+    "w4_event_navigation",
+    "w5_sliding_hour_total",
+    "w6_forward_fill",
+    "events_user_journey",
+    "range_join_event_pairs",
+    "asof_forward_error_tolerance",
+    # joins (semi / full-outer / correlated / skew-salted)
+    "j4_customers_with_orders_semi",
+    "j5_nation_activity_full_outer",
+    "j6_correlated_scalar",
+    "j7_salted_skew_join",
+    # aggregation shapes
+    "a6_salted_skew_aggregate",
+    "a7_order_price_histogram",
+    "approx_quantiles_totalprice",
+    "o4_topk_per_group",
+    "profile_orders",
+    "dq_constraint_violations",
+    # text analysis
+    "text_repetition_ratio",
+    "text_rolling_hash",
+    # similarity / dedup
+    "sim_dimension_stats",
+    "dedup_time_bucketed",
+    # curation (r2 additions)
+    "curate_ngram_decontaminate",
+    "curate_length_buckets",
+    "curate_sample_rates",
+    "curate_chunk_overlap",
+    # streaming twins
+    "streaming_interval_join",
+    "streaming_sessionized",
+    # --- new in r3: production-capped dedup + persisted ANN index ---
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh_capped",
+    "sim_ann_ivf_indexed",
+    # --- canaries: red/err in r1, fixed and green in r2 — keep watched ---
     "events_sessionized",
     "text_quality_by_lang",
     "mm_byte_histogram",
     "dedup_clusters_transitive",
-    "approx_distinct_parts",
-    "streaming_hourly_rollup",
-    # ANN similarity (distributed layout landed this round)
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_topk_neighbors",
-    # pandas-API slow path + scalar-function families (driver-untested in r1)
-    "pandas_scalar_price_tier",
-    "pandas_grouped_zscore",
-    "p13_string_functions",
-    "d1_date_functions",
-    "p14_map_json_ops",
+    # --- refreshers: only evidence is r1; re-prove the oldest rows ---
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_apply_keep_first",
+    "sim_cosine_pairs",
+    "sim_embedding_norms",
+    "asof_purchase_last_view",
+    "w1_latest_event_per_user",
+    "a1_global_stats",
+    "mm_payload_meta",
+    "text_token_stats",
+    "text_tfidf_topk",
+    "pivot_status_by_priority",
+    "cube_revenue",
 )
 
 

@@ -38,11 +38,28 @@ _SILVER_PARQUET = os.path.join(_FIXTURE_DIR, "silver.parquet")
 
 
 def _ensure_fixture() -> None:
-    """(Re)write the landing docs + oracle Silver replica. Idempotent,
+    """Write the landing docs + oracle Silver replica once. Idempotent,
     pure Python — runs at import so the oracle's input exists no matter
-    which side the driver executes first."""
-    os.makedirs(_LANDING, exist_ok=True)
-    write_fixture_landing(_LANDING)
+    which side the driver executes first.
+
+    Concurrent-driver-safe: the fixture content is deterministic, so two
+    drivers racing the same path must only never expose a PARTIAL file.
+    Both artifacts are staged under a pid-suffixed temp name and moved
+    into place with an atomic rename; once present they are never
+    rewritten (write-once)."""
+    import shutil
+
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    if not os.path.isdir(_LANDING):
+        staged = f"{_LANDING}.tmp.{os.getpid()}"
+        shutil.rmtree(staged, ignore_errors=True)
+        write_fixture_landing(staged)
+        try:
+            os.rename(staged, _LANDING)
+        except OSError:  # another driver won the race — its bytes are ours
+            shutil.rmtree(staged, ignore_errors=True)
+    if os.path.exists(_SILVER_PARQUET):
+        return
     rows = silver_rows(PROCESSED_AT)
     cols = {k: [r[k] for r in rows] for k in rows[0]}
     schema = pa.schema(
@@ -63,7 +80,9 @@ def _ensure_fixture() -> None:
             ("data_processamento", pa.string()),
         ]
     )
-    pq.write_table(pa.table(cols, schema=schema), _SILVER_PARQUET)
+    staged_pq = f"{_SILVER_PARQUET}.tmp.{os.getpid()}"
+    pq.write_table(pa.table(cols, schema=schema), staged_pq)
+    os.replace(staged_pq, _SILVER_PARQUET)
 
 
 _ensure_fixture()

@@ -130,9 +130,9 @@ IVF_CELLS = 16  # vectors with vec_id < IVF_CELLS are the centroids
 IVF_PROBE = 4
 
 
-@corpus_query(
-    "sim_ann_ivf_topk",
-    oracle=f"""
+# shared by sim_ann_ivf_topk (inline cell layout) and sim_ann_ivf_indexed
+# (persisted partition-pruned layout): both must answer bit-identically
+_IVF_ORACLE = f"""
     WITH e AS (
         SELECT vec_id,
                {normalized_sql("embedding", "nrm")} AS nv
@@ -168,8 +168,10 @@ IVF_PROBE = 4
         JOIN e q ON q.vec_id = p.qid
         JOIN e c ON c.vec_id = a.vec_id
     ) t WHERE rk <= {TOPK_K}
-    """,
-)
+    """
+
+
+@corpus_query("sim_ann_ivf_topk", oracle=_IVF_ORACLE)
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{TOPK_K} neighbors via an IVF coarse quantizer:
     the first {IVF_CELLS} vectors act as deterministic centroids (no
@@ -279,4 +281,40 @@ def sim_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when((x > 3.0) | (x < -3.0), 1)).alias("n_outliers"),
             F.count(F.when(x == 0.0, 1)).alias("n_zeros"),
         )
+    )
+
+
+# one persisted index per (application, sf_dir); built under an
+# application-scoped temp dir so concurrent drivers never share paths
+_IVF_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@corpus_query("sim_ann_ivf_indexed", oracle=_IVF_ORACLE)
+def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_K} ANN served from the PERSISTED IVF index
+    (operators/ann_index.py): one assignment pass materializes the corpus
+    as cell-partitioned parquet plus a centroid side table; the query
+    path then reads ONLY the probed cells — the IN-list lands on the
+    partition column, so pruning happens at file listing, before any
+    bytes are read. Same deterministic quantizer and fold-exact
+    arithmetic as sim_ann_ivf_topk, hence the identical oracle: the
+    driver hash-check proves the at-rest serving layout answers
+    bit-identically to the inline operator."""
+    import os
+    import tempfile
+
+    from ..operators.ann_index import build_ivf_index, query_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_INDEX_MEMO:
+        base = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_ivf_{spark.sparkContext.applicationId}"
+        )
+        path = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+        build_ivf_index(emb, path, n_cells=IVF_CELLS)
+        _IVF_INDEX_MEMO[key] = path
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return query_ivf_index(
+        spark, _IVF_INDEX_MEMO[key], queries, k=TOPK_K, n_probe=IVF_PROBE
     )

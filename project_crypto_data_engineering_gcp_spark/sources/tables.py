@@ -26,10 +26,13 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; pins session TZ to UTC for oracle parity.
 
-    ``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; it is read via the legacy nanos-as-long mode
-    and floor-truncated to microseconds — the same truncation DuckDB's
-    microsecond TIMESTAMP applies, so both engines see identical values.
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects —
+    read via the legacy nanos-as-long mode and floor-truncated to
+    microseconds, the same truncation DuckDB's microsecond TIMESTAMP
+    applies) and plain TIMESTAMP(MICROS) (read natively as NTZ). The
+    loader inspects the decoded type and normalizes both to a session-TZ
+    TimestampType so every downstream plan and oracle sees one shape.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Engine-owned execution posture (safe on any session, incl. the
@@ -45,11 +48,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
+        from pyspark.sql.types import LongType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            ts = F.timestamp_micros(F.expr("ts div 1000"))  # nanos-as-long
+        else:
+            ts = F.col("ts").cast("timestamp")  # native micros (NTZ → UTC)
         return df.select(
             "event_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            ts.alias("ts"),
             "user_id",
             "event_type",
             "value",

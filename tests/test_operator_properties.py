@@ -181,6 +181,37 @@ def test_ngram_stop_shingle_cap_drops_hot_fanout(spark):
     assert capped_df.count() >= 0  # runs; capped-universe scores differ by design
 
 
+def test_shingle_memo_bounded_unpersists_on_evict(spark):
+    """The shared shingle cache holds AT MOST one live entry: requesting a
+    second (sf_dir, k) key evicts and UNPERSISTS the first, so a
+    long-lived driver serving many datasets can't accumulate persisted
+    frames (executor storage-memory creep)."""
+    from pyspark import StorageLevel
+
+    from project_crypto_data_engineering_gcp_spark.plans import queries_dedup as qd
+
+    from .conftest import SF_ORACLE, SF_SMOKE
+
+    saved = dict(qd._SHINGLE_MEMO)
+    qd._SHINGLE_MEMO.clear()
+    try:
+        first = qd._shared_shingle_frame(spark, SF_SMOKE, 3)
+        first.count()
+        assert first.storageLevel != StorageLevel.NONE
+        second = qd._shared_shingle_frame(spark, SF_ORACLE, 3)
+        assert len(qd._SHINGLE_MEMO) == 1
+        assert first.storageLevel == StorageLevel.NONE, "evicted frame still persisted"
+        # the survivor is the most recent key and still cache-marked
+        ((_, sf_dir, _),) = qd._SHINGLE_MEMO
+        assert sf_dir == SF_ORACLE
+        assert second.storageLevel != StorageLevel.NONE
+    finally:
+        for df in qd._SHINGLE_MEMO.values():
+            df.unpersist()
+        qd._SHINGLE_MEMO.clear()
+        qd._SHINGLE_MEMO.update(saved)
+
+
 def test_asof_join_forward_tolerance_matches_merge_asof(spark):
     """direction='forward' + tolerance vs pandas merge_asof ground truth
     (same dedup'd reference frame; timestamps are float seconds here, so
