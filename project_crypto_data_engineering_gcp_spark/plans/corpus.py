@@ -80,10 +80,15 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     # streaming twins
     "streaming_interval_join",
     "streaming_sessionized",
-    # --- new in r3: production-capped dedup + persisted ANN index ---
+    # --- new in r3: production-capped dedup + persisted ANN index,
+    # containment dedup, k-means clustering, funnel, cumulative-distinct ---
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh_capped",
     "sim_ann_ivf_indexed",
+    "dedup_containment",
+    "cluster_kmeans_embeddings",
+    "events_funnel_conversion",
+    "w7_cumulative_distinct_users",
     # --- canaries: red/err in r1, fixed and green in r2 — keep watched ---
     "events_sessionized",
     "text_quality_by_lang",
@@ -102,11 +107,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "asof_purchase_last_view",
     "w1_latest_event_per_user",
     "a1_global_stats",
-    "mm_payload_meta",
     "text_token_stats",
-    "text_tfidf_topk",
-    "pivot_status_by_priority",
-    "cube_revenue",
 )
 
 

@@ -403,6 +403,67 @@ def dedup_ngram_jaccard(
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@corpus_query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / sa.n, 6) AS contain_a_in_b,
+           ROUND(CAST(i AS DOUBLE) / sb.n, 6) AS contain_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    |A∩B| / min(|A|,|B|) >= {CONTAINMENT_THRESHOLD}: catches a short
+    document embedded inside a longer one (quotes, boilerplate wrappers,
+    partial crawls), which symmetric jaccard misses — the union in its
+    denominator dilutes the score when sizes differ. Reports both
+    directional scores per flagged pair.
+
+    Scale: identical plan skeleton to dedup_ngram_jaccard — the shared
+    cached shingle index, equi-join on shingle for intersections (fan-out
+    is per-shingle df², boundable with the same stop-shingle cap), and
+    broadcast size joins; only the final scoring expression differs."""
+    sh = _shared_shingle_frame(spark, sf_dir, 3).withColumnRenamed("tok", "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    i_dbl = F.col("i").cast("double")
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(i_dbl / F.least(F.col("sa.n"), F.col("sb.n")) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(i_dbl / F.col("sa.n"), 6).alias("contain_a_in_b"),
+            F.round(i_dbl / F.col("sb.n"), 6).alias("contain_b_in_a"),
+        )
+    )
+
+
 # Production caps for the *_capped graded twins. At the oracle scale
 # (sf0.01: 500 docs, max shingle occurrence 7, max band bucket 3) the caps
 # are deliberately TIGHT so the pruning path is genuinely exercised —

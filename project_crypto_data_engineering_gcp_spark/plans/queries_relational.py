@@ -819,3 +819,164 @@ def dedup_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@corpus_query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT stage, n_users,
+           ROUND(CAST(n_users AS DOUBLE) / NULLIF(prev, 0), 6) AS conversion
+    FROM (
+        SELECT '1_view' AS stage,
+               (SELECT COUNT(*) FROM s1) AS n_users,
+               (SELECT COUNT(*) FROM s1) AS prev
+        UNION ALL
+        SELECT '2_click',
+               (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s1)
+        UNION ALL
+        SELECT '3_purchase',
+               (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s2)
+    ) t
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): a user
+    counts at stage N only if stage N's FIRST qualifying event occurs at
+    or after their stage-N-1 entry time — the sequencing constraint that
+    separates a funnel from three independent counts. Emits per-stage
+    user counts and step conversion rates.
+
+    Scale: each stage is a groupBy(user) min + an equi-join back on
+    user_id — shuffle keys are user_id throughout, so one co-partitioning
+    serves the whole chain; the three stage counts are scalar aggregates
+    assembled via broadcast (no driver collect)."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    stage = F.explode(
+        F.array(
+            F.struct(
+                F.lit("1_view").alias("stage"),
+                F.col("n1").alias("n_users"),
+                F.col("n1").alias("prev"),
+            ),
+            F.struct(
+                F.lit("2_click").alias("stage"),
+                F.col("n2").alias("n_users"),
+                F.col("n1").alias("prev"),
+            ),
+            F.struct(
+                F.lit("3_purchase").alias("stage"),
+                F.col("n3").alias("n_users"),
+                F.col("n2").alias("prev"),
+            ),
+        )
+    )
+    return counts.select(stage.alias("r")).select(
+        F.col("r.stage").alias("stage"),
+        F.col("r.n_users").alias("n_users"),
+        F.round(
+            F.col("r.n_users").cast("double")
+            / F.when(F.col("r.prev") != 0, F.col("r.prev")),
+            6,
+        ).alias("conversion"),
+    )
+
+
+@corpus_query(
+    "w7_cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS n_active
+        FROM events GROUP BY 1
+    ),
+    news AS (
+        SELECT first_day AS day, COUNT(*) AS n_new FROM firsts GROUP BY 1
+    )
+    SELECT d.day, d.n_active,
+           COALESCE(n.n_new, 0) AS n_new,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT)
+               AS cum_users
+    FROM daily d LEFT JOIN news n ON n.day = d.day
+    """,
+)
+def w7_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + running count of DISTINCT users ever seen —
+    the growth-dashboard metric SQL windows can't express directly
+    (COUNT(DISTINCT) OVER a running frame is unsupported in both
+    engines). Standard decomposition: a user's contribution to the
+    cumulative series is their FIRST-seen day (one groupBy), so the
+    running distinct count is a plain cumulative SUM of first-seen
+    counts.
+
+    Scale: the unbounded-window cumulative sum runs on the per-DAY
+    aggregate — a bounded-domain frame (one row per calendar day), so the
+    single-partition window sort is over thousands of rows regardless of
+    input size; the heavy lifting (per-user min, per-day distinct) is
+    map-side-combinable groupBys."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    news = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(news, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w))
+    )

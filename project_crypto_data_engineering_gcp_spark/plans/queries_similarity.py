@@ -318,3 +318,125 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ivf_index(
         spark, _IVF_INDEX_MEMO[key], queries, k=TOPK_K, n_probe=IVF_PROBE
     )
+
+
+# --------------------------------------------------------------- clustering
+
+KMEANS_K = 8  # vectors with vec_id < KMEANS_K seed the centroids
+KMEANS_ROUNDS = 2
+KMEANS_Q = 6  # input quantization decimals (makes centroid means exact)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of cluster_kmeans_embeddings: the fixed
+    round count lets Lloyd's loop be expressed as plain SQL."""
+    from ..functions.vectors import dot_double_sql, norm_sql, normalized_sql
+
+    def assign(cents: str, out: str) -> str:
+        return f"""
+    {out} AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dot_double_sql("e.nv", "c.cv")} DESC, c.cid
+                   ) AS rk
+            FROM e, {cents} c
+        ) t WHERE rk = 1
+    )"""
+
+    return f"""
+    WITH raw AS (
+        SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id,
+               list_transform({normalized_sql("embedding", "nrm")},
+                              x -> round(x, {KMEANS_Q})) AS nv
+        FROM raw
+    ),
+    c0 AS (SELECT vec_id AS cid, nv AS cv FROM e WHERE vec_id < {KMEANS_K}),
+    {assign("c0", "a1")},
+    d1 AS (
+        SELECT a1.cid, a1.vec_id, unnest(range(1, len(e.nv) + 1)) AS i
+        FROM a1 JOIN e USING (vec_id)
+    ),
+    u1 AS (
+        SELECT d1.cid, d1.i,
+               CAST(SUM(CAST(e.nv[d1.i] AS DECIMAL(18,{KMEANS_Q}))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM d1 JOIN e USING (vec_id)
+        GROUP BY d1.cid, d1.i
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM u1 GROUP BY cid),
+    {assign("c1", "a2")}
+    SELECT vec_id, cid AS cluster FROM a2
+    """
+
+
+@corpus_query("cluster_kmeans_embeddings", oracle=_kmeans_oracle())
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document clustering: {KMEANS_ROUNDS} Lloyd iterations of spherical
+    k-means (k={KMEANS_K}) over unit-normalized embeddings — the
+    workhorse for corpus topic bucketing and for training IVF coarse
+    quantizers. Deterministic end to end: seeds are the first
+    {KMEANS_K} vectors, assignment ties break on centroid id, and inputs
+    are quantized to {KMEANS_Q} decimals so the centroid-update mean is
+    an EXACT decimal sum (order-independent, hence partition-independent
+    and bit-identical in DuckDB — a raw double mean would vary with
+    Spark's partial-aggregate merge order).
+
+    Scale: assignment is a broadcast nested-loop against k centroids
+    (no shuffle of the vectors); the update is one posexplode +
+    map-side-combinable groupBy per round — per-round cost is a scan,
+    exactly how you'd run Lloyd on 100 TB. Centroids (k x dim doubles)
+    are the only driver-resident state."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import dec
+    from ..functions.vectors import dot_prenorm, norm, normalized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = norm("embedding")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            normalized("embedding", nrm), lambda x: F.round(x, KMEANS_Q)
+        ).alias("nv"),
+    ).cache()
+
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+        return (
+            e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cid", dot_prenorm("nv", "cv").alias("sim"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid")
+        )
+
+    for _ in range(KMEANS_ROUNDS - 1):
+        asg = assign(cents)
+        upd = (
+            asg.join(e, "vec_id")
+            .select("cid", F.posexplode("nv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(dec(F.col("v"), 18, KMEANS_Q)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        cents = upd.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+
+    return assign(cents).select("vec_id", F.col("cid").alias("cluster"))
