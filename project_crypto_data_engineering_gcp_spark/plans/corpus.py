@@ -87,6 +87,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_ann_ivf_indexed",
     "dedup_containment",
     "cluster_kmeans_embeddings",
+    "sim_pq_topk",
     "events_funnel_conversion",
     "w7_cumulative_distinct_users",
     # --- canaries: red/err in r1, fixed and green in r2 — keep watched ---
@@ -103,7 +104,6 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_apply_keep_first",
     "sim_cosine_pairs",
-    "sim_embedding_norms",
     "asof_purchase_last_view",
     "w1_latest_event_per_user",
     "a1_global_stats",

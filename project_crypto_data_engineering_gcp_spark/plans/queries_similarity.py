@@ -440,3 +440,155 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return assign(cents).select("vec_id", F.col("cid").alias("cluster"))
+
+
+# ------------------------------------------------- product quantization ANN
+
+PQ_M = 4  # subspaces (dim 64 -> 4 x 16)
+PQ_SUBDIM = 16
+PQ_CODES = 16  # codewords per subspace (subvectors of vec_id < PQ_CODES)
+
+
+def _pq_oracle() -> str:
+    sub_expr = (
+        f"list_slice(nv, u.m * {PQ_SUBDIM} + 1, (u.m + 1) * {PQ_SUBDIM})"
+    )
+    sqdist = (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),"
+        f" i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i])))"
+    )
+    pivot = ", ".join(
+        f"MAX(CASE WHEN x.m = {m} THEN l.pdot END) AS p{m}"
+        for m in range(PQ_M)
+    )
+    score = " + ".join(f"p{m}" for m in range(PQ_M))
+    return f"""
+    WITH raw AS (
+        SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, {normalized_sql("embedding", "nrm")} AS nv FROM raw
+    ),
+    subs AS (
+        SELECT vec_id, u.m, {sub_expr} AS sub
+        FROM e, (SELECT unnest(range(0, {PQ_M})) AS m) u
+    ),
+    cb AS (
+        SELECT m, vec_id AS code, sub AS cw FROM subs WHERE vec_id < {PQ_CODES}
+    ),
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {sqdist} ASC, c.code ASC
+                   ) AS rk
+            FROM subs s JOIN cb c ON c.m = s.m
+        ) t WHERE rk = 1
+    ),
+    lut AS (
+        SELECT s.vec_id AS qid, s.m, c.code,
+               {dot_double_sql("s.sub", "c.cw")} AS pdot
+        FROM subs s JOIN cb c ON c.m = s.m
+        WHERE s.vec_id < {TOPK_QUERIES}
+    ),
+    scored AS (
+        SELECT l.qid, x.vec_id, {pivot}
+        FROM codes x JOIN lut l ON l.m = x.m AND l.code = x.code
+        GROUP BY l.qid, x.vec_id
+    )
+    SELECT qid, vec_id, approx_score, rank FROM (
+        SELECT qid, vec_id, ROUND({score}, 6) AS approx_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY {score} DESC, vec_id ASC
+               ) AS rank
+        FROM scored
+    ) t WHERE rank <= {TOPK_K}
+    """
+
+
+@corpus_query("sim_pq_topk", oracle=_pq_oracle())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_K} ANN via product quantization with asymmetric distance
+    computation (ADC) — the memory-compressed serving layout: each vector
+    is stored as {PQ_M} one-byte codes ({PQ_M * PQ_SUBDIM}-dim split into
+    {PQ_M} subspaces, each snapped to its nearest of {PQ_CODES}
+    deterministic codewords), a ~{8 * PQ_SUBDIM}x compression. At query
+    time each query precomputes a {PQ_M}x{PQ_CODES} partial-dot lookup
+    table; candidate scores are LUT joins on the CODES — the original
+    vectors are never read at serve time, which is what makes a 100 TB
+    corpus fit a serving tier.
+
+    Parity: assignment and LUT entries are deterministic folds; the
+    per-pair score sums its {PQ_M} partial dots via a fixed-order pivot
+    (p0+p1+p2+p3), not an order-dependent SUM, so both engines add the
+    same doubles in the same order — the oracle computes the identical
+    approximation and the driver hash-matches exactly.
+
+    Scale: codes/LUT/scored frames carry only scalars (the one array
+    stage, encoding, is a broadcast join against {PQ_M}x{PQ_CODES}
+    codewords); the scored fan-out is N x {PQ_M} x n_queries rows — the
+    classic linear ADC scan, shuffled only for the per-query top-k."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot_prenorm, norm, normalized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", normalized("embedding", norm("embedding")).alias("nv")
+    )
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("nv", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sub"),
+    ).cache()
+    cb = subs.filter(F.col("vec_id") < PQ_CODES).select(
+        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cw")
+    )
+    sqdist = F.aggregate(
+        F.zip_with("sub", "cw", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wenc = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("sqd"), F.asc("code")
+    )
+    codes = (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "code", sqdist.alias("sqd"))
+        .withColumn("rk", F.row_number().over(wenc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", "code")
+    )
+    lut = (
+        subs.filter(F.col("vec_id") < TOPK_QUERIES)
+        .withColumnRenamed("vec_id", "qid")
+        .join(F.broadcast(cb), "m")
+        .select("qid", "m", "code", dot_prenorm("sub", "cw").alias("pdot"))
+    )
+    parts = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == m, F.col("pdot"))).alias(f"p{m}")
+                for m in range(PQ_M)
+            ]
+        )
+    )
+    score = sum((F.col(f"p{m}") for m in range(1, PQ_M)), F.col("p0"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        parts.select("qid", "vec_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOPK_K)
+        .select(
+            "qid", "vec_id", F.round("score", 6).alias("approx_score"), "rank"
+        )
+    )

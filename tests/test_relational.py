@@ -51,6 +51,29 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert 0.3 < recall <= 1.0, recall
 
 
+def test_pq_recall_vs_bruteforce(spark):
+    """PQ-ADC top-k with a 4x16 codebook over 64 dims is a coarse
+    quantization, but the approximate ranking must still recover a solid
+    share of the exact top-k, and score must decrease along each query's
+    ranked list (rank is BY approx score)."""
+    qs = all_queries()
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in qs["sim_topk_neighbors"].fn(spark, SF_ORACLE).collect()
+    }
+    rows = qs["sim_pq_topk"].fn(spark, SF_ORACLE).collect()
+    approx = {(r["qid"], r["vec_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert 0.2 < recall <= 1.0, recall
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for q, lst in by_q.items():
+        lst.sort(key=lambda r: r["rank"])
+        scores = [r["approx_score"] for r in lst]
+        assert scores == sorted(scores, reverse=True), (q, scores)
+
+
 def test_range_join_bucketization_is_exact(spark):
     """The bucketized range join must equal the naive inequality join
     (here checked via row count against the DuckDB naive formulation,
