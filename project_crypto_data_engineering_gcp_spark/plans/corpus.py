@@ -88,6 +88,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "cluster_kmeans_embeddings",
     "sim_pq_topk",
+    "dedup_semantic_blocked",
     "events_funnel_conversion",
     "w7_cumulative_distinct_users",
     # --- canaries: red/err in r1, fixed and green in r2 — keep watched ---
@@ -102,7 +103,6 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "dedup_apply_keep_first",
     "sim_cosine_pairs",
     "asof_purchase_last_view",
     "w1_latest_event_per_user",

@@ -327,9 +327,11 @@ KMEANS_ROUNDS = 2
 KMEANS_Q = 6  # input quantization decimals (makes centroid means exact)
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled-CTE DuckDB twin of cluster_kmeans_embeddings: the fixed
-    round count lets Lloyd's loop be expressed as plain SQL."""
+def _kmeans_ctes() -> str:
+    """WITH-body of the unrolled-CTE Lloyd loop (the fixed round count
+    lets the iteration be expressed as plain SQL); final assignments in
+    ``a2``, quantized-normalized vectors in ``e``. Shared by the
+    clustering oracle and the cluster-blocked semantic dedup oracle."""
     from ..functions.vectors import dot_double_sql, norm_sql, normalized_sql
 
     def assign(cents: str, out: str) -> str:
@@ -345,8 +347,7 @@ def _kmeans_oracle() -> str:
         ) t WHERE rk = 1
     )"""
 
-    return f"""
-    WITH raw AS (
+    return f"""raw AS (
         SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm FROM embeddings
     ),
     e AS (
@@ -369,7 +370,12 @@ def _kmeans_oracle() -> str:
         GROUP BY d1.cid, d1.i
     ),
     c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM u1 GROUP BY cid),
-    {assign("c1", "a2")}
+    {assign("c1", "a2")}"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH {_kmeans_ctes()}
     SELECT vec_id, cid AS cluster FROM a2
     """
 
@@ -391,6 +397,13 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable groupBy per round — per-round cost is a scan,
     exactly how you'd run Lloyd on 100 TB. Centroids (k x dim doubles)
     are the only driver-resident state."""
+    _, asg = _kmeans_fit(spark, sf_dir)
+    return asg.select("vec_id", F.col("cid").alias("cluster"))
+
+
+def _kmeans_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Run the deterministic Lloyd loop; returns (quantized-normalized
+    vectors ``(vec_id, nv)``, final assignments ``(vec_id, cid)``)."""
     from pyspark.sql import Window
 
     from ..functions.numeric import dec
@@ -439,7 +452,61 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
 
-    return assign(cents).select("vec_id", F.col("cid").alias("cluster"))
+    return e, assign(cents)
+
+
+SEMANTIC_BLOCK_THRESHOLD = 0.4  # same bar as dedup_embedding_cosine
+
+
+def _semantic_blocked_oracle() -> str:
+    from ..functions.vectors import dot_double_sql
+
+    cs = dot_double_sql("x.nv", "y.nv")
+    return f"""
+    WITH {_kmeans_ctes()},
+    v AS (SELECT a2.vec_id, a2.cid, e.nv FROM a2 JOIN e USING (vec_id))
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           ROUND({cs}, 6) AS cos_sim
+    FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    WHERE {cs} >= {SEMANTIC_BLOCK_THRESHOLD}
+    """
+
+
+@corpus_query("dedup_semantic_blocked", oracle=_semantic_blocked_oracle())
+def dedup_semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-accelerated semantic dedup: k-means cluster ids act as
+    BLOCKING keys, so exact cosine runs only on same-cluster pairs —
+    candidate count drops from N²/2 to Σ n_c²/2 while high-similarity
+    pairs (which co-cluster by construction — both land nearest the same
+    centroid) survive. The standard recall/cost dial for semantic dedup
+    at corpus scale: more clusters = fewer pairs, slightly lower recall;
+    compose with the block-grid within giant clusters if needed.
+
+    Plan: one shuffle of (vec_id, nv, cid) on the cluster key, then a
+    same-key self-join — no cross-cluster pair is ever materialized.
+    Oracle shares the unrolled Lloyd CTEs, so the cluster assignment and
+    the pair scores are both bit-exact."""
+    from ..functions.vectors import dot_prenorm
+
+    e, asg = _kmeans_fit(spark, sf_dir)
+    v = e.join(asg, "vec_id")
+    x = v.alias("x")
+    y = v.alias("y")
+    cs = dot_prenorm(F.col("x.nv"), F.col("y.nv"))
+    return (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            cs.alias("cs"),
+        )
+        .filter(F.col("cs") >= SEMANTIC_BLOCK_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cs", 6).alias("cos_sim"))
+    )
 
 
 # ------------------------------------------------- product quantization ANN

@@ -74,6 +74,37 @@ def test_pq_recall_vs_bruteforce(spark):
         assert scores == sorted(scores, reverse=True), (q, scores)
 
 
+def test_semantic_blocked_subset_and_recall(spark):
+    """Cluster-blocked semantic dedup must emit a SUBSET of the exact
+    threshold pairs (blocking can only drop pairs, never invent or
+    rescore them) and recover most of them (high-cosine pairs co-cluster
+    by construction)."""
+    from project_crypto_data_engineering_gcp_spark.operators.similarity import (
+        cosine_pairs_grid,
+    )
+    from project_crypto_data_engineering_gcp_spark.plans.queries_similarity import (
+        SEMANTIC_BLOCK_THRESHOLD,
+    )
+    from project_crypto_data_engineering_gcp_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_pairs_grid(
+            emb, threshold=SEMANTIC_BLOCK_THRESHOLD
+        ).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"])
+        for r in all_queries()["dedup_semantic_blocked"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    }
+    assert blocked <= exact, blocked - exact
+    recall = len(blocked) / len(exact)
+    assert 0.3 < recall <= 1.0, recall
+
+
 def test_range_join_bucketization_is_exact(spark):
     """The bucketized range join must equal the naive inequality join
     (here checked via row count against the DuckDB naive formulation,
