@@ -401,9 +401,22 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.select("vec_id", F.col("cid").alias("cluster"))
 
 
-def _kmeans_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = KMEANS_K,
+    rounds: int = KMEANS_ROUNDS,
+) -> tuple[DataFrame, DataFrame]:
     """Run the deterministic Lloyd loop; returns (quantized-normalized
-    vectors ``(vec_id, nv)``, final assignments ``(vec_id, cid)``)."""
+    vectors ``(vec_id, nv)``, final assignments ``(vec_id, cid)``).
+
+    ``k`` is the production scale dial: downstream blocking costs scale
+    with cluster POPULATION (sum n_c^2 for pairwise work), so k must grow
+    with corpus size to hold n_c at a target — k = N / n_target, not a
+    constant (measured: holding k=8 while 10x-ing the vectors turned the
+    blocked-dedup self-join superlinear; see SCALE.md). The graded corpus
+    entries pin k={KMEANS_K} to match the fixed-k SQL oracle."""
     from pyspark.sql import Window
 
     from ..functions.numeric import dec
@@ -418,7 +431,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         ).alias("nv"),
     ).cache()
 
-    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+    cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
     )
 
@@ -432,7 +445,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
             .select("vec_id", "cid")
         )
 
-    for _ in range(KMEANS_ROUNDS - 1):
+    for _ in range(rounds - 1):
         asg = assign(cents)
         upd = (
             asg.join(e, "vec_id")

@@ -36,6 +36,10 @@ QUERIES = (
     "dedup_ngram_jaccard_capped",
     "sim_ann_ivf_topk",
     "sim_ann_ivf_indexed",
+    "cluster_kmeans_embeddings",
+    "sim_pq_topk",
+    "dedup_semantic_blocked",
+    "dedup_containment",
 )
 
 
