@@ -89,6 +89,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "cluster_kmeans_embeddings",
     "sim_pq_topk",
     "dedup_semantic_blocked",
+    "text_token_diversity",
+    "events_retention_cohorts",
     "events_funnel_conversion",
     "w7_cumulative_distinct_users",
     # --- canaries: red/err in r1, fixed and green in r2 — keep watched ---
@@ -106,8 +108,6 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_cosine_pairs",
     "asof_purchase_last_view",
     "w1_latest_event_per_user",
-    "a1_global_stats",
-    "text_token_stats",
 )
 
 

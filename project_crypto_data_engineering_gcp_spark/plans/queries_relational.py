@@ -980,3 +980,79 @@ def w7_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cum_users", F.sum("n_new").over(w))
     )
+
+
+@corpus_query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    matrix AS (
+        SELECT f.cohort,
+               CAST(datediff('day', CAST(f.cohort AS DATE),
+                             CAST(a.week AS DATE)) / 7 AS BIGINT)
+                   AS week_offset,
+               COUNT(*) AS n_active
+        FROM activity a JOIN firsts f ON f.user_id = a.user_id
+        GROUP BY 1, 2
+    )
+    SELECT m.cohort, m.week_offset, m.n_active,
+           ROUND(CAST(m.n_active AS DOUBLE) / c0.n_active, 6) AS retention
+    FROM matrix m
+    JOIN (SELECT cohort, n_active FROM matrix WHERE week_offset = 0) c0
+      ON c0.cohort = m.cohort
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, each
+    cohort's active-user count tracked per week offset, normalized by
+    the cohort's own week-0 size — the standard growth-analytics
+    triangle. week_offset is exact integer arithmetic (both weeks are
+    Monday-truncated, so the day difference is an exact multiple of 7 in
+    both engines).
+
+    Scale: per-user first-seen and distinct (user, week) are map-side-
+    combinable groupBys on user_id; the matrix is a join back on user_id
+    (same co-partitioning) and the week-0 normalizer is a broadcast of
+    one row per cohort — the output is bounded by cohorts x offsets, not
+    by users."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    matrix = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                F.datediff(F.col("week").cast("date"), F.col("cohort").cast("date"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    c0 = (
+        matrix.filter(F.col("week_offset") == 0)
+        .select("cohort", F.col("n_active").alias("cohort_size"))
+    )
+    return (
+        matrix.join(F.broadcast(c0), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

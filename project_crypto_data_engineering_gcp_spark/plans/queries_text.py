@@ -504,3 +504,66 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling.alias("rolling_fp"),
         F.size(tokens("text")).alias("n_tokens"),
     )
+
+
+@corpus_query(
+    "text_token_diversity",
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({tokens_sql("text")}) AS tok
+              FROM documents) t
+        GROUP BY doc_id, tok
+    ),
+    arrs AS (
+        SELECT doc_id,
+               list(c ORDER BY tok) AS cs,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND(1.0 - list_sum(list_transform(cs,
+                     c -> (c / n_tokens) * (c / n_tokens))), 6)
+               AS gini_diversity
+    FROM arrs
+    """,
+)
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram diversity quality signal: Gini impurity 1 - sum p_i^2 of
+    each document's token distribution — near 0 for degenerate repeated-
+    token spam, near 1 for flat natural text. Chosen over Shannon
+    entropy deliberately: Gini is pure rational arithmetic (no ln whose
+    last-ulp differences vary by libm), so with a token-sorted
+    sequential fold the score is bit-identical across engines — the
+    differential-testable member of the concentration-metric family.
+
+    Scale: one map-side-combinable groupBy for counts; the per-doc fold
+    runs over each doc's DISTINCT tokens (bounded by vocabulary), inside
+    the aggregation stage — no second shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    arrs = counts.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("tok", "c"))),
+            lambda s: s["c"],
+        ).alias("cs"),
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    gini = F.lit(1.0) - F.aggregate(
+        "cs",
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (c / F.col("n_tokens")) * (c / F.col("n_tokens")),
+    )
+    return arrs.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(gini, 6).alias("gini_diversity"),
+    )
