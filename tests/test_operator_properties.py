@@ -212,6 +212,27 @@ def test_shingle_memo_bounded_unpersists_on_evict(spark):
         qd._SHINGLE_MEMO.update(saved)
 
 
+def test_minhash_derived_pools_bounded(spark):
+    """The signature and candidate pools hold at most one live frame
+    each, and the capped/uncapped candidate variants share the pool by
+    evicting (not accumulating): after running both minhash shapes, at
+    most one cand frame is persisted."""
+    from project_crypto_data_engineering_gcp_spark.plans import queries_dedup as qd
+
+    from .conftest import SF_SMOKE
+
+    for m in (qd._SIGS_MEMO, qd._CAND_MEMO):
+        for df in m.values():
+            df.unpersist()
+        m.clear()
+    qd.dedup_minhash_lsh(spark, SF_SMOKE).count()
+    qd.dedup_minhash_lsh_capped(spark, SF_SMOKE).count()
+    assert len(qd._SIGS_MEMO) == 1
+    assert len(qd._CAND_MEMO) == 1
+    ((_, _, cap),) = qd._CAND_MEMO
+    assert cap == qd.HOT_BAND_CAP  # latest variant won the single slot
+
+
 def test_asof_join_forward_tolerance_matches_merge_asof(spark):
     """direction='forward' + tolerance vs pandas merge_asof ground truth
     (same dedup'd reference frame; timestamps are float seconds here, so
