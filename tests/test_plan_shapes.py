@@ -317,3 +317,58 @@ def test_spread_leaves_partitioned_input_alone(spark):
     assert _spread(narrow, cap=16).rdd.getNumPartitions() >= min(
         16, spark.sparkContext.defaultParallelism
     )
+
+
+def test_kmeans_broadcast_assignment_and_rank_pruning(spark):
+    """k-means assignment must be a broadcast nested-loop against the
+    k-row centroid frame (vectors never shuffle for assignment) with the
+    argmax rank pre-pruned per partition (WindowGroupLimit), and the
+    centroid update a partial-aggregated groupBy."""
+    plan = plan_of(QUERIES["cluster_kmeans_embeddings"].fn(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_broadcast_codebook_and_lut(spark):
+    """PQ encode and ADC scoring must both be broadcast hash joins (the
+    codebook and the per-query LUT are the bounded sides); top-k comes
+    from a rank window with per-partition pruning."""
+    plan = plan_of(QUERIES["sim_pq_topk"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "WindowGroupLimit" in plan
+
+
+def test_semantic_blocked_pairs_are_hash_gated(spark):
+    """The blocked-dedup pair stage must join on the cluster key via a
+    hash-based equi-join — never an unkeyed pairwise product."""
+    plan = plan_of(QUERIES["dedup_semantic_blocked"].fn(spark, SF_ORACLE))
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_stage_joins_on_user(spark):
+    """Funnel stages must chain hash equi-joins on user_id; the three
+    scalar stage counts are assembled via broadcast (1-row frames), not
+    a driver collect."""
+    plan = plan_of(QUERIES["events_funnel_conversion"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "collect" not in plan.lower()
+
+
+def test_cohort_normalizer_broadcast(spark):
+    """The cohort week-0 normalizer (one row per cohort) must arrive via
+    broadcast join, not a second full shuffle of the matrix."""
+    plan = plan_of(QUERIES["events_retention_cohorts"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_containment_broadcast_sizes(spark):
+    """Containment scoring joins the per-doc size table via broadcast on
+    both sides, like the jaccard skeleton it shares."""
+    plan = plan_of(QUERIES["dedup_containment"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2
