@@ -88,6 +88,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "cluster_kmeans_embeddings",
     "sim_pq_topk",
+    "sim_pq_indexed",
     "dedup_semantic_blocked",
     "text_token_diversity",
     "events_retention_cohorts",
@@ -106,7 +107,6 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_cosine_pairs",
-    "asof_purchase_last_view",
     "w1_latest_event_per_user",
 )
 

@@ -609,66 +609,56 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, encoding, is a broadcast join against {PQ_M}x{PQ_CODES}
     codewords); the scored fan-out is N x {PQ_M} x n_queries rows — the
     classic linear ADC scan, shuffled only for the per-query top-k."""
-    from pyspark.sql import Window
-
-    from ..functions.vectors import dot_prenorm, norm, normalized
+    from ..operators.pq import (
+        normalized_vectors,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+        pq_lut,
+        pq_subspaces,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", normalized("embedding", norm("embedding")).alias("nv")
-    )
-    subs = e.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice("nv", m * PQ_SUBDIM + 1, PQ_SUBDIM)
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("m", "sub"),
+    subs = pq_subspaces(
+        normalized_vectors(emb), m=PQ_M, subdim=PQ_SUBDIM
     ).cache()
-    cb = subs.filter(F.col("vec_id") < PQ_CODES).select(
-        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cw")
-    )
-    sqdist = F.aggregate(
-        F.zip_with("sub", "cw", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    wenc = Window.partitionBy("vec_id", "m").orderBy(
-        F.asc("sqd"), F.asc("code")
-    )
-    codes = (
-        subs.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "code", sqdist.alias("sqd"))
-        .withColumn("rk", F.row_number().over(wenc))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "code")
-    )
-    lut = (
-        subs.filter(F.col("vec_id") < TOPK_QUERIES)
-        .withColumnRenamed("vec_id", "qid")
-        .join(F.broadcast(cb), "m")
-        .select("qid", "m", "code", dot_prenorm("sub", "cw").alias("pdot"))
-    )
-    parts = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .groupBy("qid", "vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("m") == m, F.col("pdot"))).alias(f"p{m}")
-                for m in range(PQ_M)
-            ]
+    cb = pq_codebook(subs, n_codes=PQ_CODES)
+    codes = pq_encode(subs, cb)
+    lut = pq_lut(subs.filter(F.col("vec_id") < TOPK_QUERIES), cb)
+    return pq_adc_topk(codes, lut, m=PQ_M, k=TOPK_K)
+
+
+
+# one persisted PQ codes table per (application, sf_dir)
+_PQ_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@corpus_query("sim_pq_indexed", oracle=_pq_oracle())
+def sim_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_K} ANN served from the PERSISTED PQ codes table
+    (operators/pq.py): one encode pass materializes each vector as
+    {PQ_M} small ints plus the {PQ_M}x{PQ_CODES} codebook side table;
+    the query path reads ONLY those two artifacts — the corpus
+    embeddings are never opened at serve time (plan-asserted). Same
+    deterministic folds and fixed-order ADC sum as sim_pq_topk, hence
+    the identical oracle: the driver hash-check proves the compressed
+    at-rest tier answers bit-identically to the inline operator."""
+    import os
+    import tempfile
+
+    from ..operators.pq import build_pq_index, query_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEX_MEMO:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_pq_{spark.sparkContext.applicationId}",
         )
-    )
-    score = sum((F.col(f"p{m}") for m in range(1, PQ_M)), F.col("p0"))
-    wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        parts.select("qid", "vec_id", score.alias("score"))
-        .withColumn("rank", F.row_number().over(wq))
-        .filter(F.col("rank") <= TOPK_K)
-        .select(
-            "qid", "vec_id", F.round("score", 6).alias("approx_score"), "rank"
-        )
+        path = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+        build_pq_index(emb, path, m=PQ_M, subdim=PQ_SUBDIM, n_codes=PQ_CODES)
+        _PQ_INDEX_MEMO[key] = path
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return query_pq_index(
+        spark, _PQ_INDEX_MEMO[key], queries, m=PQ_M, subdim=PQ_SUBDIM, k=TOPK_K
     )
