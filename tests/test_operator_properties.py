@@ -309,3 +309,98 @@ def test_cosine_pairs_grid_equals_blockwise(spark):
             for r in cosine_pairs_grid(emb, threshold=0.2, n_blocks=n_blocks).collect()
         }
         assert got == want, n_blocks
+
+
+def test_funnel_counts_monotone_and_bounded(spark):
+    """Funnel invariants: stage counts never increase down the funnel
+    (each stage requires entry to the previous), conversions sit in
+    (0, 1], and stage 1 converts at exactly 1.0 by construction."""
+    from project_crypto_data_engineering_gcp_spark.plans import all_queries
+
+    from .conftest import SF_ORACLE
+
+    rows = {
+        r["stage"]: r
+        for r in all_queries()["events_funnel_conversion"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    }
+    n1, n2, n3 = (
+        rows["1_view"]["n_users"],
+        rows["2_click"]["n_users"],
+        rows["3_purchase"]["n_users"],
+    )
+    assert n1 >= n2 >= n3 > 0
+    assert rows["1_view"]["conversion"] == 1.0
+    for s in ("2_click", "3_purchase"):
+        assert 0.0 < rows[s]["conversion"] <= 1.0
+
+
+def test_retention_cohort_invariants(spark):
+    """Cohort matrix invariants: week 0 retention is exactly 1.0 for
+    every cohort, all retentions sit in (0, 1], offsets are
+    non-negative, and no (cohort, offset) cell exceeds its cohort
+    size."""
+    from project_crypto_data_engineering_gcp_spark.plans import all_queries
+
+    from .conftest import SF_ORACLE
+
+    rows = (
+        all_queries()["events_retention_cohorts"].fn(spark, SF_ORACLE).collect()
+    )
+    assert rows
+    size0 = {
+        r["cohort"]: r["n_active"] for r in rows if r["week_offset"] == 0
+    }
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0.0 < r["retention"] <= 1.0
+        assert r["n_active"] <= size0[r["cohort"]]
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0
+
+
+def test_gini_diversity_bounds_and_extremes(spark):
+    """Gini diversity sits in [0, 1): 0 exactly for single-token docs
+    (if any) and strictly below 1 always; n_distinct <= n_tokens."""
+    from project_crypto_data_engineering_gcp_spark.plans import all_queries
+
+    from .conftest import SF_ORACLE
+
+    rows = all_queries()["text_token_diversity"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini_diversity"] < 1.0
+        assert 1 <= r["n_distinct"] <= r["n_tokens"]
+        if r["n_distinct"] == 1:
+            assert r["gini_diversity"] == 0.0
+
+
+def test_cumulative_distinct_monotone_and_consistent(spark):
+    """w7 invariants: cum_users is non-decreasing, equals the running
+    sum of n_new, and ends at the true total distinct user count;
+    per-day n_new <= n_active."""
+    from pyspark.sql import functions as F
+
+    from project_crypto_data_engineering_gcp_spark.plans import all_queries
+    from project_crypto_data_engineering_gcp_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    rows = sorted(
+        all_queries()["w7_cumulative_distinct_users"]
+        .fn(spark, SF_ORACLE)
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    run = 0
+    for r in rows:
+        run += r["n_new"]
+        assert r["cum_users"] == run
+        assert r["n_new"] <= r["n_active"]
+    total = (
+        load_table(spark, SF_ORACLE, "events")
+        .agg(F.count_distinct("user_id"))
+        .collect()[0][0]
+    )
+    assert rows[-1]["cum_users"] == total
