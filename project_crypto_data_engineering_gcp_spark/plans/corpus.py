@@ -63,6 +63,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "a6_salted_skew_aggregate",
     "a7_order_price_histogram",
     "approx_quantiles_totalprice",
+    "a8_exact_quantiles_by_priority",
     "o4_topk_per_group",
     "profile_orders",
     "dq_constraint_violations",
@@ -104,7 +105,6 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_fingerprint",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_cosine_pairs",
     "w1_latest_event_per_user",

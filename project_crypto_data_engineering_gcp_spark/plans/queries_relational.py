@@ -1056,3 +1056,35 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@corpus_query(
+    "a8_exact_quantiles_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS q90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a8_exact_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles (linear interpolation) — the precise
+    twin of approx_quantiles_totalprice's sketch: Spark's ``percentile``
+    aggregate and DuckDB's ``quantile_cont`` share the continuous
+    interpolation definition, so the two engines agree bit-for-round on
+    real money data (verified, not assumed — the approx query's error
+    envelope is checked against exactly these values).
+
+    Scale: exact percentile buffers each group's values on the reducer —
+    fine for bounded groups (5 priorities), the documented trade vs the
+    mergeable percentile_approx sketch for high-cardinality keys."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("q90"),
+    )
