@@ -65,6 +65,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "approx_quantiles_totalprice",
     "a8_exact_quantiles_by_priority",
     "o4_topk_per_group",
+    "o5_set_ops_customers",
     "profile_orders",
     "dq_constraint_violations",
     # text analysis
@@ -102,7 +103,6 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_clusters_transitive",
     # --- refreshers: only evidence is r1; re-prove the oldest rows ---
     "dedup_exact",
-    "dedup_fingerprint",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -1088,3 +1088,41 @@ def a8_exact_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q25"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("q90"),
     )
+
+
+@corpus_query(
+    "o5_set_ops_customers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_name = 'FRANCE')
+    """,
+)
+def o5_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation menu (SURVEY §2.6 beyond UNION ALL): rich customers
+    INTERSECT active customers EXCEPT customers from one nation — both
+    operators with their ANSI DISTINCT semantics (Spark ``intersect`` /
+    ``subtract``, not the ALL variants).
+
+    Scale: Catalyst compiles both set ops to semi/anti hash joins over
+    distinct keys — same shuffle shape as the explicit join forms, with
+    the single-column projection pruned to the scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    active = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    fr_keys = nation.filter(F.col("n_name") == "FRANCE").select("n_nationkey")
+    from_fr = cust.join(
+        F.broadcast(fr_keys),
+        cust["c_nationkey"] == fr_keys["n_nationkey"],
+        "left_semi",
+    ).select("c_custkey")
+    return rich.intersect(active).subtract(from_fr)
