@@ -64,6 +64,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "a7_order_price_histogram",
     "approx_quantiles_totalprice",
     "a8_exact_quantiles_by_priority",
+    "a9_grouping_sets_revenue",
     "o4_topk_per_group",
     "o5_set_ops_customers",
     "profile_orders",
@@ -105,7 +106,6 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "sim_cosine_pairs",
     "w1_latest_event_per_user",
 )

@@ -1126,3 +1126,34 @@ def o5_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).select("c_custkey")
     return rich.intersect(active).subtract(from_fr)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+"""
+
+
+@corpus_query("a9_grouping_sets_revenue", oracle=_GROUPING_SETS_SQL)
+def a9_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond cube/rollup's fixed lattices) with
+    GROUPING() markers disambiguating the NULL subtotal rows — and the
+    corpus's demonstration of the SQL entry point: the Spark side
+    executes the ORACLE STRING ITSELF via spark.sql over the registered
+    views (sources/tables.py::register_views), so the DataFrame corpus
+    and the SQL surface provably share one Catalyst planner.
+
+    Scale: Catalyst compiles the sets into a single Expand node (one
+    pass, rows duplicated per set) feeding a partial-aggregated groupBy
+    — one shuffle regardless of how many sets."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
