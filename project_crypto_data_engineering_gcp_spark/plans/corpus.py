@@ -88,6 +88,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh_capped",
     "sim_ann_ivf_indexed",
+    "sim_ann_ivf_kmeans",
     "dedup_containment",
     "cluster_kmeans_embeddings",
     "sim_pq_topk",
@@ -106,7 +107,6 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "sim_cosine_pairs",
     "w1_latest_event_per_user",
 )
 

@@ -397,7 +397,7 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable groupBy per round — per-round cost is a scan,
     exactly how you'd run Lloyd on 100 TB. Centroids (k x dim doubles)
     are the only driver-resident state."""
-    _, asg = _kmeans_fit(spark, sf_dir)
+    _, asg, _ = _kmeans_fit(spark, sf_dir)
     return asg.select("vec_id", F.col("cid").alias("cluster"))
 
 
@@ -409,7 +409,8 @@ def _kmeans_fit(
     rounds: int = KMEANS_ROUNDS,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the deterministic Lloyd loop; returns (quantized-normalized
-    vectors ``(vec_id, nv)``, final assignments ``(vec_id, cid)``).
+    vectors ``(vec_id, nv)``, final assignments ``(vec_id, cid)``,
+    final centroids ``(cid, cv)``).
 
     ``k`` is the production scale dial: downstream blocking costs scale
     with cluster POPULATION (sum n_c^2 for pairwise work), so k must grow
@@ -465,7 +466,7 @@ def _kmeans_fit(
             ).alias("cv")
         )
 
-    return e, assign(cents)
+    return e, assign(cents), cents
 
 
 SEMANTIC_BLOCK_THRESHOLD = 0.4  # same bar as dedup_embedding_cosine
@@ -501,7 +502,7 @@ def dedup_semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair scores are both bit-exact."""
     from ..functions.vectors import dot_prenorm
 
-    e, asg = _kmeans_fit(spark, sf_dir)
+    e, asg, _ = _kmeans_fit(spark, sf_dir)
     v = e.join(asg, "vec_id")
     x = v.alias("x")
     y = v.alias("y")
@@ -661,4 +662,83 @@ def sim_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
     return query_pq_index(
         spark, _PQ_INDEX_MEMO[key], queries, m=PQ_M, subdim=PQ_SUBDIM, k=TOPK_K
+    )
+
+
+
+@corpus_query(
+    "sim_ann_ivf_kmeans",
+    oracle=f"""
+    WITH {_kmeans_ctes()},
+    q AS (SELECT vec_id, nv FROM e WHERE vec_id < {TOPK_QUERIES}),
+    probes AS (
+        SELECT vec_id AS qid, cid FROM (
+            SELECT q.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {dot_double_sql("q.nv", "c.cv")} DESC, c.cid
+                   ) AS rk
+            FROM q, c1 c
+        ) t WHERE rk <= {IVF_PROBE}
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id AS vec_b
+        FROM probes p JOIN a2 a ON a.cid = p.cid AND a.vec_id <> p.qid
+    )
+    SELECT qid, vec_b, cos_sim, rank FROM (
+        SELECT cand.qid, cand.vec_b,
+               ROUND({dot_double_sql("eq.nv", "eb.nv")}, 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cand.qid
+                   ORDER BY ROUND({dot_double_sql("eq.nv", "eb.nv")}, 6) DESC,
+                            cand.vec_b
+               ) AS rank
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.qid
+        JOIN e eb ON eb.vec_id = cand.vec_b
+    ) t WHERE rank <= {TOPK_K}
+    """,
+)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from the TRAINED coarse quantizer: cells are the
+    spherical-k-means clusters (not the first-K seed vectors of
+    sim_ann_ivf_topk), so cell boundaries adapt to the data — the
+    production IVF recipe (train centroids, assign corpus, probe nearest
+    cells). Recall beats the untrained quantizer at equal n_probe
+    because balanced, data-shaped cells waste fewer probes.
+
+    Same distributed shape as the untrained variant: centroids broadcast
+    for probing, candidates from a hash equi-join on the cell id,
+    exact rounded-cosine rank within the probed cells. The oracle
+    composes the unrolled Lloyd CTEs with the IVF serving query, so the
+    full train->assign->probe->rank pipeline is hash-checked end to
+    end."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot_prenorm
+
+    e, asg, cents = _kmeans_fit(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < TOPK_QUERIES)
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", dot_prenorm("nv", "cv").alias("sim"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= IVF_PROBE)
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    cand = probes.join(
+        asg.withColumnRenamed("vec_id", "vec_b"), "cid"
+    ).filter(F.col("vec_b") != F.col("qid"))
+    eq = q.select(F.col("vec_id").alias("qid"), F.col("nv").alias("qnv"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("nv").alias("bnv"))
+    cos = F.round(dot_prenorm("qnv", "bnv"), 6)
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    return (
+        cand.join(F.broadcast(eq), "qid")
+        .join(eb, "vec_b")
+        .select("qid", "vec_b", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("qid", "vec_b", "cos_sim", "rank")
     )

@@ -105,6 +105,23 @@ def test_semantic_blocked_subset_and_recall(spark):
     assert 0.3 < recall <= 1.0, recall
 
 
+def test_ivf_kmeans_recall_vs_bruteforce(spark):
+    """The k-means-TRAINED IVF quantizer must recover a solid share of
+    the exact top-k — data-adaptive cells are the production recipe
+    precisely because they probe efficiently."""
+    qs = all_queries()
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in qs["sim_topk_neighbors"].fn(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r["qid"], r["vec_b"])
+        for r in qs["sim_ann_ivf_kmeans"].fn(spark, SF_ORACLE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert 0.3 < recall <= 1.0, recall
+
+
 def test_range_join_bucketization_is_exact(spark):
     """The bucketized range join must equal the naive inequality join
     (here checked via row count against the DuckDB naive formulation,
