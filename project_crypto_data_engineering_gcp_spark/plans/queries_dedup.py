@@ -32,6 +32,7 @@ from ..functions.text import (
 )
 from ..sources.tables import load_table
 from .corpus import corpus_query
+from .pooling import bounded_cached
 
 NUM_HASHES = 16
 BANDS = 4
@@ -47,14 +48,16 @@ SIMHASH_BITS = 16
 
 def _shingle_frame(docs: DataFrame, k: int) -> DataFrame:
     """Exploded (doc_id, shingle) inverted-index frame: split once, shingle
-    linearly, CACHED — the minhash/jaccard pipelines traverse it several
-    times (signatures, set sizes, both sides of the verify join), and an
-    uncached lineage would re-shingle the corpus per traversal."""
+    linearly, CACHED and MATERIALIZED — the minhash/jaccard pipelines
+    traverse it several times (signatures, set sizes, both sides of the
+    verify join), and an uncached lineage would re-shingle the corpus per
+    traversal. Materializing here (pool-build time) keeps pool hits
+    action-free; see plans/pooling.py."""
     # the documents table arrives as a single small parquet file -> ONE
     # input partition; without an explicit repartition every downstream
     # hash/join stage would run on one core of the cluster
     par = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    out = (
         docs.repartition(par, "doc_id")
         .select("doc_id", tokens("text").alias("__toks"))
         .select(
@@ -62,25 +65,16 @@ def _shingle_frame(docs: DataFrame, k: int) -> DataFrame:
         )
         .cache()
     )
+    out.count()
+    return out
 
 
-# Bounded derived-frame pools. The dedup family's reusable intermediates
-# (shingle inverted index, minhash signatures, LSH candidate pairs) are
-# each cached under a size-1 LRU: repeat calls in one driver hit the
-# cached frame instead of duplicating it, and switching datasets
-# UNPERSISTS the previous entry first — a long-lived driver serving many
-# datasets can never accumulate persisted frames (executor
-# storage-memory creep). Correctness-free: every pooled frame is a pure
-# deterministic function of its key.
-
-
-def _bounded_cached(memo: dict, key, build, max_size: int = 1) -> DataFrame:
-    if key not in memo:
-        while len(memo) >= max_size:
-            _, evicted = memo.popitem()
-            evicted.unpersist()
-        memo[key] = build()
-    return memo[key]
+# Bounded derived-frame pools (plans/pooling.py): the dedup family's
+# reusable intermediates (shingle inverted index, minhash signatures,
+# LSH candidate pairs) are each cached under a bounded LRU — repeat
+# calls hit the materialized frame with NO job, switching datasets
+# unpersists the evicted entry.
+_bounded_cached = bounded_cached
 
 
 # one shingle cache per (session, table, k): minhash and ngram-jaccard both
@@ -260,7 +254,7 @@ def dedup_minhash_lsh(
     # reuse it instead of caching a duplicate copy
     def build_sigs() -> DataFrame:
         hx = (md5_long("tok") % MINHASH_P).alias("hx")
-        return (
+        out = (
             toks.select("doc_id", hx)
             .groupBy("doc_id")
             .agg(
@@ -273,6 +267,8 @@ def dedup_minhash_lsh(
             )
             .cache()
         )
+        out.count()  # materialize at build: pool hits run no job
+        return out
 
     sigs = _bounded_cached(_SIGS_MEMO, (app, sf_dir), build_sigs)
 
@@ -310,7 +306,7 @@ def dedup_minhash_lsh(
 
         a = bands.alias("a")
         b_ = bands.alias("b")
-        return (
+        out = (
             a.join(
                 b_,
                 (F.col("a.band_id") == F.col("b.band_id"))
@@ -323,15 +319,14 @@ def dedup_minhash_lsh(
             .distinct()
             .cache()
         )
+        out.count()  # materialize at build: pool hits run no job
+        return out
 
+    # each builder materializes its own frame, so first call populates the
+    # caches in dependency order (toks -> sigs -> cand: every reuse below
+    # and in broadcast subtrees is a hit) while REPEAT calls are pure pool
+    # hits — zero Spark jobs until the returned plan is executed
     cand = _bounded_cached(_CAND_MEMO, (app, sf_dir, hot_band_cap), build_cand)
-    # materialize the caches in dependency order NOW: the final plan
-    # references each of them from several branches (and from broadcast
-    # subtrees), and branches racing an unpopulated cache all recompute
-    # its lineage — eager, ordered population keeps every reuse a hit
-    toks.count()
-    sigs.count()
-    cand.count()
 
     # verify stage touches only candidate docs' shingles: semi-join
     # prefilter keeps the (doc, shingle) join input proportional to the

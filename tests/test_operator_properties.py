@@ -233,6 +233,66 @@ def test_minhash_derived_pools_bounded(spark):
     assert cap == qd.HOT_BAND_CAP  # latest variant won the single slot
 
 
+def test_minhash_pool_hit_runs_no_jobs(spark):
+    """Materialization happens at pool-BUILD time only: a repeat
+    dedup_minhash_lsh call whose intermediates are all pool hits must not
+    run a single Spark job (the r3 shape ran three eager counts per call,
+    ~0.1-0.2 s of fixed overhead on every repeat)."""
+    from project_crypto_data_engineering_gcp_spark.plans import queries_dedup as qd
+
+    from .conftest import SF_SMOKE
+
+    qd.dedup_minhash_lsh(spark, SF_SMOKE)  # populate pools (jobs expected)
+    sc = spark.sparkContext
+    group = "pool-hit-no-jobs-check"
+    sc.setJobGroup(group, "repeat call must be action-free")
+    try:
+        qd.dedup_minhash_lsh(spark, SF_SMOKE)  # pure pool hits
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert jobs == [], f"pool hit ran Spark jobs: {jobs}"
+
+
+def test_bounded_cached_true_lru():
+    """Hits refresh recency: with max_size=2, touching the older entry
+    makes the OTHER one the eviction victim (r3's popitem() evicted the
+    newest instead — latent until a pool is sized above 1)."""
+    from project_crypto_data_engineering_gcp_spark.plans.pooling import bounded_cached
+
+    class FakeFrame:
+        def __init__(self):
+            self.persisted = True
+
+        def unpersist(self):
+            self.persisted = False
+            return self
+
+    memo: dict = {}
+    a = bounded_cached(memo, "a", FakeFrame, max_size=2)
+    b = bounded_cached(memo, "b", FakeFrame, max_size=2)
+    assert bounded_cached(memo, "a", FakeFrame, max_size=2) is a  # hit refreshes
+    c = bounded_cached(memo, "c", FakeFrame, max_size=2)
+    assert not b.persisted, "LRU entry (b) should have been evicted"
+    assert a.persisted and c.persisted
+    assert set(memo) == {"a", "c"}
+
+
+def test_index_paths_distinct_for_equal_basenames(tmp_path):
+    """Persisted IVF/PQ index paths must differ for two datasets whose
+    directories share a basename (/a/sf0.1 vs /b/sf0.1) — deriving the
+    path from basename alone silently serves one dataset's index for the
+    other."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_similarity import (
+        _dataset_dirname,
+    )
+
+    d1 = _dataset_dirname(str(tmp_path / "a" / "sf0.1"))
+    d2 = _dataset_dirname(str(tmp_path / "b" / "sf0.1"))
+    assert d1 != d2
+    assert _dataset_dirname(str(tmp_path / "a" / "sf0.1") + "/") == d1  # slash-stable
+
+
 def test_asof_join_forward_tolerance_matches_merge_asof(spark):
     """direction='forward' + tolerance vs pandas merge_asof ground truth
     (same dedup'd reference frame; timestamps are float seconds here, so
