@@ -47,6 +47,13 @@ HEADLINE = (
     "q6_forecast_revenue",
     "sim_ann_ivf_topk",
     "curate_decontaminate",
+    # r4: the r3 heavy additions join the headline so BENCH_r{N} catches
+    # regressions in them (previously only SCALE.md's manual spot-check);
+    # the graded semantic-dedup shape is the capped production twin
+    "cluster_kmeans_embeddings",
+    "sim_pq_topk",
+    "sim_ann_ivf_kmeans",
+    "dedup_semantic_blocked_capped",
 )
 
 

@@ -40,74 +40,70 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 
 # The driver's correctness gate checks the FIRST ~50 registry entries only.
 # The window ROTATES per round so every corpus query accumulates a green
-# driver row: r1 covered entries 1-50 of the original order, r2 covered the
-# crypto/TPC-H/curation priority set, r3 (this window) covers the 26 queries
-# with no driver row from either prior round, the round's new additions,
-# a few fixed-in-r2 canaries, and refreshers whose only evidence is r1.
-# With this window, r1 ∪ r2 ∪ r3 covers all registered queries.
+# driver row: r1 covered entries 1-50 of the original order, r2 the
+# crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
+# additions. r4 (this window, per the r3 verdict lead task) refreshes the
+# 38 queries whose only green row is r1 — two refactor-heavy rounds old —
+# plus the r4 additions and every query whose code this round's pooling /
+# silver-casts refactors touched. Cumulative coverage stays total and no
+# query's newest driver row is older than 2 rounds.
 CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked in r1/r2 (VERDICT r2 lead task) ---
-    # windows / navigation / time-series
-    "w4_event_navigation",
-    "w5_sliding_hour_total",
-    "w6_forward_fill",
-    "events_user_journey",
-    "range_join_event_pairs",
-    "asof_forward_error_tolerance",
-    # joins (semi / full-outer / correlated / skew-salted)
-    "j4_customers_with_orders_semi",
-    "j5_nation_activity_full_outer",
-    "j6_correlated_scalar",
-    "j7_salted_skew_join",
-    # aggregation shapes
-    "a6_salted_skew_aggregate",
-    "a7_order_price_histogram",
-    "approx_quantiles_totalprice",
+    # --- r1-only evidence, refreshed (r3 verdict task 1; 38 queries) ---
+    "a1_global_stats",
+    "a4_customer_market_dominance",
+    "a5_rollup_revenue",
+    "asof_purchase_last_view",
+    "cube_revenue",
+    "dedup_apply_keep_first",
+    "dedup_embedding_cosine",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "events_hourly_rollup",
+    "j1_customer_dashboard",
+    "j3_customers_without_orders",
+    "mm_frame_sample",
+    "mm_media_meta_stub",
+    "mm_payload_meta",
+    "mm_resize_meta",
+    "o1_ranked_orders",
+    "o3_top_bottom_orders",
+    "p11_quantity_classification",
+    "p1_event_json_projection",
+    "p9_round_family",
+    "percentiles_acctbal_by_nation",
+    "pivot_status_by_priority",
+    "set_ops_orderkeys",
+    "sim_cosine_pairs",
+    "sim_embedding_norms",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_redacted",
+    "text_tfidf_topk",
+    "text_token_explode",
+    "text_token_stats",
+    "text_top_bigrams",
+    "unpivot_lineitem_amounts",
+    "w1b_latest_via_max_by",
+    "w2_acctbal_rank_in_nation",
+    "w3_running_order_total",
+    # --- new in r4: capped cluster-blocked semantic dedup (the r3
+    # scale-killer fix) + the custom DataSource's stream path ---
+    "dedup_semantic_blocked_capped",
+    "streaming_snapshot_datasource",
+    # --- refreshers: code changed underneath this round (pooling
+    # rework, index-path hashing, silver_casts refactor, column
+    # reorder) — re-prove with the hard driver signal ---
     "a8_exact_quantiles_by_priority",
-    "a9_grouping_sets_revenue",
-    "o4_topk_per_group",
-    "o5_set_ops_customers",
-    "profile_orders",
-    "dq_constraint_violations",
-    # text analysis
-    "text_repetition_ratio",
-    "text_rolling_hash",
-    # similarity / dedup
-    "sim_dimension_stats",
-    "dedup_time_bucketed",
-    # curation (r2 additions)
-    "curate_ngram_decontaminate",
-    "curate_length_buckets",
-    "curate_sample_rates",
-    "curate_chunk_overlap",
-    # streaming twins
-    "streaming_interval_join",
-    "streaming_sessionized",
-    # --- new in r3: production-capped dedup + persisted ANN index,
-    # containment dedup, k-means clustering, funnel, cumulative-distinct ---
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh_capped",
-    "sim_ann_ivf_indexed",
-    "sim_ann_ivf_kmeans",
-    "dedup_containment",
+    "dedup_minhash_lsh",
+    "dedup_semantic_blocked",
     "cluster_kmeans_embeddings",
+    "sim_ann_ivf_kmeans",
+    "sim_ann_ivf_indexed",
     "sim_pq_topk",
     "sim_pq_indexed",
-    "dedup_semantic_blocked",
-    "text_token_diversity",
-    "events_retention_cohorts",
-    "events_funnel_conversion",
-    "w7_cumulative_distinct_users",
-    # --- canaries: red/err in r1, fixed and green in r2 — keep watched ---
-    "events_sessionized",
-    "text_quality_by_lang",
-    "mm_byte_histogram",
-    "dedup_clusters_transitive",
-    # --- refreshers: only evidence is r1; re-prove the oldest rows ---
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "w1_latest_event_per_user",
+    "crypto_silver_assets",
+    "crypto_dashboard",
 )
 
 

@@ -36,34 +36,44 @@ from ..operators.topk import top_bottom_union
 _D = "double"
 
 
-def bronze_to_silver(raw_df: DataFrame, processed_at: str | None = None) -> DataFrame:
-    """Explode + typed projection (reference `2:44-62`): one row per asset
-    per snapshot. String numerics cast to double, epoch-ms envelope
-    timestamp to a STRING datetime (quirk Q3). The ``tokens`` map is
-    preserved (superset; the reference drops it)."""
+def silver_casts(assets: DataFrame, processed_at: str | None = None) -> DataFrame:
+    """The typed Silver projection (reference `2:47-62`) over ALREADY
+    EXPLODED bronze-fidelity asset rows (top-level API-named string
+    columns + envelope ``timestamp``): string numerics cast to double,
+    epoch-ms envelope timestamp to a STRING datetime (quirk Q3). Shared
+    by the batch path (post-explode) and the custom-DataSource stream
+    path (which emits rows already exploded, one file per partition)."""
     processed_at = processed_at or str(_dt.datetime.now(_dt.timezone.utc))[:19]
-    coin = F.col("coin")
-    passthrough = ["_source_file"] if "_source_file" in raw_df.columns else []
-    return raw_df.select(
-        F.explode("data").alias("coin"), F.col("timestamp"), *passthrough
-    ).select(
-        coin["id"].alias("id"),
-        coin["rank"].cast("int").alias("rank"),
-        coin["symbol"].alias("symbol"),
-        coin["name"].alias("name"),
-        coin["supply"].cast(_D).alias("supply"),
-        coin["maxSupply"].cast(_D).alias("max_supply"),
-        coin["marketCapUsd"].cast(_D).alias("market_cap_usd"),
-        coin["volumeUsd24Hr"].cast(_D).alias("volume_usd_24hr"),
-        coin["priceUsd"].cast(_D).alias("price_usd"),
-        coin["changePercent24Hr"].cast(_D).alias("change_percent_24hr"),
-        coin["vwap24Hr"].cast(_D).alias("vwap_24hr"),
-        coin["explorer"].alias("explorer"),
-        coin["tokens"].alias("tokens"),
+    passthrough = ["_source_file"] if "_source_file" in assets.columns else []
+    return assets.select(
+        F.col("id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("symbol"),
+        F.col("name"),
+        F.col("supply").cast(_D).alias("supply"),
+        F.col("maxSupply").cast(_D).alias("max_supply"),
+        F.col("marketCapUsd").cast(_D).alias("market_cap_usd"),
+        F.col("volumeUsd24Hr").cast(_D).alias("volume_usd_24hr"),
+        F.col("priceUsd").cast(_D).alias("price_usd"),
+        F.col("changePercent24Hr").cast(_D).alias("change_percent_24hr"),
+        F.col("vwap24Hr").cast(_D).alias("vwap_24hr"),
+        F.col("explorer"),
+        F.col("tokens"),
         F.from_unixtime(F.col("timestamp") / 1000).alias("data_referencia"),
         F.lit(processed_at).alias("data_processamento"),
         *passthrough,
     )
+
+
+def bronze_to_silver(raw_df: DataFrame, processed_at: str | None = None) -> DataFrame:
+    """Explode + typed projection (reference `2:44-62`): one row per asset
+    per snapshot. The ``tokens`` map is preserved (superset; the
+    reference drops it)."""
+    passthrough = ["_source_file"] if "_source_file" in raw_df.columns else []
+    exploded = raw_df.select(
+        F.explode("data").alias("coin"), F.col("timestamp"), *passthrough
+    ).select("coin.*", "timestamp", *passthrough)
+    return silver_casts(exploded, processed_at)
 
 
 def latest_assets(silver: DataFrame, *, cache: bool = True) -> DataFrame:

@@ -21,6 +21,7 @@ order (a downstream builder's action finds its upstream pools warm).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 
 def bounded_cached(
@@ -28,10 +29,18 @@ def bounded_cached(
 ) -> DataFrame:
     """True LRU: hits refresh recency; eviction unpersists the
     least-recently-used entry (plain dicts iterate in insertion order,
-    so refreshing = re-inserting and the first key is always the LRU)."""
+    so refreshing = re-inserting and the first key is always the LRU).
+
+    A pooled frame that was unpersisted EXTERNALLY (e.g. a session-wide
+    ``spark.catalog.clearCache()``) is a stale handle — serving it would
+    silently recompute its lineage on every downstream traversal. Such
+    entries are detected via ``storageLevel`` and treated as misses."""
     if key in memo:
-        memo[key] = memo.pop(key)  # refresh recency on hit
-        return memo[key]
+        entry = memo.pop(key)
+        if entry.storageLevel != StorageLevel.NONE:
+            memo[key] = entry  # refresh recency on hit
+            return entry
+        # externally cleared: fall through and rebuild
     while len(memo) >= max_size:
         lru_key = next(iter(memo))
         memo.pop(lru_key).unpersist()

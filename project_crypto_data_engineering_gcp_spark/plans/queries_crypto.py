@@ -252,6 +252,56 @@ def _silver(spark: SparkSession) -> DataFrame:
 
 
 @corpus_query(
+    "streaming_snapshot_datasource",
+    oracle=f"SELECT * FROM read_parquet('{_SILVER_PARQUET}')",
+)
+def streaming_snapshot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource's STREAM path end-to-end: the landing
+    directory is read via ``spark.readStream.format("crypto_snapshots")``
+    (sources/snapshot_datasource.py — simpleStreamReader with a
+    name-set offset), drained by an AvailableNow trigger into a memory
+    sink, then the drained bronze-fidelity rows get the SAME typed Silver
+    projection as the batch path (plans/crypto_pipeline.silver_casts).
+    A fresh checkpoint per call makes the drain deterministic: exactly
+    one emission of every landed snapshot — a closed window by
+    construction, so the oracle is the full Silver replica, the same
+    complete-corpus check as crypto_silver_assets but arriving through
+    the incremental offset/commit protocol instead of a batch scan.
+
+    Scale: one stream micro-batch partition per snapshot file, parsing
+    on executors; the offset is driver metadata (file-name set), the
+    exactly-once contract of Spark's own file source. (Spark 4 note:
+    Python DataSource streams don't yet support AvailableNow natively —
+    the engine logs a fallback to single-batch execution, which for this
+    drain-everything trigger is the identical semantics; incremental
+    multi-batch delivery is exercised by
+    tests/test_snapshot_datasource.py::test_datasource_streaming_incremental_drain.)"""
+    import tempfile as _tf
+
+    from ..sources.snapshot_datasource import register_snapshot_source
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register_snapshot_source(spark)
+    name = "sg_snapshot_stream_drain"
+    q = (
+        spark.readStream.format("crypto_snapshots")
+        .load(_LANDING)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", _tf.mkdtemp(prefix="sg_snapds_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return cp.silver_casts(spark.table(name), processed_at=PROCESSED_AT).drop(
+        "tokens", "_source_file"
+    )
+
+
+@corpus_query(
     "crypto_scd2_history",
     oracle=f"""
     SELECT id, symbol, price_usd,

@@ -260,9 +260,17 @@ def test_bounded_cached_true_lru():
     newest instead — latent until a pool is sized above 1)."""
     from project_crypto_data_engineering_gcp_spark.plans.pooling import bounded_cached
 
+    from pyspark.storagelevel import StorageLevel
+
     class FakeFrame:
         def __init__(self):
             self.persisted = True
+
+        @property
+        def storageLevel(self):
+            return (
+                StorageLevel.MEMORY_AND_DISK if self.persisted else StorageLevel.NONE
+            )
 
         def unpersist(self):
             self.persisted = False
@@ -276,6 +284,11 @@ def test_bounded_cached_true_lru():
     assert not b.persisted, "LRU entry (b) should have been evicted"
     assert a.persisted and c.persisted
     assert set(memo) == {"a", "c"}
+    # an EXTERNALLY unpersisted entry (session clearCache) is a miss:
+    # the stale handle is replaced by a freshly built frame
+    a.persisted = False
+    a2 = bounded_cached(memo, "a", FakeFrame, max_size=2)
+    assert a2 is not a and a2.persisted
 
 
 def test_index_paths_distinct_for_equal_basenames(tmp_path):
