@@ -87,9 +87,11 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "w1b_latest_via_max_by",
     "w2_acctbal_rank_in_nation",
     "w3_running_order_total",
-    # --- new in r4: capped cluster-blocked semantic dedup (the r3
-    # scale-killer fix) + the custom DataSource's stream path ---
+    # --- new in r4: both production levers for cluster-blocked semantic
+    # dedup (the r3 scale-killer fix) + the custom DataSource's stream
+    # path ---
     "dedup_semantic_blocked_capped",
+    "dedup_semantic_blocked_scaled_k",
     "streaming_snapshot_datasource",
     # --- refreshers: code changed underneath this round (pooling
     # rework, index-path hashing, silver_casts refactor, column
@@ -102,8 +104,10 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_ann_ivf_indexed",
     "sim_pq_topk",
     "sim_pq_indexed",
+    # silver_casts refactor re-homed the Bronze->Silver projection; the
+    # replica oracle checks it value-exactly (downstream gold builders
+    # are untouched and keep their r2 rows)
     "crypto_silver_assets",
-    "crypto_dashboard",
 )
 
 

@@ -343,11 +343,12 @@ KMEANS_ROUNDS = 2
 KMEANS_Q = 6  # input quantization decimals (makes centroid means exact)
 
 
-def _kmeans_ctes() -> str:
+def _kmeans_ctes(k: int = KMEANS_K) -> str:
     """WITH-body of the unrolled-CTE Lloyd loop (the fixed round count
     lets the iteration be expressed as plain SQL); final assignments in
     ``a2``, quantized-normalized vectors in ``e``. Shared by the
-    clustering oracle and the cluster-blocked semantic dedup oracle."""
+    clustering oracle and the cluster-blocked semantic dedup oracles —
+    ``k`` parameterized so graded entries can exercise the k dial."""
     from ..functions.vectors import dot_double_sql, norm_sql, normalized_sql
 
     def assign(cents: str, out: str) -> str:
@@ -372,7 +373,7 @@ def _kmeans_ctes() -> str:
                               x -> round(x, {KMEANS_Q})) AS nv
         FROM raw
     ),
-    c0 AS (SELECT vec_id AS cid, nv AS cv FROM e WHERE vec_id < {KMEANS_K}),
+    c0 AS (SELECT vec_id AS cid, nv AS cv FROM e WHERE vec_id < {k}),
     {assign("c0", "a1")},
     d1 AS (
         SELECT a1.cid, a1.vec_id, unnest(range(1, len(e.nv) + 1)) AS i
@@ -503,7 +504,9 @@ SEMANTIC_BLOCK_THRESHOLD = 0.4  # same bar as dedup_embedding_cosine
 SEMANTIC_CLUSTER_CAP = 32
 
 
-def _semantic_blocked_oracle(cluster_cap: int | None = None) -> str:
+def _semantic_blocked_oracle(
+    cluster_cap: int | None = None, k: int = KMEANS_K
+) -> str:
     from ..functions.vectors import dot_double_sql
 
     cs = dot_double_sql("x.nv", "y.nv")
@@ -522,7 +525,7 @@ def _semantic_blocked_oracle(cluster_cap: int | None = None) -> str:
         ) t WHERE rn <= {cluster_cap}
     )"""
     return f"""
-    WITH {_kmeans_ctes()},
+    WITH {_kmeans_ctes(k)},
     {v_cte}
     SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
            ROUND({cs}, 6) AS cos_sim
@@ -533,7 +536,11 @@ def _semantic_blocked_oracle(cluster_cap: int | None = None) -> str:
 
 @corpus_query("dedup_semantic_blocked", oracle=_semantic_blocked_oracle())
 def dedup_semantic_blocked(
-    spark: SparkSession, sf_dir: str, *, cluster_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    cluster_cap: int | None = None,
+    k: int = KMEANS_K,
 ) -> DataFrame:
     """Clustering-accelerated semantic dedup: k-means cluster ids act as
     BLOCKING keys, so exact cosine runs only on same-cluster pairs —
@@ -561,7 +568,7 @@ def dedup_semantic_blocked(
 
     from ..functions.vectors import dot_prenorm
 
-    e, asg, _ = _kmeans_fit(spark, sf_dir)
+    e, asg, _ = _kmeans_fit(spark, sf_dir, k=k)
     v = e.join(asg, "vec_id")
     if cluster_cap is not None:
         wcap = Window.partitionBy("cid").orderBy("vec_id")
@@ -587,6 +594,30 @@ def dedup_semantic_blocked(
         .filter(F.col("cs") >= SEMANTIC_BLOCK_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cs", 6).alias("cos_sim"))
     )
+
+
+# the k-scaling rule made concrete at the oracle scale: k = N / n_target
+# with N=500 vectors and a target population of ~16 per cluster -> k=32.
+# (At 10x the data the same rule gives k=320; the graded entry pins the
+# sf0.01 instantiation because the SQL oracle unrolls a fixed-k loop.)
+SEMANTIC_SCALED_K = 32
+
+
+@corpus_query(
+    "dedup_semantic_blocked_scaled_k",
+    oracle=_semantic_blocked_oracle(k=SEMANTIC_SCALED_K),
+)
+def dedup_semantic_blocked_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER production lever for cluster-blocked semantic dedup,
+    graded: k scaled with corpus size (k = N / n_target = {SEMANTIC_SCALED_K}
+    at sf0.01) instead of the fixed k={KMEANS_K} — cluster populations,
+    and with them the Σ n_c² pairwise cost, stay bounded per unit of
+    data. This is the recall-preserving dial (near-identical pairs still
+    co-cluster under finer centroids); the population cap
+    (dedup_semantic_blocked_capped) is the complementary hard bound.
+    Production composes both. Same parameterized Lloyd-CTE oracle, so
+    the scaled-k pipeline is hash-checked end to end."""
+    return dedup_semantic_blocked(spark, sf_dir, k=SEMANTIC_SCALED_K)
 
 
 @corpus_query(

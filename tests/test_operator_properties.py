@@ -233,6 +233,27 @@ def test_minhash_derived_pools_bounded(spark):
     assert cap == qd.HOT_BAND_CAP  # latest variant won the single slot
 
 
+def test_semantic_cluster_cap_is_candidate_only(spark):
+    """The per-cluster population cap only removes CANDIDATES: capped
+    output is a strict subset of the uncapped output with identical
+    scores on surviving pairs, and a cap above every cluster's population
+    reproduces the uncapped result exactly."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_similarity import (
+        dedup_semantic_blocked,
+    )
+
+    from .conftest import SF_SMOKE
+
+    def pairs(df):
+        return {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in df.collect()}
+
+    uncapped = pairs(dedup_semantic_blocked(spark, SF_SMOKE))
+    nocap = pairs(dedup_semantic_blocked(spark, SF_SMOKE, cluster_cap=10**9))
+    assert nocap == uncapped
+    capped = pairs(dedup_semantic_blocked(spark, SF_SMOKE, cluster_cap=8))
+    assert capped <= uncapped  # candidates pruned, survivors score identically
+
+
 def test_minhash_pool_hit_runs_no_jobs(spark):
     """Materialization happens at pool-BUILD time only: a repeat
     dedup_minhash_lsh call whose intermediates are all pool hits must not

@@ -39,6 +39,7 @@ QUERIES = (
     "cluster_kmeans_embeddings",
     "sim_pq_topk",
     "dedup_semantic_blocked",
+    "dedup_semantic_blocked_capped",  # r4: the Σ n_c² guardrail, measured
     "dedup_containment",
 )
 
