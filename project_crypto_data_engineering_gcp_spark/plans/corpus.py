@@ -93,6 +93,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_semantic_blocked_capped",
     "dedup_semantic_blocked_scaled_k",
     "streaming_snapshot_datasource",
+    "text_hash_embedding",
     # --- refreshers: code changed underneath this round (pooling
     # rework, index-path hashing, silver_casts refactor, column
     # reorder) — re-prove with the hard driver signal ---
@@ -103,7 +104,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_ann_ivf_kmeans",
     "sim_ann_ivf_indexed",
     "sim_pq_topk",
-    "sim_pq_indexed",
+    # (sim_pq_indexed keeps its r3 row; its one r4 change — index-path
+    # hashing — is the same code shape checked via sim_ann_ivf_indexed)
     # silver_casts refactor re-homed the Bronze->Silver projection; the
     # replica oracle checks it value-exactly (downstream gold builders
     # are untouched and keep their r2 rows)

@@ -337,7 +337,10 @@ def dedup_minhash_lsh(
         .distinct()
     )
     cand_toks = toks.join(cand_docs, "doc_id", "left_semi")
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # set sizes from the semi-filtered frame: it carries EVERY shingle of
+    # each candidate doc, so these are the true sizes — and the aggregate's
+    # input is proportional to the candidate set, not the corpus
+    sizes = cand_toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ta = cand_toks.alias("ta")
     tb = cand_toks.alias("tb")
     inter = (

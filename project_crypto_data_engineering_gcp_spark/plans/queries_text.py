@@ -567,3 +567,84 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         F.round(gini, 6).alias("gini_diversity"),
     )
+
+
+HASH_EMB_DIM = 16  # feature-hashing embedding dimensionality
+
+
+def _hash_embedding_oracle() -> str:
+    h = md5_long_sql("tok")
+    return f"""
+    WITH contrib AS (
+        SELECT doc_id,
+               h % {HASH_EMB_DIM} AS dim,
+               CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+        FROM (SELECT doc_id, {h} AS h
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents) t0) t
+    ),
+    raw AS (
+        SELECT c.doc_id, d.dim,
+               CAST(SUM(CASE WHEN c.dim = d.dim THEN c.sgn ELSE 0 END)
+                    AS BIGINT) AS raw_weight
+        FROM contrib c
+        CROSS JOIN (SELECT unnest(range(0, {HASH_EMB_DIM})) AS dim) d
+        GROUP BY c.doc_id, d.dim
+    )
+    SELECT doc_id, dim, raw_weight,
+           ROUND(CASE WHEN nrm > 0 THEN raw_weight / nrm ELSE 0.0 END, 6)
+               AS unit_weight
+    FROM (SELECT *,
+                 SQRT(CAST(SUM(raw_weight * raw_weight)
+                           OVER (PARTITION BY doc_id) AS DOUBLE)) AS nrm
+          FROM raw) n
+    """
+
+
+@corpus_query("text_hash_embedding", oracle=_hash_embedding_oracle())
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing ("hashing trick") text embedding: every token
+    votes ±1 (sign bit of its hash) into one of {HASH_EMB_DIM} dimensions
+    (low bits of the same hash), giving each document a deterministic,
+    model-free dense vector — the classic bridge from raw text to the
+    similarity/clustering family (cluster_kmeans_embeddings,
+    dedup_embedding_cosine) when no learned encoder is available, and the
+    signed variant of SimHash before the sign() is taken. Emitted in long
+    format (doc_id, dim, raw_weight, unit_weight) so the driver's hash
+    check covers every component exactly.
+
+    Scale: one map-side-combinable aggregation on doc_id ({HASH_EMB_DIM}
+    conditional sums — no per-dim fan-out on the Spark side, unlike the
+    oracle's readable cross-join form), then stack + an L2 window on the
+    SAME doc_id partitioning — a single shuffle end to end, pure JVM
+    expression work."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("tok")).select(
+        "doc_id", md5_long("tok").alias("h")
+    )
+    contrib = t.select(
+        "doc_id",
+        (F.col("h") % HASH_EMB_DIM).alias("dim"),
+        F.when(F.shiftright("h", 4).bitwiseAND(1) == 1, 1).otherwise(-1).alias("sgn"),
+    )
+    wide = contrib.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("dim") == i, F.col("sgn")).otherwise(0)).alias(f"s{i}")
+            for i in range(HASH_EMB_DIM)
+        ]
+    )
+    stack_expr = "stack({}, {}) as (dim, raw_weight)".format(
+        HASH_EMB_DIM,
+        ", ".join(f"CAST({i} AS BIGINT), s{i}" for i in range(HASH_EMB_DIM)),
+    )
+    longf = wide.select("doc_id", F.expr(stack_expr))
+    w = Window.partitionBy("doc_id")
+    nrm = F.sqrt(
+        F.sum(F.col("raw_weight") * F.col("raw_weight")).over(w).cast("double")
+    )
+    unit = F.when(nrm > 0, F.col("raw_weight") / nrm).otherwise(F.lit(0.0))
+    return longf.select(
+        "doc_id", "dim", "raw_weight", F.round(unit, 6).alias("unit_weight")
+    )
