@@ -372,3 +372,29 @@ def test_containment_broadcast_sizes(spark):
     both sides, like the jaccard skeleton it shares."""
     plan = plan_of(QUERIES["dedup_containment"].fn(spark, SF_ORACLE))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_semantic_capped_window_on_join_key(spark):
+    """The per-cluster population cap must run as a row_number window
+    PARTITIONED ON cid — the same key the pair self-join shuffles on —
+    so the cap adds filtering, not a new shuffle shape; pairs stay
+    hash-equi-join-gated."""
+    plan = plan_of(QUERIES["dedup_semantic_blocked_capped"].fn(spark, SF_ORACLE))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_hash_embedding_single_doc_shuffle(spark):
+    """The feature-hashing embedding is one map-side-combinable agg on
+    doc_id; the L2 window runs on the SAME doc_id partitioning, so the
+    whole query needs exactly one hash shuffle (plus zero cartesians) —
+    the stack unpivot and the 16 conditional sums are scan-stage work."""
+    plan = plan_of(QUERIES["text_hash_embedding"].fn(spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "Generate" in plan  # token explode + stack stay in-plan (no UDF)
