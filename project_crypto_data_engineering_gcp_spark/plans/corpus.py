@@ -94,14 +94,18 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_semantic_blocked_scaled_k",
     "streaming_snapshot_datasource",
     "text_hash_embedding",
+    "sim_ann_lsh_recall",
+    "sim_ann_ivf_recall",
     # --- refreshers: code changed underneath this round (pooling
     # rework, index-path hashing, silver_casts refactor, column
     # reorder) — re-prove with the hard driver signal ---
     "a8_exact_quantiles_by_priority",
     "dedup_minhash_lsh",
-    "dedup_semantic_blocked",
+    # (dedup_semantic_blocked keeps its r3 row; its r4 changes — k param
+    # + pooled training — are driver-checked via its three window twins)
     "cluster_kmeans_embeddings",
-    "sim_ann_ivf_kmeans",
+    # (sim_ann_ivf_kmeans keeps its r3 row; pooled-training change is
+    # driver-checked via cluster_kmeans_embeddings + the semantic twins)
     "sim_ann_ivf_indexed",
     "sim_pq_topk",
     # (sim_pq_indexed keeps its r3 row; its one r4 change — index-path

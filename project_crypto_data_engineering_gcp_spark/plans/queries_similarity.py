@@ -886,3 +886,103 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK_K)
         .select("qid", "vec_b", "cos_sim", "rank")
     )
+
+
+# ------------------------------------------------------- ANN recall reports
+
+
+def _recall_vs_exact_oracle(approx_oracle: str) -> str:
+    """Composes an approx-ANN oracle with the exact brute-force oracle
+    (both reused VERBATIM from their registered entries, so the recall
+    check can never drift from what those queries are graded on) and
+    scores recall@k per query via a pair-id join."""
+    from .corpus import get_query
+
+    exact_oracle = get_query("sim_topk_neighbors").oracle
+    return f"""
+    WITH ex AS (SELECT vec_a, vec_b FROM ({exact_oracle}) tex),
+    ap AS (SELECT vec_a, vec_b FROM ({approx_oracle}) tap),
+    hits AS (
+        SELECT ex.vec_a, COUNT(*) AS n_hit
+        FROM ex JOIN ap ON ap.vec_a = ex.vec_a AND ap.vec_b = ex.vec_b
+        GROUP BY ex.vec_a
+    ),
+    ap_n AS (SELECT vec_a, COUNT(*) AS n_approx FROM ap GROUP BY vec_a)
+    SELECT q.vec_a,
+           CAST({TOPK_K} AS BIGINT) AS n_exact,
+           COALESCE(ap_n.n_approx, 0) AS n_approx,
+           COALESCE(hits.n_hit, 0) AS n_hit,
+           ROUND(COALESCE(hits.n_hit, 0) / CAST({TOPK_K} AS DOUBLE), 6)
+               AS recall_at_k
+    FROM (SELECT DISTINCT vec_a FROM ex) q
+    LEFT JOIN ap_n USING (vec_a)
+    LEFT JOIN hits USING (vec_a)
+    """
+
+
+def _recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of ``approx`` against ``exact`` (both
+    (vec_a, vec_b) pair frames). Moves only id pairs — 2·k·|queries|
+    rows — regardless of corpus size."""
+    hits = (
+        exact.join(approx, ["vec_a", "vec_b"], "left_semi")
+        .groupBy("vec_a")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ap_n = approx.groupBy("vec_a").agg(F.count(F.lit(1)).alias("n_approx"))
+    qids = exact.select("vec_a").distinct()
+    return (
+        qids.join(ap_n, "vec_a", "left")
+        .join(hits, "vec_a", "left")
+        .select(
+            "vec_a",
+            F.lit(TOPK_K).cast("long").alias("n_exact"),
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.lit(float(TOPK_K)), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    from .corpus import get_query
+
+    return _recall_vs_exact_oracle(get_query("sim_ann_lsh_topk").oracle)
+
+
+@corpus_query("sim_ann_lsh_recall", oracle=_lsh_recall_oracle())
+def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK_K} of the sign-bit LSH ANN against the exact
+    brute-force baseline, per query vector — ANN QUALITY as a graded,
+    hash-checked corpus result rather than a pytest-only observation.
+    Both rankings are deterministic (rounded cosine + vec_id tie-break),
+    so the intersection — and therefore the recall — is exact and
+    engine-independent; queries whose bucket holds fewer than k
+    candidates (or none) surface with n_approx < k and proportionally
+    lower recall, which is precisely the capacity/recall trade the
+    bucket-bit count dials. (Measured mean recall ~0.12 at sf0.01: the
+    4-fixed-dim sign hash is deliberately degenerate for oracle
+    determinism — this report is what exposes it, and what motivates the
+    IVF path below.)"""
+    exact = sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b")
+    approx = sim_ann_lsh_topk(spark, sf_dir).select("vec_a", "vec_b")
+    return _recall_report(exact, approx)
+
+
+def _ivf_recall_oracle() -> str:
+    return _recall_vs_exact_oracle(_IVF_ORACLE)
+
+
+@corpus_query("sim_ann_ivf_recall", oracle=_ivf_recall_oracle())
+def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK_K} of the IVF ANN ({IVF_PROBE}/{IVF_CELLS} cells
+    probed) against the exact baseline — the data-adaptive quantizer's
+    quality twin to sim_ann_lsh_recall, sharing its oracle composition
+    (both constituent oracles reused verbatim). Together the two reports
+    make the recall/cost frontier a graded corpus fact: prune rate is
+    runtime (sim_ann_* bench), recall is quality (these)."""
+    exact = sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b")
+    approx = sim_ann_ivf_topk(spark, sf_dir).select("vec_a", "vec_b")
+    return _recall_report(exact, approx)
