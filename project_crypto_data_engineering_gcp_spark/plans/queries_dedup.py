@@ -86,6 +86,13 @@ _SHINGLE_MEMO_MAX = 1
 _SIGS_MEMO: dict[tuple[str, str], DataFrame] = {}
 _CAND_MEMO: dict[tuple[str, str, int | None], DataFrame] = {}
 _CAPPED_SH_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+# prepared-PLAN memo (no data cached): building the minhash verify plan
+# costs ~0.5-0.8 s of pure driver-side expression/py4j work per call;
+# DataFrames are immutable, so repeat calls reuse the identical logical
+# plan — execution still runs in full each time. Entries hold no
+# persisted state, so eviction is a plain pop.
+_MINHASH_PLAN_MEMO: dict[tuple[str, str, int | None], DataFrame] = {}
+_MINHASH_PLAN_MEMO_MAX = 4
 
 
 def _shared_shingle_frame(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
@@ -246,6 +253,7 @@ def dedup_minhash_lsh(
     the trade every production LSH dedup makes. Default None = exact
     (oracle-checked) behavior."""
     app = spark.sparkContext.applicationId
+    plan_key = (app, sf_dir, hot_band_cap)
     toks = _shared_shingle_frame(spark, sf_dir, MINHASH_SHINGLE_K)
 
     # one md5 per shingle, then the affine hash family (see MINHASH_AB);
@@ -328,6 +336,13 @@ def dedup_minhash_lsh(
     # hits — zero Spark jobs until the returned plan is executed
     cand = _bounded_cached(_CAND_MEMO, (app, sf_dir, hot_band_cap), build_cand)
 
+    # data pools (above) are always touched so evicted/cleared caches
+    # rebuild; the verify PLAN below is memoized separately — Spark's
+    # cache manager substitutes InMemoryRelations by canonicalized-plan
+    # match, so the reused plan picks rebuilt caches up at planning time
+    if plan_key in _MINHASH_PLAN_MEMO:
+        return _MINHASH_PLAN_MEMO[plan_key]
+
     # verify stage touches only candidate docs' shingles: semi-join
     # prefilter keeps the (doc, shingle) join input proportional to the
     # candidate set, not the corpus
@@ -355,12 +370,16 @@ def dedup_minhash_lsh(
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    return (
+    out = (
         inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
         .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= MINHASH_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    while len(_MINHASH_PLAN_MEMO) >= _MINHASH_PLAN_MEMO_MAX:
+        _MINHASH_PLAN_MEMO.pop(next(iter(_MINHASH_PLAN_MEMO)))
+    _MINHASH_PLAN_MEMO[plan_key] = out
+    return out
 
 
 def _ngram_oracle(stop_shingle_df_cap: int | None = None) -> str:

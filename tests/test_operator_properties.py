@@ -233,6 +233,23 @@ def test_minhash_derived_pools_bounded(spark):
     assert cap == qd.HOT_BAND_CAP  # latest variant won the single slot
 
 
+def test_streaming_snapshot_datasource_repeat_drain_deterministic(spark):
+    """The DataSource stream-drain corpus query must be repeat-call
+    deterministic: each call gets a FRESH checkpoint (full re-drain) and
+    replaces the memory-sink table, so two calls in one session return
+    identical frames — the property the driver's oracle comparison
+    relies on when it executes the query after other corpus queries."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_crypto import (
+        streaming_snapshot_datasource,
+    )
+
+    a = streaming_snapshot_datasource(spark, "unused")
+    rows_a = sorted(map(tuple, a.collect()))
+    b = streaming_snapshot_datasource(spark, "unused")
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and len(rows_a) > 0
+
+
 def test_semantic_cluster_cap_is_candidate_only(spark):
     """The per-cluster population cap only removes CANDIDATES: capped
     output is a strict subset of the uncapped output with identical
