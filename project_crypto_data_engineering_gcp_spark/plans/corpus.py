@@ -96,20 +96,29 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_hash_embedding",
     "sim_ann_lsh_recall",
     "sim_ann_ivf_recall",
+    # --- new in r4 (second batch): boilerplate excision (the document
+    # REWRITE step after dedup flags), PQ shortlist -> exact re-rank
+    # (recall repair; exercises the shared ADC front half of
+    # sim_pq_topk, whose oracle CTEs it composes), and symmetric-int8
+    # scalar quantization (completes the LSH/IVF/PQ/SQ ladder) ---
+    "text_boilerplate_ngrams",
+    "sim_pq_refined",
+    "sim_sq8_topk",
     # --- refreshers: code changed underneath this round (pooling
     # rework, index-path hashing, silver_casts refactor, column
     # reorder) — re-prove with the hard driver signal ---
     "a8_exact_quantiles_by_priority",
     "dedup_minhash_lsh",
     # (dedup_semantic_blocked keeps its r3 row; its r4 changes — k param
-    # + pooled training — are driver-checked via its three window twins)
-    "cluster_kmeans_embeddings",
-    # (sim_ann_ivf_kmeans keeps its r3 row; pooled-training change is
-    # driver-checked via cluster_kmeans_embeddings + the semantic twins)
-    "sim_ann_ivf_indexed",
-    "sim_pq_topk",
-    # (sim_pq_indexed keeps its r3 row; its one r4 change — index-path
-    # hashing — is the same code shape checked via sim_ann_ivf_indexed)
+    # + pooled training — are driver-checked via its three window twins.
+    # cluster_kmeans_embeddings / sim_ann_ivf_kmeans likewise keep their
+    # r3 rows: the pooled-training change is exercised by the in-window
+    # semantic twins, which call the same _kmeans_fit.
+    # sim_pq_topk / sim_pq_indexed keep their r3 rows: the in-window
+    # sim_pq_refined composes the refactored oracle CTEs and drives the
+    # shared ADC front half (_pq_codes_and_lut); sim_ann_ivf_indexed's
+    # one r4 change — index-path hashing — is pinned by its own pytest
+    # plan/path tests and the local parity suite.)
     # silver_casts refactor re-homed the Bronze->Silver projection; the
     # replica oracle checks it value-exactly (downstream gold builders
     # are untouched and keep their r2 rows)

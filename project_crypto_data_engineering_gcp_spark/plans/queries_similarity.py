@@ -659,13 +659,22 @@ def dedup_semantic_blocked_capped(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # PQ subspace-split pool: shared by sim_pq_topk's repeat calls
 _PQ_SUBS_MEMO: dict[tuple[str, str], DataFrame] = {}
+# encoded-codes pool: the warm-path serving artifact (scalars only)
+_PQ_CODES_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 PQ_M = 4  # subspaces (dim 64 -> 4 x 16)
 PQ_SUBDIM = 16
 PQ_CODES = 16  # codewords per subspace (subvectors of vec_id < PQ_CODES)
 
 
-def _pq_oracle() -> str:
+def _pq_score_sql() -> str:
+    return " + ".join(f"p{m}" for m in range(PQ_M))
+
+
+def _pq_ctes() -> str:
+    """Shared CTE body (raw → e → subs → cb → codes → lut → scored) for
+    every PQ oracle — the ADC pipeline up to the per-pair pivoted
+    partial-dot sums."""
     sub_expr = (
         f"list_slice(nv, u.m * {PQ_SUBDIM} + 1, (u.m + 1) * {PQ_SUBDIM})"
     )
@@ -677,9 +686,8 @@ def _pq_oracle() -> str:
         f"MAX(CASE WHEN x.m = {m} THEN l.pdot END) AS p{m}"
         for m in range(PQ_M)
     )
-    score = " + ".join(f"p{m}" for m in range(PQ_M))
     return f"""
-    WITH raw AS (
+    raw AS (
         SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm FROM embeddings
     ),
     e AS (
@@ -712,7 +720,13 @@ def _pq_oracle() -> str:
         SELECT l.qid, x.vec_id, {pivot}
         FROM codes x JOIN lut l ON l.m = x.m AND l.code = x.code
         GROUP BY l.qid, x.vec_id
-    )
+    )"""
+
+
+def _pq_oracle() -> str:
+    score = _pq_score_sql()
+    return f"""
+    WITH {_pq_ctes()}
     SELECT qid, vec_id, approx_score, rank FROM (
         SELECT qid, vec_id, ROUND({score}, 6) AS approx_score,
                ROW_NUMBER() OVER (
@@ -745,32 +759,137 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, encoding, is a broadcast join against {PQ_M}x{PQ_CODES}
     codewords); the scored fan-out is N x {PQ_M} x n_queries rows — the
     classic linear ADC scan, shuffled only for the per-query top-k."""
-    from ..operators.pq import (
-        normalized_vectors,
-        pq_adc_topk,
-        pq_codebook,
-        pq_encode,
-        pq_lut,
-        pq_subspaces,
-    )
+    from ..operators.pq import pq_adc_topk
+
+    codes, lut = _pq_codes_and_lut(spark, sf_dir)
+    return pq_adc_topk(codes, lut, m=PQ_M, k=TOPK_K)
+
+
+def _pq_subs_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The subspace-split frame, pooled (bounded LRU): codebook, encode
+    and LUT all traverse it; materialized once at build so pool hits run
+    no job."""
+    from ..operators.pq import normalized_vectors, pq_subspaces
 
     def build_subs() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         out = pq_subspaces(
             normalized_vectors(emb), m=PQ_M, subdim=PQ_SUBDIM
         ).cache()
-        out.count()  # materialize at build: pool hits run no job
+        out.count()
         return out
 
-    # pooled (bounded LRU): codebook, encode and LUT all traverse subs;
-    # previously cached per call with no unpersist
-    subs = bounded_cached(
+    return bounded_cached(
         _PQ_SUBS_MEMO, (spark.sparkContext.applicationId, sf_dir), build_subs
     )
+
+
+def _pq_codes_and_lut(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared ADC front half: encoded corpus codes + the per-query LUT.
+    The CODES frame is pooled too — encoding (a corpus-wide nearest-
+    codeword window) is the expensive half of every warm PQ pass, and
+    its output is scalars only (vec_id, m, code): tiny to keep resident,
+    exactly what the persisted-index twin stores on disk."""
+    from ..operators.pq import pq_codebook, pq_encode, pq_lut
+
+    subs = _pq_subs_pooled(spark, sf_dir)
     cb = pq_codebook(subs, n_codes=PQ_CODES)
-    codes = pq_encode(subs, cb)
+
+    def build_codes() -> DataFrame:
+        out = pq_encode(subs, cb).cache()
+        out.count()
+        return out
+
+    codes = bounded_cached(
+        _PQ_CODES_MEMO,
+        (spark.sparkContext.applicationId, sf_dir),
+        build_codes,
+    )
     lut = pq_lut(subs.filter(F.col("vec_id") < TOPK_QUERIES), cb)
-    return pq_adc_topk(codes, lut, m=PQ_M, k=TOPK_K)
+    return codes, lut
+
+
+PQ_REFINE_R = 20  # ADC shortlist size handed to the exact re-rank
+
+
+def _pq_refined_oracle() -> str:
+    score = _pq_score_sql()
+    exact = dot_double_sql("eq.nv", "ec.nv")
+    return f"""
+    WITH {_pq_ctes()},
+    short AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY {score} DESC, vec_id ASC
+                   ) AS rk
+            FROM scored
+        ) t WHERE rk <= {PQ_REFINE_R}
+    )
+    SELECT qid, vec_id, exact_score, rank FROM (
+        SELECT s.qid, s.vec_id,
+               ROUND({exact}, 6) AS exact_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.qid
+                   ORDER BY ROUND({exact}, 6) DESC, s.vec_id ASC
+               ) AS rank
+        FROM short s
+        JOIN e eq ON eq.vec_id = s.qid
+        JOIN e ec ON ec.vec_id = s.vec_id
+    ) t WHERE rank <= {TOPK_K}
+    """
+
+
+@corpus_query("sim_pq_refined", oracle=_pq_refined_oracle())
+def sim_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist → EXACT re-rank: the production recall-repair recipe
+    (Jégou et al. §V: ADC search, then re-rank the shortlist with true
+    distances). The compressed scan nominates {PQ_REFINE_R} candidates
+    per query from the codes alone; only those {PQ_REFINE_R} rows per
+    query then read the real vectors for an exact rounded-cosine top-k.
+    Two-stage ANN bounds the exact-arithmetic cost at n_queries x
+    {PQ_REFINE_R} pairs regardless of corpus size — the quantization
+    error that caps sim_pq_topk's ranking quality is repaired wherever
+    the true neighbor made the shortlist.
+
+    Scale: stage 1 is the linear ADC code scan (scalars only); stage 2
+    fetches vectors via an equi-join on vec_id for n_queries x
+    {PQ_REFINE_R} rows — a semi-join-sized read of the corpus, with the
+    query vectors broadcast. Ranking uses the ROUNDED score (6 dp) with
+    a vec_id tie-break, same determinism contract as the IVF family."""
+    from ..operators.pq import normalized_vectors, pq_adc_topk
+
+    from pyspark.sql import Window
+
+    codes, lut = _pq_codes_and_lut(spark, sf_dir)
+    short = pq_adc_topk(codes, lut, m=PQ_M, k=PQ_REFINE_R).select(
+        "qid", "vec_id"
+    )
+    e = normalized_vectors(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("nv").alias("qv")
+    )
+    from ..functions.vectors import dot_prenorm
+
+    scored = (
+        short.join(F.broadcast(q), "qid")
+        .join(e, "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(dot_prenorm("qv", "nv"), 6).alias("exact_score"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("exact_score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("qid", "vec_id", "exact_score", "rank")
+    )
 
 
 
@@ -986,3 +1105,106 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b")
     approx = sim_ann_ivf_topk(spark, sf_dir).select("vec_a", "vec_b")
     return _recall_report(exact, approx)
+
+
+SQ8_LEVELS = 127  # symmetric int8: codes in [-127, 127]
+
+
+def _sq8_oracle() -> str:
+    code_of = (
+        f"list_transform(range(1, len(nv) + 1), "
+        f"i -> CASE WHEN sc[i] > 0 "
+        f"THEN CAST(ROUND(nv[i] / sc[i] * {SQ8_LEVELS}) AS BIGINT) "
+        f"ELSE 0 END)"
+    )
+    return f"""
+    {_NORM_CTE},
+    dims AS (
+        SELECT generate_subscripts(nv, 1) AS dim, unnest(nv) AS x FROM e
+    ),
+    scstat AS (SELECT dim, MAX(ABS(x)) AS s FROM dims GROUP BY dim),
+    scales AS (SELECT list(s ORDER BY dim) AS sc FROM scstat),
+    codes AS (
+        SELECT vec_id, {code_of} AS c FROM e, scales
+    ),
+    qcodes AS (
+        SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < {TOPK_QUERIES}
+    ),
+    scored AS (
+        SELECT q.qid, x.vec_id,
+               CAST(list_sum(list_transform(range(1, len(x.c) + 1),
+                    i -> q.qc[i] * x.c[i])) AS BIGINT) AS qdot
+        FROM qcodes q, codes x
+    )
+    SELECT qid, vec_id, qdot, rank FROM (
+        SELECT qid, vec_id, qdot,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY qdot DESC, vec_id ASC
+               ) AS rank
+        FROM scored
+    ) t WHERE rank <= {TOPK_K}
+    """
+
+
+@corpus_query("sim_sq8_topk", oracle=_sq8_oracle())
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_K} ANN via symmetric INT8 scalar quantization (the
+    FAISS SQ8 recipe): each dimension gets one scale (its max |value|
+    over the unit-normalized corpus); components snap to
+    round(x / scale * {SQ8_LEVELS}) ∈ [-{SQ8_LEVELS}, {SQ8_LEVELS}]; and
+    similarity is the INTEGER dot of the code arrays — 4x smaller at
+    rest than float32 and integer-SIMD at serve time. Completes the
+    quantization ladder: sign-bit LSH (1 bit/vector) → IVF (prune) →
+    PQ (codebook compression) → SQ8 (uniform per-dim compression).
+
+    Parity is EXACT-by-construction: integer products and sums are
+    associative, so unlike the float-dot family no fold-order discipline
+    is needed — both engines produce identical BIGINTs and the driver
+    hash-check is bit-trivial. The only float step (x/s*{SQ8_LEVELS}
+    then round) mirrors the same expression shape in both engines with
+    half-away-from-zero rounding.
+
+    Scale: the per-dim scale vector is one {SQ8_LEVELS * 0 + 64}-element
+    frame (broadcast); encoding is a scan-stage array transform; the
+    scan is the classic linear code sweep with the {TOPK_QUERIES} query
+    codes broadcast — same cost model as PQ's ADC but with zero
+    codebook-training step, which is why SQ8 is the default first rung
+    of compressed serving."""
+    from pyspark.sql import Window
+
+    from ..operators.pq import normalized_vectors
+
+    e = normalized_vectors(load_table(spark, sf_dir, "embeddings"))
+    dims = e.select(
+        F.posexplode("nv").alias("dim0", "x")
+    ).groupBy("dim0").agg(F.max(F.abs("x")).alias("s"))
+    scales = dims.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "s"))),
+            lambda t: t["s"],
+        ).alias("sc")
+    )
+    quant = lambda x, s: (  # noqa: E731
+        F.when(s > 0, F.round(x / s * SQ8_LEVELS).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    codes = e.crossJoin(F.broadcast(scales)).select(
+        "vec_id", F.zip_with("nv", "sc", quant).alias("c")
+    )
+    qcodes = codes.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("c").alias("qc")
+    )
+    idot = F.aggregate(
+        F.zip_with("qc", "c", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    return (
+        codes.crossJoin(F.broadcast(qcodes))
+        .select("qid", "vec_id", idot.alias("qdot"))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("qid", "vec_id", "qdot", "rank")
+    )

@@ -648,3 +648,106 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longf.select(
         "doc_id", "dim", "raw_weight", F.round(unit, 6).alias("unit_weight")
     )
+
+
+BOILER_K = 3   # n-gram width for the boilerplate fingerprint
+BOILER_DF = 3  # a gram seen in >= this many distinct docs is boilerplate
+
+
+def _boilerplate_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+        SELECT doc_id, p,
+               array_to_string(list_slice(t, p, p + {BOILER_K - 1}), ' ') AS gram
+        FROM t, unnest(range(1, len(t) - {BOILER_K} + 2)) r(p)
+        WHERE len(t) >= {BOILER_K}
+    ),
+    hot AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= {BOILER_DF}
+    ),
+    cov AS (
+        SELECT DISTINCT g.doc_id, g.p + d AS cp
+        FROM g JOIN hot USING (gram), unnest(range(0, {BOILER_K})) o(d)
+    ),
+    tok AS (
+        SELECT doc_id, p, t.t[p] AS tok
+        FROM t, unnest(range(1, len(t) + 1)) r(p)
+    ),
+    kept AS (
+        SELECT k.doc_id, k.p, k.tok
+        FROM tok k ANTI JOIN cov c ON k.doc_id = c.doc_id AND k.p = c.cp
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    ),
+    rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, len(t.t) AS n_tokens,
+           COALESCE(r.n_removed, 0) AS n_removed,
+           COALESCE(a.cleaned_text, '') AS cleaned_text
+    FROM t LEFT JOIN rem r ON r.doc_id = t.doc_id
+           LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """
+
+
+@corpus_query("text_boilerplate_ngrams", oracle=_boilerplate_oracle())
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal by hot-n-gram excision (the CCNet/RefinedWeb
+    line-dedup step, re-expressed for single-line corpora): any
+    {BOILER_K}-gram occurring in >= {BOILER_DF} distinct documents is
+    boilerplate; every token position covered by at least one such gram
+    is cut and the survivors are re-joined in order. Emits per doc the
+    token count, positions removed, and the cleaned text — the document
+    REWRITE step real curation pipelines run after the dedup family
+    merely flags.
+
+    Scale shape: positional grams are a scan-stage expression over the
+    pre-split token array (no re-split per position); the hot-gram set
+    is the only globally-aggregated frame and ships back as a BROADCAST,
+    so covered positions are computed without shuffling the corpus; the
+    per-doc covered-position set then aggregates and joins on doc_id —
+    the corpus text shuffles exactly once, keyed by doc_id, and the
+    excision itself is a higher-order array filter in codegen. Hot-gram
+    cardinality is bounded by distinct boilerplate snippets (not corpus
+    size); at 100 TB the same stop-gram df-cap as dedup_ngram_jaccard
+    applies if a degenerate corpus inflates it."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) < {BOILER_K} THEN array() "
+                f"ELSE transform(sequence(1, size(t) - {BOILER_K - 1}), "
+                f"p -> named_struct('p', p, 'gram', "
+                f"concat_ws(' ', slice(t, p, {BOILER_K})))) END"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.p").alias("p"), F.col("g.gram").alias("gram"))
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_DF)
+        .select("gram")
+    )
+    covs = (
+        grams.join(F.broadcast(hot), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + BOILER_K - 1)).alias("cp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("cp").alias("cps"))
+    )
+    joined = toks.join(covs, "doc_id", "left").withColumn(
+        "cps", F.coalesce("cps", F.expr("array()"))
+    )
+    kept = F.expr("filter(t, (tok, i) -> NOT array_contains(cps, i + 1))")
+    return joined.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size("cps").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

@@ -398,3 +398,37 @@ def test_hash_embedding_single_doc_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
     assert "Generate" in plan  # token explode + stack stay in-plan (no UDF)
+
+
+def test_boilerplate_hot_grams_broadcast(spark):
+    """text_boilerplate_ngrams: the hot-gram set (the only globally
+    aggregated frame) must ship back as a broadcast — covered positions
+    are computed without shuffling the corpus — and the pairwise stage
+    is equi-join-gated (no cartesian)."""
+    plan = plan_of(QUERIES["text_boilerplate_ngrams"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # excision is an array-lambda filter in the projection, not a
+    # per-token anti-join (the oracle's readable form)
+    assert "filter(t" in plan or "lambdafunction" in plan
+
+
+def test_pq_refined_rerank_is_equijoin_fetch(spark):
+    """sim_pq_refined: stage 2 reads true vectors ONLY via equi-joins
+    (qid broadcast, vec_id fetch) — no all-pairs stage anywhere, and the
+    ADC front half keeps its broadcast codebook/LUT shape."""
+    plan = plan_of(QUERIES["sim_pq_refined"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq8_scan_is_broadcast_nested_loop_over_codes(spark):
+    """sim_sq8_topk: the linear code sweep pairs every corpus code row
+    with the BROADCAST bounded query-code set (and the 1-row scale
+    vector) — broadcast nested loop by design, never a shuffled
+    CartesianProduct; ranking shuffles scalar rows only."""
+    plan = plan_of(QUERIES["sim_sq8_topk"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" in plan
