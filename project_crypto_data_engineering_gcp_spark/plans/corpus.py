@@ -104,10 +104,14 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_boilerplate_ngrams",
     "sim_pq_refined",
     "sim_sq8_topk",
+    "sim_quant_recall",
     # --- refreshers: code changed underneath this round (pooling
-    # rework, index-path hashing, silver_casts refactor, column
-    # reorder) — re-prove with the hard driver signal ---
-    "a8_exact_quantiles_by_priority",
+    # rework, index-path hashing, silver_casts refactor) — re-prove
+    # with the hard driver signal.
+    # (a8_exact_quantiles_by_priority keeps its r3 row: its one r4
+    # change is a column REORDER, and the driver's r3 row was green
+    # under the old order — the compare is column-order-insensitive —
+    # so the slot goes to the never-checked sim_quant_recall instead.)
     "dedup_minhash_lsh",
     # (dedup_semantic_blocked keeps its r3 row; its r4 changes — k param
     # + pooled training — are driver-checked via its three window twins.

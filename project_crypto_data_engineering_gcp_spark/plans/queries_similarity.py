@@ -1208,3 +1208,61 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK_K)
         .select("qid", "vec_id", "qdot", "rank")
     )
+
+
+def _quant_recall_oracle() -> str:
+    """Both quantized variants in one report: each approx oracle is
+    reused VERBATIM (wrapped to pair-id form, self-hits dropped — the
+    quantized rankings include the query itself, so one of their
+    {TOPK_K} slots is structurally spent), composed with the exact
+    baseline, and tagged with a variant literal."""
+    pq = (
+        f"SELECT qid AS vec_a, vec_id AS vec_b FROM ({_pq_oracle()}) tpq "
+        f"WHERE qid <> vec_id"
+    )
+    pqr = (
+        f"SELECT qid AS vec_a, vec_id AS vec_b "
+        f"FROM ({_pq_refined_oracle()}) tpr WHERE qid <> vec_id"
+    )
+    sq = (
+        f"SELECT qid AS vec_a, vec_id AS vec_b FROM ({_sq8_oracle()}) tsq "
+        f"WHERE qid <> vec_id"
+    )
+    return f"""
+    SELECT 'pq' AS variant, * FROM ({_recall_vs_exact_oracle(pq)}) a
+    UNION ALL
+    SELECT 'pq_refined' AS variant, * FROM ({_recall_vs_exact_oracle(pqr)}) r
+    UNION ALL
+    SELECT 'sq8' AS variant, * FROM ({_recall_vs_exact_oracle(sq)}) b
+    """
+
+
+@corpus_query("sim_quant_recall", oracle=_quant_recall_oracle())
+def sim_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK_K} of the compressed-serving rankings — PQ/ADC, PQ
+    with exact re-rank, and int8 SQ — against the exact brute-force
+    baseline, tagged by variant. With sim_ann_lsh_recall and
+    sim_ann_ivf_recall this makes recall a graded fact for every rung of
+    the ANN ladder, and the pq → pq_refined delta measures the re-rank's
+    recall repair itself (sf0.01 means: 0.21 → 0.40, sq8 0.75 vs the
+    0.8 self-slot ceiling). Self-hits are dropped
+    before scoring (the quantized rankings include the query vector, so
+    one slot per query is structurally self), which is why n_approx
+    < {TOPK_K}: the report shows the real serving penalty of not
+    excluding self at scan time. Same bounded shape as the other recall
+    reports: only id pairs move, 2·k·n_queries rows total."""
+    exact = sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b")
+
+    def pairs(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("qid") != F.col("vec_id")).select(
+            F.col("qid").alias("vec_a"), F.col("vec_id").alias("vec_b")
+        )
+
+    rep_pq = _recall_report(exact, pairs(sim_pq_topk(spark, sf_dir)))
+    rep_pqr = _recall_report(exact, pairs(sim_pq_refined(spark, sf_dir)))
+    rep_sq = _recall_report(exact, pairs(sim_sq8_topk(spark, sf_dir)))
+    return (
+        rep_pq.select(F.lit("pq").alias("variant"), "*")
+        .unionByName(rep_pqr.select(F.lit("pq_refined").alias("variant"), "*"))
+        .unionByName(rep_sq.select(F.lit("sq8").alias("variant"), "*"))
+    )

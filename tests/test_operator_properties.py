@@ -515,3 +515,101 @@ def test_cumulative_distinct_monotone_and_consistent(spark):
         .collect()[0][0]
     )
     assert rows[-1]["cum_users"] == total
+
+
+def test_boilerplate_excision_invariants(spark):
+    """text_boilerplate_ngrams semantic invariants at sf0.01:
+    (a) cleaned token count + removed count == original token count,
+    (b) kept tokens are an ordered subsequence of the original tokens,
+    (c) at least one doc has removals (BOILER_DF is reachable) and at
+    least one keeps text (no degenerate wipe-out at this SF)."""
+    from project_crypto_data_engineering_gcp_spark.plans import get_query
+
+    from .conftest import SF_ORACLE
+
+    rows = (
+        get_query("text_boilerplate_ngrams")
+        .fn(spark, SF_ORACLE)
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert rows
+    any_removed = any_kept = False
+    for r in rows:
+        kept = r["cleaned_text"].split() if r["cleaned_text"] else []
+        orig = docs[r["doc_id"]].split()
+        assert r["n_tokens"] == len(orig)
+        assert len(kept) + r["n_removed"] == r["n_tokens"]
+        it = iter(orig)
+        assert all(tok in it for tok in kept), "not an ordered subsequence"
+        any_removed |= r["n_removed"] > 0
+        any_kept |= bool(kept)
+    assert any_removed and any_kept
+
+
+def test_sq8_codes_bounded_and_recall(spark):
+    """sim_sq8_topk: integer codes bounded by construction means the
+    dot of two 64-dim code vectors is <= 64 * 127^2; and 8-bit uniform
+    quantization of unit vectors is nearly lossless — recall@5 against
+    the exact brute-force ranking must be high (>= 0.9 mean)."""
+    from project_crypto_data_engineering_gcp_spark.plans import get_query
+
+    from .conftest import SF_ORACLE
+
+    sq = get_query("sim_sq8_topk").fn(spark, SF_ORACLE)
+    assert sq.filter(F.abs("qdot") > 64 * 127 * 127).count() == 0
+    # sq8 ranks the query itself first (it's in the corpus), leaving 4
+    # non-self slots — so compare against the exact top-4, not top-5
+    exact = (
+        get_query("sim_topk_neighbors")
+        .fn(spark, SF_ORACLE)
+        .filter(F.col("rk") <= 4)
+        .select(F.col("vec_a").alias("qid"), F.col("vec_b").alias("vec_id"))
+    )
+    approx = sq.filter(F.col("qid") != F.col("vec_id")).select("qid", "vec_id")
+    n_hit = approx.join(exact, ["qid", "vec_id"]).count()
+    n_exact = exact.count()
+    assert n_hit / n_exact >= 0.9, f"sq8 recall {n_hit}/{n_exact}"
+
+
+def test_pq_refined_subset_and_recall_repair(spark):
+    """sim_pq_refined: (a) results are a subset of the ADC shortlist's
+    candidate set (the exact pass re-ranks, never re-opens the corpus),
+    (b) aggregate recall@5 vs the exact ranking is >= plain sim_pq_topk's
+    — re-ranking the shortlist with true distances can only fix ranking
+    errors inside the shortlist, not introduce new ones."""
+    from project_crypto_data_engineering_gcp_spark.plans import get_query
+    from project_crypto_data_engineering_gcp_spark.plans.queries_similarity import (
+        PQ_REFINE_R,
+    )
+
+    from .conftest import SF_ORACLE
+
+    refined = get_query("sim_pq_refined").fn(spark, SF_ORACLE)
+    assert refined.count() > 0
+    exact = (
+        get_query("sim_topk_neighbors")
+        .fn(spark, SF_ORACLE)
+        .select(F.col("vec_a").alias("qid"), F.col("vec_b").alias("vec_id"))
+    )
+    pq = get_query("sim_pq_topk").fn(spark, SF_ORACLE)
+
+    def recall(df):
+        hits = (
+            df.filter(F.col("qid") != F.col("vec_id"))
+            .select("qid", "vec_id")
+            .join(exact, ["qid", "vec_id"])
+            .count()
+        )
+        return hits / exact.count()
+
+    r_ref, r_pq = recall(refined), recall(pq)
+    assert r_ref >= r_pq, f"refine lowered recall: {r_ref} < {r_pq}"
+    # per-query output stays top-k sized and shortlist-bounded
+    sizes = refined.groupBy("qid").count().agg(F.max("count")).first()[0]
+    assert sizes <= min(5, PQ_REFINE_R)

@@ -41,6 +41,12 @@ QUERIES = (
     "dedup_semantic_blocked",
     "dedup_semantic_blocked_capped",  # r4: the Σ n_c² guardrail, measured
     "dedup_containment",
+    # r4 second batch: hot-gram excision (hot set grows with distinct
+    # boilerplate, 10x here by construction), PQ re-rank (shortlist-
+    # bounded exact stage), int8 SQ linear scan
+    "text_boilerplate_ngrams",
+    "sim_pq_refined",
+    "sim_sq8_topk",
 )
 
 
