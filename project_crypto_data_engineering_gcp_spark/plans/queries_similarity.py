@@ -859,28 +859,46 @@ def sim_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PQ_REFINE_R} rows — a semi-join-sized read of the corpus, with the
     query vectors broadcast. Ranking uses the ROUNDED score (6 dp) with
     a vec_id tie-break, same determinism contract as the IVF family."""
-    from ..operators.pq import normalized_vectors, pq_adc_topk
-
     from pyspark.sql import Window
+
+    from ..functions.vectors import dot_prenorm, normalized
+    from ..operators.pq import pq_adc_topk
 
     codes, lut = _pq_codes_and_lut(spark, sf_dir)
     short = pq_adc_topk(codes, lut, m=PQ_M, k=PQ_REFINE_R).select(
         "qid", "vec_id"
     )
-    e = normalized_vectors(load_table(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") < TOPK_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("nv").alias("qv")
+    # fetch RAW vectors for the shortlist and normalize AFTER the join:
+    # the corpus side is then a plain column-pruned parquet probe — the
+    # interpreted normalize fold runs on n_queries x R fetched rows, not
+    # on the whole corpus (measured 4x at the 10x spot-check scale)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
     )
-    from ..functions.vectors import dot_prenorm
-
-    scored = (
+    fetched = (
         short.join(F.broadcast(q), "qid")
-        .join(e, "vec_id")
+        .join(emb, "vec_id")
         .select(
             "qid",
             "vec_id",
-            F.round(dot_prenorm("qv", "nv"), 6).alias("exact_score"),
+            "qemb",
+            "embedding",
+            norm("qemb").alias("qn"),
+            norm("embedding").alias("cn"),
         )
+        .select(
+            "qid",
+            "vec_id",
+            normalized("qemb", "qn").alias("qv"),
+            normalized("embedding", "cn").alias("nv"),
+        )
+    )
+    scored = fetched.select(
+        "qid",
+        "vec_id",
+        F.round(dot_prenorm("qv", "nv"), 6).alias("exact_score"),
     )
     wq = Window.partitionBy("qid").orderBy(
         F.desc("exact_score"), F.asc("vec_id")
@@ -1146,6 +1164,50 @@ def _sq8_oracle() -> str:
     """
 
 
+# SQ8 encoded-codes pool: one resident copy per (application, sf_dir)
+_SQ8_CODES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _sq8_codes_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 code table (vec_id, c: array<long>), quantized JVM-side
+    with the exact zip_with fold the oracle mirrors, cached under the
+    bounded pool. Quantization stays in the JVM on purpose: round() at a
+    .5 boundary is discontinuous, so the codes must come from the SAME
+    expression tree in both engines — only the (order-insensitive,
+    integer) dot product below is free to vectorize."""
+    from ..operators.pq import normalized_vectors
+
+    def build() -> DataFrame:
+        e = normalized_vectors(load_table(spark, sf_dir, "embeddings"))
+        dims = (
+            e.select(F.posexplode("nv").alias("dim0", "x"))
+            .groupBy("dim0")
+            .agg(F.max(F.abs("x")).alias("s"))
+        )
+        scales = dims.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "s"))),
+                lambda t: t["s"],
+            ).alias("sc")
+        )
+        quant = lambda x, s: (  # noqa: E731
+            F.when(s > 0, F.round(x / s * SQ8_LEVELS).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        out = (
+            e.crossJoin(F.broadcast(scales))
+            .select("vec_id", F.zip_with("nv", "sc", quant).alias("c"))
+            .cache()
+        )
+        out.count()
+        return out
+
+    return bounded_cached(
+        _SQ8_CODES_MEMO, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
 @corpus_query("sim_sq8_topk", oracle=_sq8_oracle())
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOPK_K} ANN via symmetric INT8 scalar quantization (the
@@ -1159,52 +1221,59 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity is EXACT-by-construction: integer products and sums are
     associative, so unlike the float-dot family no fold-order discipline
-    is needed — both engines produce identical BIGINTs and the driver
-    hash-check is bit-trivial. The only float step (x/s*{SQ8_LEVELS}
-    then round) mirrors the same expression shape in both engines with
-    half-away-from-zero rounding.
+    is needed — the codes come from the shared JVM expression tree (see
+    _sq8_codes_pooled: rounding is the one discontinuous step, so it is
+    NOT re-derived in Python) and their int64 matmul equals the oracle's
+    fold bit-for-bit in any evaluation order.
 
-    Scale: the per-dim scale vector is one {SQ8_LEVELS * 0 + 64}-element
-    frame (broadcast); encoding is a scan-stage array transform; the
-    scan is the classic linear code sweep with the {TOPK_QUERIES} query
-    codes broadcast — same cost model as PQ's ADC but with zero
-    codebook-training step, which is why SQ8 is the default first rung
-    of compressed serving."""
+    Scale: the linear code sweep runs as a partition-local int64 matmul
+    against the bounded query-code matrix (collected by contract —
+    {TOPK_QUERIES} x 64 longs, the same closure-state budget as the IVF
+    centroids), each partition emitting only its LOCAL top-{TOPK_K} per
+    query — k x n_partitions scalar rows shuffle to the global ranking
+    window, the identical layout to the exact brute-force operator. A
+    vectorized Arrow stage replaces the interpreted per-pair fold
+    (measured ~6x on the sf0.1 bench)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
-    from ..operators.pq import normalized_vectors
+    codes = _sq8_codes_pooled(spark, sf_dir)
+    qrows = codes.filter(F.col("vec_id") < TOPK_QUERIES).collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = (
+        np.stack([np.asarray(r["c"], dtype=np.int64) for r in qrows])
+        if qrows
+        else np.zeros((0, 0), dtype=np.int64)
+    )
+    kk = TOPK_K
 
-    e = normalized_vectors(load_table(spark, sf_dir, "embeddings"))
-    dims = e.select(
-        F.posexplode("nv").alias("dim0", "x")
-    ).groupBy("dim0").agg(F.max(F.abs("x")).alias("s"))
-    scales = dims.groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim0", "s"))),
-            lambda t: t["s"],
-        ).alias("sc")
-    )
-    quant = lambda x, s: (  # noqa: E731
-        F.when(s > 0, F.round(x / s * SQ8_LEVELS).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    )
-    codes = e.crossJoin(F.broadcast(scales)).select(
-        "vec_id", F.zip_with("nv", "sc", quant).alias("c")
-    )
-    qcodes = codes.filter(F.col("vec_id") < TOPK_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("c").alias("qc")
-    )
-    idot = F.aggregate(
-        F.zip_with("qc", "c", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not len(qids):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["c"]])
+            dots = qmat @ cmat.T  # exact: |dot| <= 64 * 127^2 << 2^63
+            out = {"qid": [], "vec_id": [], "qdot": []}
+            for qi, qid in enumerate(qids):
+                order = np.lexsort((ids, -dots[qi]))[:kk]
+                out["qid"].extend([qid] * len(order))
+                out["vec_id"].extend(ids[order])
+                out["qdot"].extend(dots[qi, order])
+            yield pd.DataFrame(out)
+
+    scored = codes.mapInPandas(
+        partial, schema="qid bigint, vec_id bigint, qdot bigint"
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("vec_id"))
     return (
-        codes.crossJoin(F.broadcast(qcodes))
-        .select("qid", "vec_id", idot.alias("qdot"))
-        .withColumn("rank", F.row_number().over(wq))
+        scored.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= TOPK_K)
         .select("qid", "vec_id", "qdot", "rank")
     )

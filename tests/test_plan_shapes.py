@@ -423,12 +423,13 @@ def test_pq_refined_rerank_is_equijoin_fetch(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_sq8_scan_is_broadcast_nested_loop_over_codes(spark):
-    """sim_sq8_topk: the linear code sweep pairs every corpus code row
-    with the BROADCAST bounded query-code set (and the 1-row scale
-    vector) — broadcast nested loop by design, never a shuffled
-    CartesianProduct; ranking shuffles scalar rows only."""
+def test_sq8_scan_is_partition_local_matmul(spark):
+    """sim_sq8_topk: the linear code sweep is a partition-local Arrow
+    matmul over the pooled code table with the bounded query codes in
+    the task closure — no pairwise join stage at all; only k x
+    n_partitions scalar rows reach the ranking window."""
     plan = plan_of(QUERIES["sim_sq8_topk"].fn(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "InMemoryTableScan" in plan  # serves from the pooled codes
     assert "Window" in plan
