@@ -349,28 +349,15 @@ def topk_neighbors_distributed(
     return _rank_topk(scored, k)
 
 
-def ivf_topk_distributed(
-    emb: DataFrame,
-    *,
-    k: int,
-    query_filter: Column,
-    n_cells: int,
-    n_probe: int,
-    round_digits: int = 6,
+def ivf_assign_frame(
+    emb: DataFrame, *, n_cells: int, round_digits: int = 6
 ) -> DataFrame:
-    """IVF ANN top-k, cell-partitioned: the coarse quantizer is the first
-    ``n_cells`` vectors by vec_id (deterministic, reproducible, and
-    SQL-expressible — no k-means iterations). Driver-side state is ONLY
-    the (n_cells x dim) centroid matrix and the bounded query set, never
-    the index. Index vectors get their nearest cell row-locally
-    (centroids in the task closure); query probes (query x n_probe
-    nearest cells) are built driver-side; a BROADCAST HASH equi-join on
-    the cell id selects candidates — compute scales with
-    n_probe / n_cells of the index, pruned in the join before any full
-    dot product runs. Vectors never shuffle: the join is broadcast and
-    the ranking window moves scalars only."""
+    """The IVF inverted file: (vec_b, cell, cnv) — every vector tagged
+    with its nearest centroid's cell, normalized once. This IS the index
+    artifact: the persisted serving path writes exactly this frame
+    partitioned by cell (operators/ann_index.py), and the inline query
+    path may pool it so repeat queries skip re-assignment."""
     rd = int(round_digits)
-    spark = emb.sparkSession
     cent_rows = (
         emb.select("vec_id", "embedding").filter(F.col("vec_id") < n_cells).collect()
     )  # O(n_cells x dim): the quantizer, not the index
@@ -402,9 +389,46 @@ def ivf_topk_distributed(
                 }
             )
 
-    index = _spread(emb.select("vec_id", "embedding")).mapInPandas(
+    return _spread(emb.select("vec_id", "embedding")).mapInPandas(
         assign, schema="vec_b bigint, cell bigint, cnv array<double>"
     )
+
+
+def ivf_topk_distributed(
+    emb: DataFrame,
+    *,
+    k: int,
+    query_filter: Column,
+    n_cells: int,
+    n_probe: int,
+    round_digits: int = 6,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN top-k, cell-partitioned: the coarse quantizer is the first
+    ``n_cells`` vectors by vec_id (deterministic, reproducible, and
+    SQL-expressible — no k-means iterations). Driver-side state is ONLY
+    the (n_cells x dim) centroid matrix and the bounded query set, never
+    the index. Index vectors get their nearest cell row-locally
+    (centroids in the task closure); query probes (query x n_probe
+    nearest cells) are built driver-side; a BROADCAST HASH equi-join on
+    the cell id selects candidates — compute scales with
+    n_probe / n_cells of the index, pruned in the join before any full
+    dot product runs. Vectors never shuffle: the join is broadcast and
+    the ranking window moves scalars only."""
+    rd = int(round_digits)
+    spark = emb.sparkSession
+    cent_rows = (
+        emb.select("vec_id", "embedding").filter(F.col("vec_id") < n_cells).collect()
+    )  # O(n_cells x dim): the quantizer, not the index
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cmat = _normalize_rows(
+        np.stack(
+            [np.asarray(r["embedding"], dtype=np.float32) for r in cent_rows]
+        ).astype(np.float64)
+    )
+
+    if index is None:
+        index = ivf_assign_frame(emb, n_cells=n_cells, round_digits=rd)
 
     # probes driver-side from the bounded query set: (vec_a, pcell, qnv)
     qids, qnv = _collect_queries(emb, query_filter)

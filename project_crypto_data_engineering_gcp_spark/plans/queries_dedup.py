@@ -85,6 +85,7 @@ _SHINGLE_MEMO: dict[tuple[str, str, int], DataFrame] = {}
 _SHINGLE_MEMO_MAX = 1
 _SIGS_MEMO: dict[tuple[str, str], DataFrame] = {}
 _CAND_MEMO: dict[tuple[str, str, int | None], DataFrame] = {}
+_CAND_TOKS_MEMO: dict[tuple[str, str, int | None], DataFrame] = {}
 _CAPPED_SH_MEMO: dict[tuple[str, str, int], DataFrame] = {}
 # prepared-PLAN memo (no data cached): building the minhash verify plan
 # costs ~0.5-0.8 s of pure driver-side expression/py4j work per call;
@@ -345,13 +346,23 @@ def dedup_minhash_lsh(
 
     # verify stage touches only candidate docs' shingles: semi-join
     # prefilter keeps the (doc, shingle) join input proportional to the
-    # candidate set, not the corpus
-    cand_docs = F.broadcast(
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # candidate set, not the corpus. POOLED (bounded, candidate-sized):
+    # the verify traverses it three times (sizes, both intersection
+    # sides) and Spark does not reuse the semi-join exchange across the
+    # aliases — one resident copy serves all three reads.
+    def build_cand_toks() -> DataFrame:
+        cand_docs = F.broadcast(
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        out = toks.join(cand_docs, "doc_id", "left_semi").cache()
+        out.count()  # materialize at build: pool hits run no job
+        return out
+
+    cand_toks = _bounded_cached(
+        _CAND_TOKS_MEMO, (app, sf_dir, hot_band_cap), build_cand_toks
     )
-    cand_toks = toks.join(cand_docs, "doc_id", "left_semi")
     # set sizes from the semi-filtered frame: it carries EVERY shingle of
     # each candidate doc, so these are the true sizes — and the aggregate's
     # input is proportional to the candidate set, not the corpus
