@@ -613,3 +613,30 @@ def test_pq_refined_subset_and_recall_repair(spark):
     # per-query output stays top-k sized and shortlist-bounded
     sizes = refined.groupBy("qid").count().agg(F.max("count")).first()[0]
     assert sizes <= min(5, PQ_REFINE_R)
+
+
+def test_pools_rebuild_identically_after_external_clear(spark):
+    """A session-wide clearCache() (what bench.py does between queries,
+    and what executor-memory pressure does in production) must leave
+    every pooled family serving BIT-IDENTICAL results from rebuilt
+    pools: stale handles are detected via storageLevel and rebuilt, and
+    the memoized plans pick the new InMemoryRelations up at planning
+    time."""
+    from project_crypto_data_engineering_gcp_spark.plans import get_query
+
+    from .conftest import SF_ORACLE
+
+    names = (
+        "dedup_minhash_lsh",
+        "sim_pq_topk",
+        "sim_ann_ivf_topk",
+        "sim_sq8_topk",
+    )
+    before = {
+        n: sorted(map(tuple, get_query(n).fn(spark, SF_ORACLE).collect()))
+        for n in names
+    }
+    spark.catalog.clearCache()
+    for n in names:
+        after = sorted(map(tuple, get_query(n).fn(spark, SF_ORACLE).collect()))
+        assert after == before[n], f"{n}: rebuilt pool changed the answer"
