@@ -349,23 +349,38 @@ def topk_neighbors_distributed(
     return _rank_topk(scored, k)
 
 
-def ivf_assign_frame(
-    emb: DataFrame, *, n_cells: int, round_digits: int = 6
-) -> DataFrame:
-    """The IVF inverted file: (vec_b, cell, cnv) — every vector tagged
-    with its nearest centroid's cell, normalized once. This IS the index
-    artifact: the persisted serving path writes exactly this frame
-    partitioned by cell (operators/ann_index.py), and the inline query
-    path may pool it so repeat queries skip re-assignment."""
-    rd = int(round_digits)
+def _collect_centroids(emb: DataFrame, n_cells: int):
+    """Driver-side quantizer state: (cent_ids, normalized centroid
+    matrix) — O(n_cells x dim), never the index."""
     cent_rows = (
         emb.select("vec_id", "embedding").filter(F.col("vec_id") < n_cells).collect()
-    )  # O(n_cells x dim): the quantizer, not the index
+    )
     cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     cmat = _normalize_rows(
         np.stack(
             [np.asarray(r["embedding"], dtype=np.float32) for r in cent_rows]
         ).astype(np.float64)
+    )
+    return cent_ids, cmat
+
+
+def ivf_assign_frame(
+    emb: DataFrame,
+    *,
+    n_cells: int,
+    round_digits: int = 6,
+    centroids=None,
+) -> DataFrame:
+    """The IVF inverted file: (vec_b, cell, cnv) — every vector tagged
+    with its nearest centroid's cell, normalized once. This IS the index
+    artifact: the persisted serving path writes exactly this frame
+    partitioned by cell (operators/ann_index.py), and the inline query
+    path may pool it so repeat queries skip re-assignment. Pass
+    ``centroids`` (from :func:`_collect_centroids`) to reuse an
+    already-collected quantizer."""
+    rd = int(round_digits)
+    cent_ids, cmat = (
+        centroids if centroids is not None else _collect_centroids(emb, n_cells)
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -417,18 +432,14 @@ def ivf_topk_distributed(
     the ranking window moves scalars only."""
     rd = int(round_digits)
     spark = emb.sparkSession
-    cent_rows = (
-        emb.select("vec_id", "embedding").filter(F.col("vec_id") < n_cells).collect()
-    )  # O(n_cells x dim): the quantizer, not the index
-    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
-    cmat = _normalize_rows(
-        np.stack(
-            [np.asarray(r["embedding"], dtype=np.float32) for r in cent_rows]
-        ).astype(np.float64)
-    )
+    cent_ids, cmat = _collect_centroids(emb, n_cells)  # one driver job,
+    # shared by the probe builder below and (when index is None) the
+    # assignment pass
 
     if index is None:
-        index = ivf_assign_frame(emb, n_cells=n_cells, round_digits=rd)
+        index = ivf_assign_frame(
+            emb, n_cells=n_cells, round_digits=rd, centroids=(cent_ids, cmat)
+        )
 
     # probes driver-side from the bounded query set: (vec_a, pcell, qnv)
     qids, qnv = _collect_queries(emb, query_filter)

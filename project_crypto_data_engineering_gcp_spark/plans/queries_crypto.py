@@ -276,6 +276,7 @@ def streaming_snapshot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     drain-everything trigger is the identical semantics; incremental
     multi-batch delivery is exercised by
     tests/test_snapshot_datasource.py::test_datasource_streaming_incremental_drain.)"""
+    import shutil as _sh
     import tempfile as _tf
 
     from ..sources.snapshot_datasource import register_snapshot_source
@@ -283,19 +284,26 @@ def streaming_snapshot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     register_snapshot_source(spark)
     name = "sg_snapshot_stream_drain"
-    q = (
-        spark.readStream.format("crypto_snapshots")
-        .load(_LANDING)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option(
-            "checkpointLocation", _tf.mkdtemp(prefix="sg_snapds_ckpt_")
+    # fresh checkpoint per call => full deterministic re-drain (reusing
+    # one would resume committed offsets and emit nothing); removed once
+    # the drain terminates — the memory sink holds the result, so the
+    # checkpoint has no post-termination purpose and repeated calls
+    # must not accumulate temp dirs
+    ckpt = _tf.mkdtemp(prefix="sg_snapds_ckpt_")
+    try:
+        q = (
+            spark.readStream.format("crypto_snapshots")
+            .load(_LANDING)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        _sh.rmtree(ckpt, ignore_errors=True)
     return cp.silver_casts(spark.table(name), processed_at=PROCESSED_AT).drop(
         "tokens", "_source_file"
     )

@@ -337,13 +337,6 @@ def dedup_minhash_lsh(
     # hits — zero Spark jobs until the returned plan is executed
     cand = _bounded_cached(_CAND_MEMO, (app, sf_dir, hot_band_cap), build_cand)
 
-    # data pools (above) are always touched so evicted/cleared caches
-    # rebuild; the verify PLAN below is memoized separately — Spark's
-    # cache manager substitutes InMemoryRelations by canonicalized-plan
-    # match, so the reused plan picks rebuilt caches up at planning time
-    if plan_key in _MINHASH_PLAN_MEMO:
-        return _MINHASH_PLAN_MEMO[plan_key]
-
     # verify stage touches only candidate docs' shingles: semi-join
     # prefilter keeps the (doc, shingle) join input proportional to the
     # candidate set, not the corpus. POOLED (bounded, candidate-sized):
@@ -363,6 +356,15 @@ def dedup_minhash_lsh(
     cand_toks = _bounded_cached(
         _CAND_TOKS_MEMO, (app, sf_dir, hot_band_cap), build_cand_toks
     )
+
+    # EVERY data pool (toks, sigs, cand, cand_toks) is touched above the
+    # plan-memo fast path, so evicted/cleared caches rebuild before a
+    # memoized plan is served; the verify PLAN below is memoized
+    # separately — Spark's cache manager substitutes InMemoryRelations by
+    # canonicalized-plan match, so the reused plan picks rebuilt caches
+    # up at planning time
+    if plan_key in _MINHASH_PLAN_MEMO:
+        return _MINHASH_PLAN_MEMO[plan_key]
     # set sizes from the semi-filtered frame: it carries EVERY shingle of
     # each candidate doc, so these are the true sizes — and the aggregate's
     # input is proportional to the candidate set, not the corpus

@@ -1074,10 +1074,24 @@ def _recall_vs_exact_oracle(approx_oracle: str) -> str:
     """
 
 
+def _pairs_local(df: DataFrame) -> DataFrame:
+    """Materialize a contract-bounded pair frame (k x n_queries rows) as
+    a driver-local relation. The recall reports traverse each pair frame
+    2-3 times; without this, every traversal re-executes the frame's
+    full lineage (for the exact baseline, the N^2 brute-force scan —
+    up to 6 redundant executions in sim_quant_recall). Collecting is
+    within the bounded-driver-state contract: these are id pairs, the
+    same budget as the IVF centroids."""
+    spark = df.sparkSession
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
 def _recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """Per-query recall@k of ``approx`` against ``exact`` (both
     (vec_a, vec_b) pair frames). Moves only id pairs — 2·k·|queries|
-    rows — regardless of corpus size."""
+    rows — regardless of corpus size. Callers pass frames through
+    :func:`_pairs_local` so the multi-traversal report never re-executes
+    the underlying scans."""
     hits = (
         exact.join(approx, ["vec_a", "vec_b"], "left_semi")
         .groupBy("vec_a")
@@ -1120,8 +1134,8 @@ def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-fixed-dim sign hash is deliberately degenerate for oracle
     determinism — this report is what exposes it, and what motivates the
     IVF path below.)"""
-    exact = sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b")
-    approx = sim_ann_lsh_topk(spark, sf_dir).select("vec_a", "vec_b")
+    exact = _pairs_local(sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b"))
+    approx = _pairs_local(sim_ann_lsh_topk(spark, sf_dir).select("vec_a", "vec_b"))
     return _recall_report(exact, approx)
 
 
@@ -1137,8 +1151,8 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both constituent oracles reused verbatim). Together the two reports
     make the recall/cost frontier a graded corpus fact: prune rate is
     runtime (sim_ann_* bench), recall is quality (these)."""
-    exact = sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b")
-    approx = sim_ann_ivf_topk(spark, sf_dir).select("vec_a", "vec_b")
+    exact = _pairs_local(sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b"))
+    approx = _pairs_local(sim_ann_ivf_topk(spark, sf_dir).select("vec_a", "vec_b"))
     return _recall_report(exact, approx)
 
 
@@ -1337,11 +1351,15 @@ def sim_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     < {TOPK_K}: the report shows the real serving penalty of not
     excluding self at scan time. Same bounded shape as the other recall
     reports: only id pairs move, 2·k·n_queries rows total."""
-    exact = sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b")
+    exact = _pairs_local(
+        sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b")
+    )
 
     def pairs(df: DataFrame) -> DataFrame:
-        return df.filter(F.col("qid") != F.col("vec_id")).select(
-            F.col("qid").alias("vec_a"), F.col("vec_id").alias("vec_b")
+        return _pairs_local(
+            df.filter(F.col("qid") != F.col("vec_id")).select(
+                F.col("qid").alias("vec_a"), F.col("vec_id").alias("vec_b")
+            )
         )
 
     rep_pq = _recall_report(exact, pairs(sim_pq_topk(spark, sf_dir)))

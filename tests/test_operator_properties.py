@@ -640,3 +640,16 @@ def test_pools_rebuild_identically_after_external_clear(spark):
     for n in names:
         after = sorted(map(tuple, get_query(n).fn(spark, SF_ORACLE).collect()))
         assert after == before[n], f"{n}: rebuilt pool changed the answer"
+    # the memoized-plan fast path must NOT bypass pool revalidation:
+    # after the clear, a repeat minhash call (plan-memo hit) must have
+    # re-materialized every pooled frame, including the verify-stage
+    # candidate-shingle pool
+    from pyspark import StorageLevel
+
+    from project_crypto_data_engineering_gcp_spark.plans import queries_dedup as qd
+
+    for memo in (qd._SIGS_MEMO, qd._CAND_MEMO, qd._CAND_TOKS_MEMO):
+        for entry in memo.values():
+            assert entry.storageLevel != StorageLevel.NONE, (
+                "pooled frame left unpersisted after rebuild"
+            )
