@@ -28,9 +28,8 @@ from .similarity import (
     _block_cos,
     _normalize_rows,
     _rank_topk,
-    _spread,
-    _stack,
     _stack64,
+    ivf_assign_frame,
 )
 
 CENTROIDS_SUBDIR = "_centroids"
@@ -48,34 +47,12 @@ def build_ivf_index(
     cent = emb.select("vec_id", "embedding").filter(F.col("vec_id") < n_cells)
     cent.write.mode("overwrite").parquet(os.path.join(path, CENTROIDS_SUBDIR))
 
-    cent_rows = cent.collect()  # O(n_cells x dim): the quantizer
-    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
-    cmat = _normalize_rows(
-        np.stack(
-            [np.asarray(r["embedding"], dtype=np.float32) for r in cent_rows]
-        ).astype(np.float64)
-    )
-    rd = int(round_digits)
-
-    def assign(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            nv = _normalize_rows(_stack(pdf["embedding"]))
-            csim_r = np.round(_block_cos(nv, cmat), rd)
-            cell = np.empty(len(pdf), dtype=np.int64)
-            for r in range(len(pdf)):
-                cell[r] = cent_ids[np.lexsort((cent_ids, -csim_r[r]))[0]]
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].astype("int64"), "cell": cell, "nv": list(nv)}
-            )
-
-    index = _spread(emb.select("vec_id", "embedding")).mapInPandas(
-        assign, schema="vec_id bigint, cell bigint, nv array<double>"
-    )
+    # the persisted cells are EXACTLY the shared assignment operator's
+    # output (ivf_assign_frame — also the frame the inline query path
+    # pools), renamed to the on-disk schema and partitioned by cell
+    index = ivf_assign_frame(
+        emb, n_cells=n_cells, round_digits=int(round_digits)
+    ).select(F.col("vec_b").alias("vec_id"), "cell", F.col("cnv").alias("nv"))
     index.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, CELLS_SUBDIR)
     )

