@@ -290,6 +290,7 @@ def streaming_snapshot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     # checkpoint has no post-termination purpose and repeated calls
     # must not accumulate temp dirs
     ckpt = _tf.mkdtemp(prefix="sg_snapds_ckpt_")
+    q = None
     try:
         q = (
             spark.readStream.format("crypto_snapshots")
@@ -302,6 +303,12 @@ def streaming_snapshot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
+    except BaseException:
+        # stop a still-active query BEFORE its checkpoint disappears
+        # (otherwise it fails its next offset/commit write and leaks)
+        if q is not None and q.isActive:
+            q.stop()
+        raise
     finally:
         _sh.rmtree(ckpt, ignore_errors=True)
     return cp.silver_casts(spark.table(name), processed_at=PROCESSED_AT).drop(

@@ -1078,12 +1078,34 @@ def _pairs_local(df: DataFrame) -> DataFrame:
     """Materialize a contract-bounded pair frame (k x n_queries rows) as
     a driver-local relation. The recall reports traverse each pair frame
     2-3 times; without this, every traversal re-executes the frame's
-    full lineage (for the exact baseline, the N^2 brute-force scan —
-    up to 6 redundant executions in sim_quant_recall). Collecting is
-    within the bounded-driver-state contract: these are id pairs, the
-    same budget as the IVF centroids."""
+    full lineage. Collecting is within the bounded-driver-state
+    contract: these are id pairs, the same budget as the IVF centroids.
+    (The constituent pipelines' PLANS are invariant-checked through
+    their own corpus entries — the recall reports intentionally compose
+    materialized pair sets, not live subtrees.)"""
     spark = df.sparkSession
     return spark.createDataFrame(df.collect(), df.schema)
+
+
+# the exact brute-force baseline pairs, shared by ALL recall reports:
+# one N^2 execution per (application, dataset), then a 100-row local
+# frame serves every report
+_EXACT_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _exact_pairs_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        return _pairs_local(
+            sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b")
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EXACT_PAIRS_MEMO:
+        while len(_EXACT_PAIRS_MEMO) >= 2:  # local relations: plain pop,
+            # nothing persisted to unpersist
+            _EXACT_PAIRS_MEMO.pop(next(iter(_EXACT_PAIRS_MEMO)))
+        _EXACT_PAIRS_MEMO[key] = build()
+    return _EXACT_PAIRS_MEMO[key]
 
 
 def _recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
@@ -1134,7 +1156,7 @@ def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-fixed-dim sign hash is deliberately degenerate for oracle
     determinism — this report is what exposes it, and what motivates the
     IVF path below.)"""
-    exact = _pairs_local(sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b"))
+    exact = _exact_pairs_local(spark, sf_dir)
     approx = _pairs_local(sim_ann_lsh_topk(spark, sf_dir).select("vec_a", "vec_b"))
     return _recall_report(exact, approx)
 
@@ -1151,7 +1173,7 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both constituent oracles reused verbatim). Together the two reports
     make the recall/cost frontier a graded corpus fact: prune rate is
     runtime (sim_ann_* bench), recall is quality (these)."""
-    exact = _pairs_local(sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b"))
+    exact = _exact_pairs_local(spark, sf_dir)
     approx = _pairs_local(sim_ann_ivf_topk(spark, sf_dir).select("vec_a", "vec_b"))
     return _recall_report(exact, approx)
 
@@ -1351,9 +1373,7 @@ def sim_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     < {TOPK_K}: the report shows the real serving penalty of not
     excluding self at scan time. Same bounded shape as the other recall
     reports: only id pairs move, 2·k·n_queries rows total."""
-    exact = _pairs_local(
-        sim_topk_neighbors(spark, sf_dir).select("vec_a", "vec_b")
-    )
+    exact = _exact_pairs_local(spark, sf_dir)
 
     def pairs(df: DataFrame) -> DataFrame:
         return _pairs_local(

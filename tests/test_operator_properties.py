@@ -648,7 +648,12 @@ def test_pools_rebuild_identically_after_external_clear(spark):
 
     from project_crypto_data_engineering_gcp_spark.plans import queries_dedup as qd
 
-    for memo in (qd._SIGS_MEMO, qd._CAND_MEMO, qd._CAND_TOKS_MEMO):
+    for memo in (
+        qd._SHINGLE_MEMO,
+        qd._SIGS_MEMO,
+        qd._CAND_MEMO,
+        qd._CAND_TOKS_MEMO,
+    ):
         for entry in memo.values():
             assert entry.storageLevel != StorageLevel.NONE, (
                 "pooled frame left unpersisted after rebuild"
