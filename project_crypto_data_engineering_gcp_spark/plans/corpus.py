@@ -38,6 +38,15 @@ class CorpusQuery:
 
 _REGISTRY: dict[str, CorpusQuery] = {}
 
+# r5 WINDOW PLAN (leads for next round's rotation): after r4's driver
+# run lands, the oldest evidence will be the r2-checked set (crypto
+# pipeline + TPC-H menu + curation + first ANN wave) — rotate onto
+# those, plus any r5 additions, plus refreshers for code r5 touches.
+# Queries whose newest row will then be r3 (streaming family, j4-j7,
+# a6-a9, w4-w6, o4/o5, relational deep set) are one round old and can
+# wait for r6. Keep the invariant: never-checked ⊆ window, no query's
+# newest row older than 2 rounds.
+#
 # The driver's correctness gate checks the FIRST ~50 registry entries only.
 # The window ROTATES per round so every corpus query accumulates a green
 # driver row: r1 covered entries 1-50 of the original order, r2 the
