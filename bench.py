@@ -54,6 +54,10 @@ HEADLINE = (
     "sim_pq_topk",
     "sim_ann_ivf_kmeans",
     "dedup_semantic_blocked_capped",
+    # late-r4: the iterative-algorithm family (5-round fixed-point
+    # PageRank) and the BM25 retrieval scorer join the headline
+    "graph_pagerank",
+    "text_bm25_topk",
 )
 
 

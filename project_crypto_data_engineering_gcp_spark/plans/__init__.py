@@ -12,5 +12,6 @@ from . import queries_olap_deep  # noqa: F401
 from . import queries_crypto  # noqa: F401
 from . import queries_pandas  # noqa: F401
 from . import queries_curation  # noqa: F401
+from . import queries_graph  # noqa: F401
 
 __all__ = ["CorpusQuery", "corpus_query", "all_queries", "get_query"]

@@ -42,6 +42,13 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 # run lands, the oldest evidence will be the r2-checked set (crypto
 # pipeline + TPC-H menu + curation + first ANN wave) — rotate onto
 # those, plus any r5 additions, plus refreshers for code r5 touches.
+# MUST-INCLUDE (never-checked): the late-r4 additions registered AFTER
+# the 50-slot window filled — graph_pagerank, text_bm25_topk,
+# curate_temperature_mix, dedup_minhash_recall — kept out of the r4
+# window deliberately so the 38 stale-evidence refreshers (the r3
+# verdict's lead task, worth exactly 50 slots with the early-r4
+# additions) were not displaced; until r5 their evidence is the local
+# DuckDB parity suite + tests/test_graph.py.
 # Queries whose newest row will then be r3 (streaming family, j4-j7,
 # a6-a9, w4-w6, o4/o5, relational deep set) are one round old and can
 # wait for r6. Keep the invariant: never-checked ⊆ window, no query's
@@ -136,6 +143,17 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     # replica oracle checks it value-exactly (downstream gold builders
     # are untouched and keep their r2 rows)
     "crypto_silver_assets",
+    # ---- ROLLOVER QUEUE (positions 51+): late-r4 additions. The
+    # driver's gate reads ~50 entries; these sit immediately after it so
+    # (a) they are first in line if the gate reads deeper, and (b) the
+    # r5 rotation starts exactly here. Kept out of slots 1-50 so the 38
+    # stale-evidence refreshers (the r3 verdict's lead task) were not
+    # displaced. Until their driver row lands, evidence = the local
+    # DuckDB parity suite + tests/test_graph.py. ----
+    "graph_pagerank",
+    "text_bm25_topk",
+    "curate_temperature_mix",
+    "dedup_minhash_recall",
 )
 
 

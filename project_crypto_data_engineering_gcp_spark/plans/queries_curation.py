@@ -550,3 +550,104 @@ def curate_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("t").cast("long") - F.col("s") + 1, F.lit(CHUNK_SIZE).cast("long")
         ).alias("n_tokens"),
     )
+
+
+TEMP_SALT = "tempmix-v1:"   # decorrelated from SAMPLE_SALT's draws
+TEMP_W_SCALE = 1000         # fixed-point scale for sqrt(n) source weights
+
+
+@corpus_query(
+    "curate_temperature_mix",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(FLOOR(SQRT(COUNT(*)) * {TEMP_W_SCALE}) AS BIGINT)
+                   AS weight_fp
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(weight_fp) AS BIGINT) AS w_sum,
+               CAST(SUM(n_total) AS BIGINT) // 2 AS budget
+        FROM s
+    ),
+    q AS (
+        SELECT source, n_total, weight_fp,
+               (budget * weight_fp) // w_sum AS quota
+        FROM s, tot
+    ),
+    k AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM documents d JOIN q ON d.source = q.source
+        WHERE q.quota >= q.n_total
+           OR ({md5_long_sql("CAST(d.doc_id AS VARCHAR)", TEMP_SALT)}
+               % {SAMPLE_MOD}) * q.n_total < q.quota * {SAMPLE_MOD}
+        GROUP BY d.source
+    )
+    SELECT q.source, q.n_total, q.weight_fp, q.quota,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM q LEFT JOIN k ON k.source = q.source
+    """,
+)
+def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5): each source's share
+    of a half-corpus training budget is proportional to sqrt(n_source) —
+    the multilingual/domain re-balancing rule (keep-rate ~ n^(alpha-1),
+    so small sources are up-weighted relative to their raw share, large
+    ones down-weighted) — executed as deterministic hash-threshold
+    sampling, no RNG.
+
+    Every quantity is integer fixed-point so the audit is value-exact in
+    both engines AND on any cluster size: weights are
+    floor(sqrt(n)*{TEMP_W_SCALE}) (sqrt is IEEE-correctly-rounded, floor
+    pins the one inexact step), quotas are integer-ratio division of the
+    budget, and membership is the integer cross-multiplication
+    draw * n < quota * {SAMPLE_MOD} — the same md5-threshold scheme as
+    curate_sample_rates (monotone: raising a quota only ADDS documents).
+    Headroom: budget*weight and draw*n stay < 2^63 out to ~1e9 docs per
+    source.
+
+    Scale: one groupBy for source stats, a 1-row total broadcast, a
+    broadcast join of the (tiny) per-source quota table back onto the
+    corpus, one more groupBy to audit kept counts. The kept SET itself
+    (not materialized here) is the filter predicate applied at scan time."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.floor(F.sqrt(F.count(F.lit(1))) * TEMP_W_SCALE)
+        .cast("long")
+        .alias("weight_fp"),
+    )
+    tot = s.agg(
+        F.sum("weight_fp").alias("w_sum"),
+        F.expr("sum(n_total) div 2").alias("budget"),
+    )
+    q = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_total",
+            "weight_fp",
+            F.expr("(budget * weight_fp) div w_sum").alias("quota"),
+        )
+    )
+    draw = md5_long(F.col("doc_id").cast("string"), TEMP_SALT) % SAMPLE_MOD
+    kept = (
+        docs.select("source", draw.alias("draw"))
+        .join(F.broadcast(q), "source")
+        .filter(
+            (F.col("quota") >= F.col("n_total"))
+            | (F.col("draw") * F.col("n_total") < F.col("quota") * SAMPLE_MOD)
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        q.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            "weight_fp",
+            "quota",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

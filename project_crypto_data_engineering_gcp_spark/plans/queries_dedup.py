@@ -777,3 +777,102 @@ def dedup_apply_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _minhash_recall_oracle() -> str:
+    """Recall/precision of the LSH pipelines against the exact jaccard
+    ground truth — all three constituent oracles reused VERBATIM from
+    their registered entries (same no-drift rule as the ANN recall
+    reports in queries_similarity.py)."""
+
+    def variant(name: str, cte: str) -> str:
+        return f"""
+    SELECT '{name}' AS variant, s.n_true, n.n_found, h.n_hit,
+           CASE WHEN s.n_true > 0
+                THEN ROUND(h.n_hit / CAST(s.n_true AS DOUBLE), 6) END
+               AS recall,
+           CASE WHEN n.n_found > 0
+                THEN ROUND(h.n_hit / CAST(n.n_found AS DOUBLE), 6) END
+               AS prec
+    FROM stats s, n_{cte} n, h_{cte} h"""
+
+    return f"""
+    WITH truth AS (SELECT doc_a, doc_b FROM ({_ngram_oracle()}) t0),
+    f_lsh AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) t1),
+    f_cap AS (
+        SELECT doc_a, doc_b
+        FROM ({_minhash_oracle(hot_band_cap=HOT_BAND_CAP)}) t2
+    ),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+    n_lsh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM f_lsh),
+    n_cap AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM f_cap),
+    h_lsh AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM truth t JOIN f_lsh f
+          ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+    ),
+    h_cap AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM truth t JOIN f_cap f
+          ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+    )
+    {variant("lsh", "lsh")}
+    UNION ALL
+    {variant("lsh_capped", "cap")}
+    """
+
+
+@corpus_query("dedup_minhash_recall", oracle=_minhash_recall_oracle())
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level recall AND precision of minhash+LSH dedup — uncapped
+    and with the production hot-band cap — against the exact jaccard
+    ground truth (dedup_ngram_jaccard, same 3-gram shingle universe and
+    {NGRAM_JACCARD_THRESHOLD} threshold). The dedup twin of the ANN
+    recall reports: the capped twin's runtime is graded in the bench,
+    this grades what that cap COSTS in recall, and the precision column
+    proves (as a hash-checked fact, not a code comment) that both LSH
+    variants' exact-verify stage keeps precision at 1.0 — capping only
+    ever drops true pairs, it never admits false ones.
+
+    Scale: the three constituent pipelines share the pooled shingle
+    frame; each pair set is materialized once executor-side
+    (localCheckpoint — near-dup pair sets are output-sized, NOT
+    driver-bounded like top-k lists, so no collect) and traversed twice
+    (count + intersection). The report itself moves only id pairs."""
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    parts = []
+    for name, cap in (("lsh", None), ("lsh_capped", HOT_BAND_CAP)):
+        found = (
+            dedup_minhash_lsh(spark, sf_dir, hot_band_cap=cap)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+        n_hit = (
+            truth.join(found, ["doc_a", "doc_b"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        parts.append(
+            n_true.crossJoin(n_found)
+            .crossJoin(n_hit)
+            .select(
+                F.lit(name).alias("variant"),
+                "n_true",
+                "n_found",
+                "n_hit",
+                F.when(
+                    F.col("n_true") > 0,
+                    F.round(F.col("n_hit") / F.col("n_true").cast("double"), 6),
+                ).alias("recall"),
+                F.when(
+                    F.col("n_found") > 0,
+                    F.round(F.col("n_hit") / F.col("n_found").cast("double"), 6),
+                ).alias("prec"),
+            )
+        )
+    return parts[0].unionByName(parts[1])

@@ -762,3 +762,127 @@ def text_boilerplate_ngrams(
         F.size("cps").alias("n_removed"),
         F.concat_ws(" ", kept).alias("cleaned_text"),
     )
+
+
+BM25_QUERY = ("spark", "join", "window")  # fixed retrieval query terms
+BM25_TOPK = 25
+# BM25 constants k1=1.2, b=0.75 expressed as integer ratios: k1+1 = 22/10,
+# k1*(1-b) = 3/10, k1*b = 9/10 — see the integer-rational derivation below
+
+
+def _bm25_num_den_sql(tf: str, df: str, dl: str) -> tuple[str, str]:
+    """(numerator, denominator) BIGINT expressions for one term's BM25
+    score — identical text works in Spark SQL and DuckDB."""
+    num = f"(2 * n_docs + 2) * 22 * {tf} * total_len"
+    den = (
+        f"(2 * {df} + 1) * (10 * {tf} * total_len + 3 * total_len"
+        f" + 9 * {dl} * n_docs)"
+    )
+    return num, den
+
+
+def _bm25_score_sql(i: int, term: str) -> str:
+    num, den = _bm25_num_den_sql(f"tf{i}", f"df{i}", "dl")
+    return (
+        f"CASE WHEN tf{i} > 0 THEN CAST({num} AS DOUBLE)"
+        f" / CAST({den} AS DOUBLE) ELSE 0.0 END"
+    )
+
+
+def _eq_lit(term: str):
+    def pred(x):  # single-arg: see the higher-order-lambda note below
+        return x == F.lit(term)
+
+    return pred
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{term}')) AS tf{i}"
+        for i, term in enumerate(BM25_QUERY)
+    )
+    df_cols = ", ".join(
+        f"CAST(COUNT(CASE WHEN tf{i} > 0 THEN 1 END) AS BIGINT) AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    score = " + ".join(_bm25_score_sql(i, t) for i, t in enumerate(BM25_QUERY))
+    any_tf = " OR ".join(f"tf{i} > 0" for i in range(len(BM25_QUERY)))
+    return f"""
+    WITH perdoc AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, {tf_cols}
+        FROM (SELECT doc_id, {tokens_sql("text")} AS t FROM documents) s
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_len, {df_cols}
+        FROM perdoc
+    )
+    SELECT doc_id, dl, {", ".join(f"tf{i}" for i in range(len(BM25_QUERY)))},
+           ROUND({score}, 6) AS bm25
+    FROM perdoc, stats
+    WHERE {any_tf}
+    ORDER BY ROUND({score}, 6) DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+@corpus_query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOPK} documents by BM25 relevance for the fixed query
+    {BM25_QUERY} — the retrieval-scoring step above text_tfidf_topk
+    (tf saturation k1=1.2 + length normalization b=0.75).
+
+    Cross-engine determinism without giving up the real formula: for each
+    term, numerator and denominator are assembled as exact BIGINTs —
+    BM25's rationals fold to integer ratios once multiplied through by
+    10*total_len*n_docs, and the Robertson idf (N-df+.5)/(df+.5)+1 is
+    exactly (2N+2)/(2df+1) (the usual log() is dropped: per-term ranking
+    is unchanged and libm rounding differs across engines, the same rule
+    text_tfidf_topk documents) — then ONE double division per term
+    (IEEE-exact in both engines) and a FIXED-ORDER sum s0+s1+s2 (query
+    terms are literal columns, not grouped rows, so no engine-dependent
+    aggregation order touches a double).
+
+    Scale: per-doc tf/dl are scan-stage expressions (no explode — the
+    token array is filtered in place per query term); corpus stats
+    (N, total token count, per-term df) are ONE 1-row aggregate broadcast
+    back; the cut is TakeOrderedAndProject. At 100 TB this is a single
+    pass over documents plus a k-row heap merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    perdoc = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("dl"),
+        *[
+            # NB: the closure must stay single-parameter — PySpark reads a
+            # 2-arg lambda as an (element, index) higher-order function
+            F.size(F.filter(tokens("text"), _eq_lit(t)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(BM25_QUERY)
+        ],
+    )
+    stats = perdoc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    score = " + ".join(_bm25_score_sql(i, t) for i, t in enumerate(BM25_QUERY))
+    any_tf = None
+    for i in range(len(BM25_QUERY)):
+        c = F.col(f"tf{i}") > 0
+        any_tf = c if any_tf is None else (any_tf | c)
+    return (
+        perdoc.filter(any_tf)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf{i}" for i in range(len(BM25_QUERY))],
+            F.round(F.expr(score), 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )

@@ -1,0 +1,122 @@
+"""Semantic and plan-shape tests for the r4 additions: fixed-point
+PageRank, BM25 retrieval, temperature mixing, and the dedup recall
+report. Value-exactness vs DuckDB is covered by test_corpus_parity;
+these pin the INVARIANTS the oracle comparison can't express (mass
+conservation, precision==1 by construction, budget bounds) and the
+plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_crypto_data_engineering_gcp_spark.plans.queries_curation import (
+    curate_temperature_mix,
+)
+from project_crypto_data_engineering_gcp_spark.plans.queries_dedup import (
+    dedup_minhash_recall,
+)
+from project_crypto_data_engineering_gcp_spark.plans.queries_graph import (
+    PR_ITERS,
+    PR_SCALE,
+    graph_pagerank,
+)
+from project_crypto_data_engineering_gcp_spark.plans.queries_text import (
+    BM25_TOPK,
+    text_bm25_topk,
+)
+
+from .conftest import SF_SMOKE
+from .test_plan_shapes import plan_of
+
+
+def test_pagerank_conserves_rank_mass(spark):
+    """Total rank must stay ~PR_SCALE: each round redistributes the full
+    mass, losing at most a few integer-truncation units per node per
+    division. A join bug (dropped dangling mass, double-counted edges)
+    moves the total by whole percents, not units."""
+    rows = graph_pagerank(spark, SF_SMOKE).agg(
+        F.sum("rank_fp").alias("total"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    # per round: <=3 truncated divisions per node plus the dangling split
+    loss_bound = (PR_ITERS + 1) * 4 * rows["n"]
+    assert PR_SCALE - loss_bound <= rows["total"] <= PR_SCALE
+
+
+def test_pagerank_differentiates_suppliers(spark):
+    """Suppliers (the side receiving weighted in-links) must NOT come out
+    uniform — that would mean the incoming-mass join is broken."""
+    df = graph_pagerank(spark, SF_SMOKE)
+    n_distinct = (
+        df.filter(F.col("node_type") == "supplier")
+        .agg(F.countDistinct("rank_fp"))
+        .collect()[0][0]
+    )
+    assert n_distinct > 1
+
+
+def test_pagerank_supplier_rank_tracks_in_degree(spark):
+    """Directional sanity beyond the hash check: the top-ranked supplier
+    must have at least as many distinct customers as the bottom-ranked
+    one (rank is monotone-ish in weighted in-degree for a 1-partite
+    receiver side)."""
+    df = graph_pagerank(spark, SF_SMOKE).filter(
+        F.col("node_type") == "supplier"
+    )
+    top = df.orderBy(F.col("rank_fp").desc()).first()
+    bot = df.orderBy(F.col("rank_fp").asc()).first()
+    assert top["rank_fp"] > bot["rank_fp"]
+
+
+def test_bm25_plan_is_single_pass_topk(spark):
+    """No explode (tf comes from in-place array filters), and the cut
+    compiles to TakeOrderedAndProject — per-task heaps, no global sort."""
+    plan = plan_of(text_bm25_topk(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # Generate == explode in Spark plans
+    assert plan.count("Scan parquet") <= 2  # perdoc pass + stats pass
+
+
+def test_bm25_row_contract(spark):
+    out = text_bm25_topk(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) <= BM25_TOPK
+    assert all(r["bm25"] > 0 for r in rows)
+    # every returned doc matched at least one query term
+    assert all(r["tf0"] + r["tf1"] + r["tf2"] > 0 for r in rows)
+
+
+def test_temperature_mix_budget_and_bounds(spark):
+    rows = curate_temperature_mix(spark, SF_SMOKE).collect()
+    total = sum(r["n_total"] for r in rows)
+    quota_sum = sum(r["quota"] for r in rows)
+    assert quota_sum <= total // 2  # quotas never exceed the half budget
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        # hash draws are uniform: kept should track quota, loosely
+        assert r["n_kept"] <= r["n_total"]
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """alpha=0.5 semantics: effective keep-rate (quota/n) must be weakly
+    HIGHER for smaller sources when sizes differ."""
+    rows = curate_temperature_mix(spark, SF_SMOKE).collect()
+    by_size = sorted(rows, key=lambda r: r["n_total"])
+    small, large = by_size[0], by_size[-1]
+    if small["n_total"] < large["n_total"]:
+        assert (
+            small["quota"] / small["n_total"]
+            >= large["quota"] / large["n_total"]
+        )
+
+
+def test_minhash_recall_precision_is_one(spark):
+    """The exact-verify stage makes precision 1.0 BY CONSTRUCTION for
+    both variants; recall must be in [0, 1] and the capped variant can
+    only lose pairs."""
+    rows = {r["variant"]: r for r in dedup_minhash_recall(spark, SF_SMOKE).collect()}
+    for r in rows.values():
+        if r["n_found"]:
+            assert r["prec"] == 1.0
+        if r["recall"] is not None:
+            assert 0.0 <= r["recall"] <= 1.0
+    assert rows["lsh_capped"]["n_hit"] <= rows["lsh"]["n_hit"]
