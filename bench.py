@@ -55,9 +55,11 @@ HEADLINE = (
     "sim_ann_ivf_kmeans",
     "dedup_semantic_blocked_capped",
     # late-r4: the iterative-algorithm family (5-round fixed-point
-    # PageRank) and the BM25 retrieval scorer join the headline
+    # PageRank), the BM25 retrieval scorer, and the IVFPQ composition
+    # (the production serving shape: prune AND compress) join the headline
     "graph_pagerank",
     "text_bm25_topk",
+    "sim_ivfpq_topk",
 )
 
 

@@ -81,15 +81,31 @@ def pq_lut(qsubs: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def pq_adc_topk(
-    codes: DataFrame, lut: DataFrame, *, m: int, k: int
+    codes: DataFrame,
+    lut: DataFrame,
+    *,
+    m: int,
+    k: int,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: LUT-join on (m, code), then a FIXED-ORDER
     pivot sum of the ``m`` partial dots (p0+p1+...), never an
     order-dependent SUM — both engines add the same doubles in the same
-    order, keeping the approximation bit-exact."""
+    order, keeping the approximation bit-exact.
+
+    ``candidates`` (qid, vec_id) gates the scan (the IVFPQ composition:
+    only codes of vectors in the query's probed cells are scored). The
+    gate join runs on vec_id BEFORE the LUT join, so pruned vectors'
+    codes never fan out to n_queries rows; candidates is shuffle-joined,
+    not broadcast — at scale it is n_queries x (n_probe/n_cells) x N."""
+    if candidates is not None:
+        scan = codes.join(candidates, "vec_id").join(
+            F.broadcast(lut), ["qid", "m", "code"]
+        )
+    else:
+        scan = codes.join(F.broadcast(lut), ["m", "code"])
     parts = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .groupBy("qid", "vec_id")
+        scan.groupBy("qid", "vec_id")
         .agg(
             *[
                 F.max(F.when(F.col("m") == i, F.col("pdot"))).alias(f"p{i}")

@@ -154,6 +154,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_bm25_topk",
     "curate_temperature_mix",
     "dedup_minhash_recall",
+    "sim_ivfpq_topk",
+    "sim_ivfpq_recall",
 )
 
 

@@ -135,14 +135,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-
-    ranks = (
-        nodes.crossJoin(F.broadcast(nn))
-        .select("node", F.expr(f"{PR_SCALE} div n").alias("r"))
-        .localCheckpoint(eager=True)
+    # N is a single bounded scalar — collecting it once is the same
+    # driver budget as components.py's per-round convergence counts, and
+    # folding it into literals drops one 1-row broadcast per round. The
+    # per-round DANGLING sum stays a broadcast frame (data-dependent,
+    # one per round).
+    n_nodes = nodes.count()
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)  # reused 2x per round
     )
+
+    ranks = nodes.select(
+        "node", F.lit(PR_SCALE // n_nodes).alias("r")
+    ).localCheckpoint(eager=True)
     for _ in range(PR_ITERS):
         # incoming mass: one shuffle join on src + one aggregate on dst
         inc = (
@@ -157,15 +164,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dang"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(dang))
+            nodes.crossJoin(F.broadcast(dang))
             .join(inc, "node", "left")
             .select(
                 "node",
                 F.expr(
-                    f"{PR_BASE_NUM} div n"
-                    f" + ({PR_DAMP_NUM} * (coalesce(s, 0) + dang div n))"
-                    f" div {PR_DAMP_DEN}"
+                    f"{PR_BASE_NUM // n_nodes}"
+                    f" + ({PR_DAMP_NUM} * (coalesce(s, 0)"
+                    f" + dang div {n_nodes})) div {PR_DAMP_DEN}"
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)

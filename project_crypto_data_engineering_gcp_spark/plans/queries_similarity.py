@@ -1390,3 +1390,138 @@ def sim_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep_pqr.select(F.lit("pq_refined").alias("variant"), "*"))
         .unionByName(rep_sq.select(F.lit("sq8").alias("variant"), "*"))
     )
+
+
+def _ivfpq_oracle() -> str:
+    """IVF cell pruning composed with PQ/ADC scoring: the IVF assignment
+    CTEs (same conventions as _IVF_ORACLE — rounded cos + cid tiebreak)
+    select WHICH codes are scored, the PQ CTEs say HOW. CTE names from
+    _pq_ctes (raw/e/subs/cb/codes/lut/scored) are reused; the IVF half
+    gets fresh names (cscore/cassign/cprobes)."""
+    score = _pq_score_sql()
+    return f"""
+    WITH {_pq_ctes()},
+    cent AS (SELECT vec_id AS cid, nv AS cv FROM e WHERE vec_id < {IVF_CELLS}),
+    cscore AS (
+        SELECT e.vec_id, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({dot_double_sql("e.nv", "cent.cv")}, 6) DESC,
+                            cent.cid
+               ) AS crk
+        FROM e CROSS JOIN cent
+    ),
+    cassign AS (SELECT vec_id, cid AS cell FROM cscore WHERE crk = 1),
+    cprobes AS (
+        SELECT vec_id AS qid, cid AS pcell FROM cscore
+        WHERE crk <= {IVF_PROBE} AND vec_id < {TOPK_QUERIES}
+    )
+    SELECT qid, vec_id, approx_score, rank FROM (
+        SELECT s.qid, s.vec_id, ROUND({score}, 6) AS approx_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.qid ORDER BY {score} DESC, s.vec_id ASC
+               ) AS rank
+        FROM scored s
+        JOIN cprobes p ON p.qid = s.qid
+        JOIN cassign a ON a.vec_id = s.vec_id AND a.cell = p.pcell
+        WHERE s.vec_id <> s.qid
+    ) t WHERE rank <= {TOPK_K}
+    """
+
+
+def _ivf_index_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pooled IVF inverted file (vec_b, cell, cnv) — the same frame
+    (and the same pool entry) sim_ann_ivf_topk probes."""
+    from ..operators.similarity import ivf_assign_frame
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def build_index() -> DataFrame:
+        out = ivf_assign_frame(emb, n_cells=IVF_CELLS).cache()
+        out.count()
+        return out
+
+    return bounded_cached(
+        _IVF_ASSIGN_MEMO,
+        (spark.sparkContext.applicationId, sf_dir),
+        build_index,
+    )
+
+
+@corpus_query("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ: the FAISS-style composition that completes the ANN ladder —
+    IVF cell pruning decides WHICH vectors are scored ({IVF_PROBE} of
+    {IVF_CELLS} cells per query), PQ/ADC decides HOW (codes + LUT, no
+    raw vectors at serve time). sim_ann_ivf_topk bounds the scan but
+    still reads full vectors; sim_pq_topk compresses the scan but still
+    touches every code; at 100 TB you need both: candidate volume drops
+    to ~n_probe/n_cells x N AND each candidate costs {PQ_M} LUT lookups
+    instead of a {PQ_M * PQ_SUBDIM}-dim dot.
+
+    Plan shape: the candidate gate is an equi-join of the pooled
+    inverted file against the broadcast (query, probed-cell) pairs; the
+    gate joins codes on vec_id BEFORE the LUT join, so pruned codes
+    never fan out per-query. Both halves reuse their families' pooled
+    frames (assignment pool, codes pool) — an IVFPQ query on a warm
+    serving tier runs no assignment or encode work at all.
+
+    Self-pairs are excluded at the gate (the IVF family convention);
+    determinism: rounded assignment + cid/code tiebreaks from the IVF
+    half, fixed-order pivot sum from the PQ half."""
+    import numpy as np
+
+    from ..operators.pq import pq_adc_topk
+    from ..operators.similarity import (
+        _block_cos,
+        _collect_centroids,
+        _collect_queries,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = _ivf_index_pooled(spark, sf_dir)
+
+    # driver-side probe pairs from the bounded query set (the
+    # ivf_topk_distributed recipe, minus qnv — scoring is ADC here)
+    cent_ids, cmat = _collect_centroids(emb, IVF_CELLS)
+    qids, qnv = _collect_queries(emb, F.col("vec_id") < TOPK_QUERIES)
+    rows = []
+    if len(qids):
+        qsim_r = np.round(_block_cos(qnv, cmat), 6)
+        for qi, qid in enumerate(qids):
+            for c in cent_ids[np.lexsort((cent_ids, -qsim_r[qi]))][:IVF_PROBE]:
+                rows.append((int(qid), int(c)))
+    probes = spark.createDataFrame(rows, "qid bigint, pcell bigint")
+
+    candidates = (
+        index.join(F.broadcast(probes), index["cell"] == probes["pcell"])
+        .filter(F.col("vec_b") != F.col("qid"))
+        .select("qid", F.col("vec_b").alias("vec_id"))
+    )
+    codes, lut = _pq_codes_and_lut(spark, sf_dir)
+    return pq_adc_topk(codes, lut, m=PQ_M, k=TOPK_K, candidates=candidates)
+
+
+def _ivfpq_recall_oracle() -> str:
+    return _recall_vs_exact_oracle(
+        f"SELECT qid AS vec_a, vec_id AS vec_b FROM ({_ivfpq_oracle()}) ti"
+    )
+
+
+@corpus_query("sim_ivfpq_recall", oracle=_ivfpq_recall_oracle())
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK_K} of the IVFPQ composition against the exact
+    baseline — with sim_ann_ivf_recall (pruning only) and
+    sim_quant_recall's pq variant (compression only) this isolates HOW
+    the two approximations compound: ivfpq recall <= min(ivf, pq)
+    pointwise is not guaranteed, but the joint loss vs either single
+    stage is exactly what this report grades. Self-pairs are excluded at
+    the candidate gate, so unlike the pq variants no ranking slot is
+    structurally spent on self."""
+    exact = _exact_pairs_local(spark, sf_dir)
+    approx = _pairs_local(
+        sim_ivfpq_topk(spark, sf_dir).select(
+            F.col("qid").alias("vec_a"), F.col("vec_id").alias("vec_b")
+        )
+    )
+    return _recall_report(exact, approx)

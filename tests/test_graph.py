@@ -120,3 +120,24 @@ def test_minhash_recall_precision_is_one(spark):
         if r["recall"] is not None:
             assert 0.0 <= r["recall"] <= 1.0
     assert rows["lsh_capped"]["n_hit"] <= rows["lsh"]["n_hit"]
+
+
+def test_ivfpq_contract_and_gate(spark):
+    """IVFPQ output: <= k rows per query, never a self-pair (excluded at
+    the candidate gate), and the plan broadcasts the LUT + probe sides
+    while shuffle-joining the candidate gate (no cartesian)."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_similarity import (
+        TOPK_K,
+        sim_ivfpq_topk,
+    )
+
+    df = sim_ivfpq_topk(spark, SF_SMOKE)
+    rows = df.collect()
+    per_q = {}
+    for r in rows:
+        assert r["qid"] != r["vec_id"]
+        per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+    assert per_q and max(per_q.values()) <= TOPK_K
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # probes gate + LUT
