@@ -44,7 +44,8 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 # those, plus any r5 additions, plus refreshers for code r5 touches.
 # MUST-INCLUDE (never-checked): the late-r4 additions registered AFTER
 # the 50-slot window filled — graph_pagerank, text_bm25_topk,
-# curate_temperature_mix, dedup_minhash_recall — kept out of the r4
+# curate_temperature_mix, dedup_minhash_recall, sim_ivfpq_topk,
+# sim_ivfpq_recall — kept out of the r4
 # window deliberately so the 38 stale-evidence refreshers (the r3
 # verdict's lead task, worth exactly 50 slots with the early-r4
 # additions) were not displaced; until r5 their evidence is the local
@@ -156,6 +157,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_recall",
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
+    "events_markov_transitions",
+    "curate_shuffle_shards",
 )
 
 

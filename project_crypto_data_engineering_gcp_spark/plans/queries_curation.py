@@ -651,3 +651,49 @@ def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+SHUFFLE_SALT = "shuffle-v1:"
+N_SHARDS = 8
+
+
+@corpus_query(
+    "curate_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               {md5_long_sql("CAST(doc_id AS VARCHAR)", SHUFFLE_SALT)} AS hv
+        FROM documents
+    )
+    SELECT doc_id, hv % {N_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY hv % {N_SHARDS} ORDER BY hv, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def curate_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle -> shard assignment: the LAST step of
+    every training-data pipeline (decorrelate document order before the
+    loader streams shards sequentially). Order is md5(salt||doc_id) — a
+    reproducible permutation: same docs, same salt, same shard layout on
+    any cluster, any run, either engine; bump the salt to reshuffle.
+
+    Scale: shard = hash mod {N_SHARDS} needs no shuffle at all (pure
+    projection); the within-shard position is one hash-partitioned
+    window — the exact plan of the real write
+    (``repartition(shard).sortWithinPartitions(hv)`` + per-shard files).
+    Shard count scales with corpus size so a shard stays
+    executor-sized; the permutation quality is the hash's, with no
+    global sort anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        md5_long(F.col("doc_id").cast("string"), SHUFFLE_SALT).alias("hv"),
+    )
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        h.withColumn("shard", F.col("hv") % N_SHARDS)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

@@ -1160,3 +1160,63 @@ def a9_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@corpus_query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src_event,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst_event
+        FROM events
+    ),
+    pair AS (
+        SELECT src_event, dst_event, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE dst_event IS NOT NULL
+        GROUP BY src_event, dst_event
+    ),
+    tot AS (
+        SELECT src_event, CAST(SUM(n) AS BIGINT) AS n_src FROM pair
+        GROUP BY src_event
+    )
+    SELECT p.src_event, p.dst_event, p.n,
+           ROUND(p.n / CAST(t.n_src AS DOUBLE), 6) AS p_transition
+    FROM pair p JOIN tot t ON t.src_event = p.src_event
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-sequence feature a next-event model (or a
+    session simulator) trains on: P(next event type | current), estimated
+    from every consecutive pair in (ts, event_id)-ordered user streams.
+
+    One window shuffle on user_id (lead), then two map-side-combinable
+    aggregations on the tiny (src, dst) type space; the probability is a
+    single integer-over-integer IEEE division. At 100 TB the only
+    data-sized stage is the lead window — the transition matrix itself is
+    |event types|^2 rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src_event"),
+        F.lead("event_type").over(w).alias("dst_event"),
+    ).filter(F.col("dst_event").isNotNull())
+    pair = seq.groupBy("src_event", "dst_event").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pair.groupBy("src_event").agg(F.sum("n").alias("n_src"))
+    return (
+        pair.join(F.broadcast(tot), "src_event")
+        .select(
+            "src_event",
+            "dst_event",
+            "n",
+            F.round(F.col("n") / F.col("n_src").cast("double"), 6).alias(
+                "p_transition"
+            ),
+        )
+    )

@@ -141,3 +141,37 @@ def test_ivfpq_contract_and_gate(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # probes gate + LUT
+
+
+def test_shuffle_shards_partition_and_uniformity(spark):
+    """Every doc lands in exactly one shard; positions are 1..n_shard
+    contiguous; shard sizes are hash-uniform (loose bound)."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_curation import (
+        N_SHARDS,
+        curate_shuffle_shards,
+    )
+
+    rows = curate_shuffle_shards(spark, SF_SMOKE).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(N_SHARDS))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 3 * max(1, min(sizes))  # loose uniformity
+
+
+def test_markov_rows_are_distributions(spark):
+    """Per-src transition probabilities must sum to ~1 (rounding only)."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_relational import (
+        events_markov_transitions,
+    )
+
+    rows = events_markov_transitions(spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in rows:
+        by_src[r["src_event"]] = by_src.get(r["src_event"], 0.0) + r["p_transition"]
+    assert by_src
+    for total in by_src.values():
+        assert abs(total - 1.0) < 1e-4

@@ -47,6 +47,12 @@ QUERIES = (
     "text_boilerplate_ngrams",
     "sim_pq_refined",
     "sim_sq8_topk",
+    # late-r4: IVFPQ (gate fan-out scales with cell population — the
+    # honest stress here since copies share cells), BM25 (scan-stage
+    # expressions, should be ~linear), temperature mix (two groupBys)
+    "sim_ivfpq_topk",
+    "text_bm25_topk",
+    "curate_temperature_mix",
 )
 
 
