@@ -159,6 +159,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_ivfpq_recall",
     "events_markov_transitions",
     "curate_shuffle_shards",
+    "w8_ema_customer_spend",
 )
 
 

@@ -1220,3 +1220,78 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+EMA_LAGS = 8  # decay horizon: weights 2^0 .. 2^-(EMA_LAGS-1)
+
+
+def _ema_terms_sql(cents: str, lag_fmt: str) -> tuple[str, str]:
+    """(numerator, denominator) expressions for the dyadic-weight EMA.
+
+    Weights are powers of two, so every product cents * 2^-j is EXACTLY
+    representable as a double (cents < 2^31, j < {EMA_LAGS}: well within
+    the 53-bit mantissa), and the numerator/denominator are built as
+    FIXED-ORDER chains of exact dyadic additions — bit-identical in any
+    engine, at any parallelism, unlike a float SUM whose value depends
+    on accumulation order. ``lag_fmt`` formats the j-th lagged cents
+    expression (engine-specific window syntax)."""
+    nums, dens = [], []
+    for j in range(EMA_LAGS):
+        w = repr(0.5**j)  # exact short decimal of a power of two
+        lj = lag_fmt.format(j=j, cents=cents)
+        nums.append(f"COALESCE(CAST({lj} AS DOUBLE) * {w}, 0.0)")
+        dens.append(f"CASE WHEN {lj} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+def _w8_ema_oracle() -> str:
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    lag_fmt = (
+        "LAG({cents}, {j}) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    )
+    # LAG(x, 0) is x itself in both engines
+    num, den = _ema_terms_sql("{cents}", lag_fmt)
+    num, den = num.format(cents=cents), den.format(cents=cents)
+    return f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(({num}) / ({den}), 6) AS ema_cents
+    FROM orders
+    """
+
+
+@corpus_query("w8_ema_customer_spend", oracle=_w8_ema_oracle())
+def w8_ema_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed spend per customer — the time-decay feature
+    (recent behavior weighted 2x over each step back) that activity /
+    churn models consume. EMA is inherently order-sensitive float math;
+    this one is DETERMINISTIC: weights are powers of two (every term an
+    exact dyadic double), cents are exact integers via a DECIMAL cast,
+    and the {EMA_LAGS}-term numerator/denominator are fixed-order
+    expression chains — no float aggregation whose value could depend on
+    partition merge order. Missing lags (short histories) drop out of
+    both numerator and normalizer.
+
+    Plan: ONE window shuffle on o_custkey; all {EMA_LAGS} lags share the
+    same window spec, so Catalyst evaluates them in a single Window
+    operator pass."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        *[F.lag(cents, j).over(w).alias(f"__l{j}") for j in range(EMA_LAGS)],
+    )
+    num, den = _ema_terms_sql("", "__l{j}")
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.expr(num) / F.expr(den), 6).alias("ema_cents"),
+    )

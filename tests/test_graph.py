@@ -175,3 +175,18 @@ def test_markov_rows_are_distributions(spark):
     assert by_src
     for total in by_src.values():
         assert abs(total - 1.0) < 1e-4
+
+
+def test_ema_single_window_pass_and_bounds(spark):
+    """All lags must collapse into one Window operator (one shuffle), and
+    the EMA lies within [min, max] of the contributing cents window."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_relational import (
+        w8_ema_customer_spend,
+    )
+
+    df = w8_ema_customer_spend(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") <= 1
+    rows = df.collect()
+    assert rows and all(r["ema_cents"] > 0 for r in rows)
