@@ -191,20 +191,10 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment frame (the inverted file — exactly what the persisted
     twin writes to parquet) is pooled, so repeat queries probe a warm
     index instead of re-assigning the corpus."""
-    from ..operators.similarity import ivf_assign_frame, ivf_topk_distributed
+    from ..operators.similarity import ivf_topk_distributed
 
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def build_index() -> DataFrame:
-        out = ivf_assign_frame(emb, n_cells=IVF_CELLS).cache()
-        out.count()  # materialize at build: pool hits run no job
-        return out
-
-    index = bounded_cached(
-        _IVF_ASSIGN_MEMO,
-        (spark.sparkContext.applicationId, sf_dir),
-        build_index,
-    )
+    index = _ivf_index_pooled(spark, sf_dir)  # shared with sim_ivfpq_topk
     return ivf_topk_distributed(
         emb,
         index=index,
