@@ -141,33 +141,40 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-round DANGLING sum stays a broadcast frame (data-dependent,
     # one per round).
     n_nodes = nodes.count()
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)  # reused 2x per round
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # loop-INVARIANT frames, hoisted and checkpointed once: edges carry
+    # their source degree (the per-round contribution divisor), nodes
+    # carry a dangling flag (no out-edges) — re-deriving either inside
+    # the loop would repeat the same join every round
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes_flag = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", F.col("deg").isNull().alias("dangling"))
+        .localCheckpoint(eager=True)
     )
 
-    ranks = nodes.select(
-        "node", F.lit(PR_SCALE // n_nodes).alias("r")
+    ranks = nodes_flag.withColumn(
+        "r", F.lit(PR_SCALE // n_nodes)
     ).localCheckpoint(eager=True)
     for _ in range(PR_ITERS):
         # incoming mass: one shuffle join on src + one aggregate on dst
         inc = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            edges_deg.join(
+                ranks.select(F.col("node").alias("src"), "r"), "src"
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("r div deg")).alias("s"))
         )
-        # dangling mass: nodes with no out-edges — 1 row, broadcast back
-        dang = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dang"))
+        # dangling mass: a flag filter + 1-row aggregate, broadcast back
+        dang = ranks.filter(F.col("dangling")).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(dang))
+            nodes_flag.crossJoin(F.broadcast(dang))
             .join(inc, "node", "left")
             .select(
                 "node",
+                "dangling",
                 F.expr(
                     f"{PR_BASE_NUM // n_nodes}"
                     f" + ({PR_DAMP_NUM} * (coalesce(s, 0)"
