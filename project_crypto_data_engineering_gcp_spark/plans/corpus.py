@@ -30,7 +30,9 @@ class CorpusQuery:
     fn: QueryFn
     oracle: str | None
     doc: str = ""
-    bench: bool = False  # include in bench.py headline set
+    bench: bool = False  # informational tag from early rounds; the
+    # authoritative headline set is bench.py::HEADLINE (curated +
+    # commented there, grown per round without reordering)
 
     def __post_init__(self) -> None:
         object.__setattr__(self, "doc", self.doc or (self.fn.__doc__ or ""))
@@ -43,9 +45,11 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 # pipeline + TPC-H menu + curation + first ANN wave) — rotate onto
 # those, plus any r5 additions, plus refreshers for code r5 touches.
 # MUST-INCLUDE (never-checked): the late-r4 additions registered AFTER
-# the 50-slot window filled — graph_pagerank, text_bm25_topk,
-# curate_temperature_mix, dedup_minhash_recall, sim_ivfpq_topk,
-# sim_ivfpq_recall — kept out of the r4
+# the 50-slot window filled — the full ROLLOVER QUEUE below
+# (graph_pagerank, text_bm25_topk, curate_temperature_mix,
+# dedup_minhash_recall, sim_ivfpq_topk, sim_ivfpq_recall,
+# events_markov_transitions, curate_shuffle_shards,
+# w8_ema_customer_spend) — kept out of the r4
 # window deliberately so the 38 stale-evidence refreshers (the r3
 # verdict's lead task, worth exactly 50 slots with the early-r4
 # additions) were not displaced; until r5 their evidence is the local
