@@ -118,71 +118,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and redistributed uniformly (broadcast cross-join — no driver
     round-trip, same pattern as operators/share.py).
     """
+    from ..operators.graph import pagerank_fixed_point
+
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # reused 3x per round; cut the scan
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    ranks = pagerank_fixed_point(
+        edges,
+        n_iters=PR_ITERS,
+        scale=PR_SCALE,
+        damp_num=PR_DAMP_NUM,
+        damp_den=PR_DAMP_DEN,
     )
-    # N is a single bounded scalar — collecting it once is the same
-    # driver budget as components.py's per-round convergence counts, and
-    # folding it into literals drops one 1-row broadcast per round. The
-    # per-round DANGLING sum stays a broadcast frame (data-dependent,
-    # one per round).
-    n_nodes = nodes.count()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # loop-INVARIANT frames, hoisted and checkpointed once: edges carry
-    # their source degree (the per-round contribution divisor), nodes
-    # carry a dangling flag (no out-edges) — re-deriving either inside
-    # the loop would repeat the same join every round
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-    nodes_flag = (
-        nodes.join(deg, nodes["node"] == deg["src"], "left")
-        .select("node", F.col("deg").isNull().alias("dangling"))
-        .localCheckpoint(eager=True)
-    )
-
-    ranks = nodes_flag.withColumn(
-        "r", F.lit(PR_SCALE // n_nodes)
-    ).localCheckpoint(eager=True)
-    for _ in range(PR_ITERS):
-        # incoming mass: one shuffle join on src + one aggregate on dst
-        inc = (
-            edges_deg.join(
-                ranks.select(F.col("node").alias("src"), "r"), "src"
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.expr("r div deg")).alias("s"))
-        )
-        # dangling mass: a flag filter + 1-row aggregate, broadcast back
-        dang = ranks.filter(F.col("dangling")).agg(
-            F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
-        )
-        ranks = (
-            nodes_flag.crossJoin(F.broadcast(dang))
-            .join(inc, "node", "left")
-            .select(
-                "node",
-                "dangling",
-                F.expr(
-                    f"{PR_BASE_NUM // n_nodes}"
-                    f" + ({PR_DAMP_NUM} * (coalesce(s, 0)"
-                    f" + dang div {n_nodes})) div {PR_DAMP_DEN}"
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
-        )
     return ranks.select(
         "node",
         F.when(F.col("node") % 2 == 0, F.lit("customer"))

@@ -190,3 +190,34 @@ def test_ema_single_window_pass_and_bounds(spark):
     assert plan.count("Exchange") <= 1
     rows = df.collect()
     assert rows and all(r["ema_cents"] > 0 for r in rows)
+
+
+def test_pagerank_operator_matches_python_reference(spark):
+    """The distributed fixed-point PageRank must match a single-threaded
+    pure-Python evaluation of the same integer recurrence BIT-FOR-BIT on
+    random graphs with dangling nodes, duplicate edges, and self-loops —
+    the determinism claim as a differential test, not a comment."""
+    import random
+
+    from project_crypto_data_engineering_gcp_spark.operators.graph import (
+        pagerank_fixed_point,
+        pagerank_reference,
+    )
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        n = rng.randint(5, 30)
+        n_edges = rng.randint(n, 4 * n)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        got = {
+            r["node"]: r["r"]
+            for r in pagerank_fixed_point(
+                spark.createDataFrame(edge_list, "src long, dst long"),
+                n_iters=4,
+                scale=10**9,
+            ).collect()
+        }
+        want = pagerank_reference(edge_list, n_iters=4, scale=10**9)
+        assert got == want, f"trial {trial}: {got} != {want}"
