@@ -164,6 +164,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_markov_transitions",
     "curate_shuffle_shards",
     "w8_ema_customer_spend",
+    "approx_heavy_tokens",
 )
 
 

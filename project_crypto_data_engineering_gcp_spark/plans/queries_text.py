@@ -886,3 +886,56 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+HH_TOPK = 10
+HH_CAPACITY = 10_000  # sketch slots; counts are EXACT while the distinct
+                      # token count stays under this (true for the fixture
+                      # vocab; at open-web vocab the counts become the
+                      # Misra-Gries epsilon-bounded estimates and the
+                      # invariant framing of approx_distinct_parts applies)
+
+
+@corpus_query(
+    "approx_heavy_tokens",
+    oracle=f"""
+    SELECT token, n, rk FROM (
+        SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY COUNT(*) DESC, tok ASC
+               ) AS INT) AS rk
+        FROM (SELECT unnest({tokens_sql("text")}) AS tok FROM documents) t
+        GROUP BY tok
+    ) r WHERE rk <= {HH_TOPK}
+    """,
+)
+def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters via the frequent-items SKETCH
+    (``approx_top_k``, Misra-Gries family) instead of a full token
+    groupBy — THE shape for "what dominates this corpus" at 100 TB: the
+    exact approach shuffles the entire (token, partial-count) space; the
+    sketch pass keeps one bounded {HH_CAPACITY}-slot summary per
+    partition and merges summaries, so nothing data-sized crosses the
+    wire. The sketch's own top-k ORDER is engine-internal, so the plan
+    re-ranks the tracked items deterministically (count desc, token asc)
+    before the {HH_TOPK}-cut — making the result hash-comparable against
+    the exact-count oracle (sketch counts are exact below capacity; see
+    HH_CAPACITY note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sk = docs.select(F.explode(tokens("text")).alias("token")).agg(
+        F.expr(
+            f"approx_top_k(token, {HH_CAPACITY}, {HH_CAPACITY})"
+        ).alias("tk")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").alias("n"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HH_TOPK)
+    )
