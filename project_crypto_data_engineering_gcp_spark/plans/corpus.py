@@ -165,6 +165,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "curate_shuffle_shards",
     "w8_ema_customer_spend",
     "approx_heavy_tokens",
+    "curate_zorder_layout",
 )
 
 

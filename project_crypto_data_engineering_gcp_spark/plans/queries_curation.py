@@ -697,3 +697,83 @@ def curate_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+ZORDER_BITS = 16          # bits interleaved per dimension
+ZORDER_BUCKET_SHIFT = 18  # zkey div 2^18 -> "file" buckets
+
+
+def _zorder_sql(x: str, y: str, *, spark_dialect: bool) -> str:
+    """Bit-interleave two {ZORDER_BITS}-bit ints into a Morton (Z-order)
+    key — pure integer bit ops, identical semantics in both engines
+    (only the shift syntax differs: Spark functions vs DuckDB operators)."""
+    if spark_dialect:
+        shl = "shiftleft({v}, {n})"
+        shr = "shiftright({v}, {n})"
+    else:
+        shl = "(({v}) << {n})"
+        shr = "(({v}) >> {n})"
+    terms = []
+    for i in range(ZORDER_BITS):
+        xbit = f"({shr.format(v=x, n=i)} & 1)"
+        ybit = f"({shr.format(v=y, n=i)} & 1)"
+        terms.append(shl.format(v=xbit, n=2 * i))
+        terms.append(shl.format(v=ybit, n=2 * i + 1))
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    x = f"(o_custkey % {1 << ZORDER_BITS})"
+    y = f"(CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)"\
+        f" % {1 << ZORDER_BITS})"
+    z = _zorder_sql(x, y, spark_dialect=False)
+    return f"""
+    WITH keyed AS (
+        SELECT o_custkey AS x_raw,
+               CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                    AS BIGINT) AS y_raw,
+               ({z}) >> {ZORDER_BUCKET_SHIFT} AS bucket
+        FROM orders
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(x_raw) AS x_min, MAX(x_raw) AS x_max,
+           MIN(y_raw) AS y_min, MAX(y_raw) AS y_max
+    FROM keyed GROUP BY bucket
+    """
+
+
+@corpus_query("curate_zorder_layout", oracle=_zorder_oracle())
+def curate_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout for multi-dimension data
+    skipping — the OPTIMIZE ZORDER technique: interleaving the bits of
+    (customer, order-day) makes lexicographic key ranges approximate 2-D
+    tiles, so every "file" bucket gets a TIGHT min/max zonemap on BOTH
+    columns and a scan filtered on either one prunes most buckets. A
+    plain sort by customer gives tight customer ranges but each file
+    spans the full date range (and vice versa) — this query OUTPUTS the
+    per-bucket zonemaps, so the tightness claim is a graded result, not
+    prose (see tests/test_graph.py for the quantified comparison vs a
+    single-dimension sort).
+
+    The key is {2 * ZORDER_BITS} bits of pure integer bit arithmetic
+    (shift/and/add — exactly reproducible in any engine); at 100 TB the
+    bucket id is the range-partitioning/sort key of the physical
+    rewrite, and zonemaps land in the parquet footers for free."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = f"(o_custkey % {1 << ZORDER_BITS})"
+    y = f"(CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"\
+        f" % {1 << ZORDER_BITS})"
+    z = _zorder_sql(x, y, spark_dialect=True)
+    keyed = orders.select(
+        F.col("o_custkey").alias("x_raw"),
+        F.expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)")
+        .alias("y_raw"),
+        F.expr(f"shiftright({z}, {ZORDER_BUCKET_SHIFT})").alias("bucket"),
+    )
+    return keyed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x_raw").alias("x_min"),
+        F.max("x_raw").alias("x_max"),
+        F.min("y_raw").alias("y_min"),
+        F.max("y_raw").alias("y_max"),
+    )

@@ -221,3 +221,40 @@ def test_pagerank_operator_matches_python_reference(spark):
         }
         want = pagerank_reference(edge_list, n_iters=4, scale=10**9)
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_zorder_tightens_both_dimensions(spark):
+    """The data-skipping claim, quantified: with comparable bucket
+    counts, z-order buckets must have a dramatically smaller summed
+    y-range than buckets of a plain sort-by-x layout (which each span
+    ~the full y domain), while keeping x-ranges bounded."""
+    from pyspark.sql import Window
+
+    from project_crypto_data_engineering_gcp_spark.plans.queries_curation import (
+        curate_zorder_layout,
+    )
+    from project_crypto_data_engineering_gcp_spark.sources.tables import load_table
+
+    zrows = curate_zorder_layout(spark, SF_SMOKE).collect()
+    n_buckets = len(zrows)
+    z_y_span = sum(r["y_max"] - r["y_min"] for r in zrows) / n_buckets
+
+    # baseline: same bucket COUNT from a plain sort on x
+    orders = load_table(spark, SF_SMOKE, "orders")
+    w = Window.orderBy("o_custkey", "o_orderkey")
+    srows = (
+        orders.select(
+            "o_custkey",
+            F.expr(
+                "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"
+            ).alias("y_raw"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .withColumn("bucket", ((F.col("rn") - 1) * n_buckets / orders.count()).cast("long"))
+        .groupBy("bucket")
+        .agg(F.min("y_raw").alias("y_min"), F.max("y_raw").alias("y_max"))
+        .collect()
+    )
+    s_y_span = sum(r["y_max"] - r["y_min"] for r in srows) / len(srows)
+    # sort-by-x buckets span ~the whole date range; z buckets must not
+    assert z_y_span < 0.6 * s_y_span, (z_y_span, s_y_span)
