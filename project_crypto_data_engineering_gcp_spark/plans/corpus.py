@@ -166,6 +166,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "w8_ema_customer_spend",
     "approx_heavy_tokens",
     "curate_zorder_layout",
+    "a11_revenue_trend",
 )
 
 

@@ -1295,3 +1295,81 @@ def w8_ema_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.expr(num) / F.expr(den), 6).alias("ema_cents"),
     )
+
+
+@corpus_query(
+    "a11_revenue_trend",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(datediff('month', DATE '1992-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS sx,
+               CAST(SUM(rev_cents) AS BIGINT) AS sy,
+               CAST(SUM(m * rev_cents) AS BIGINT) AS sxy,
+               CAST(SUM(m * m) AS BIGINT) AS sxx,
+               MAX(m) AS m_last
+        FROM monthly
+    )
+    SELECT n AS n_months,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS intercept_cents,
+           m_last + 1 AS forecast_month
+    FROM s
+    """,
+)
+def a11_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares revenue trend — regression as a
+    scan-aggregate, no ML library: slope/intercept of monthly revenue
+    come from the five classical sums (n, Σx, Σy, Σxy, Σx²), which are
+    all EXACT BIGINTs here (months are ints, revenue in decimal-cast
+    cents), so the only floating-point steps are two final IEEE
+    divisions and a fixed-order intercept expression — deterministic at
+    any parallelism, same doctrine as functions/numeric.py. Headroom:
+    cents sums stay < 2^63 out to ~sf10; beyond that the sums switch to
+    DECIMAL(38,0) with the same plan shape.
+
+    Scale: one groupBy on month (bounded key space), then a 1-row
+    aggregate — the cheapest possible trend fit over any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.expr(
+            "CAST(datediff(month, DATE '1992-01-01',"
+            " CAST(o_orderdate AS DATE)) AS BIGINT)"
+        ).alias("m")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+        ).alias("rev_cents")
+    )
+    s = monthly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("sx"),
+        F.sum("rev_cents").alias("sy"),
+        F.sum(F.col("m") * F.col("rev_cents")).alias("sxy"),
+        F.sum(F.col("m") * F.col("m")).alias("sxx"),
+        F.max("m").alias("m_last"),
+    )
+    slope = F.expr(
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+    )
+    return s.select(
+        F.col("n").alias("n_months"),
+        F.round(slope, 6).alias("slope_cents"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept_cents"),
+        (F.col("m_last") + 1).alias("forecast_month"),
+    )
