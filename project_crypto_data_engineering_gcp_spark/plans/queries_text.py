@@ -929,6 +929,9 @@ def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # unpartitioned window is safe HERE only because its input is the
+    # exploded sketch — at most HH_CAPACITY rows regardless of corpus
+    # size (the corpus-sized stage is the sketch aggregation above)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return (
         sk.select(F.explode("tk").alias("e"))
