@@ -167,6 +167,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "approx_heavy_tokens",
     "curate_zorder_layout",
     "a11_revenue_trend",
+    "curate_contrastive_pairs",
 )
 
 

@@ -777,3 +777,49 @@ def curate_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y_raw").alias("y_min"),
         F.max("y_raw").alias("y_max"),
     )
+
+
+NEG_SALT = "negpair-v1:"
+
+
+@corpus_query(
+    "curate_contrastive_pairs",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               {md5_long_sql("CAST(doc_id AS VARCHAR)", NEG_SALT)} AS hv
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, hv, hv % {N_SHARDS} AS shard FROM h
+    )
+    SELECT doc_id,
+           LEAD(doc_id) OVER (PARTITION BY shard ORDER BY hv, doc_id)
+               AS negative_doc_id,
+           shard
+    FROM sharded
+    """,
+)
+def curate_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document is paired with the NEXT document in a salted-md5 permutation
+    of its hash shard — a uniform-random-looking negative that is a pure
+    function of (doc_id, salt): reproducible on any cluster, any run,
+    either engine, and re-drawable by bumping the salt (epoch-indexed
+    salts give fresh negatives per epoch with zero RNG state).
+
+    Scale: the permutation window is PER SHARD (hash-partitioned, the
+    curate_shuffle_shards layout), so no global sort and no unbounded
+    partition; the last doc of each shard surfaces with a NULL negative
+    (callers drop or wrap it — kept here so the contract is visible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        md5_long(F.col("doc_id").cast("string"), NEG_SALT).alias("hv"),
+    ).withColumn("shard", F.col("hv") % N_SHARDS)
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        F.lead("doc_id").over(w).alias("negative_doc_id"),
+        "shard",
+    )
