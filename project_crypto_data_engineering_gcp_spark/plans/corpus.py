@@ -168,6 +168,13 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "curate_zorder_layout",
     "a11_revenue_trend",
     "curate_contrastive_pairs",
+    "basket_frequent_pairs",
+    "graph_triangles",
+    "skyline_pareto_parts",
+    "a12_incremental_merge",
+    "events_rolling_anomaly",
+    "events_hourly_gapfill",
+    "dedup_fuzzy_names",
 )
 
 

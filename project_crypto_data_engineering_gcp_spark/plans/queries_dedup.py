@@ -876,3 +876,55 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+# --------------------------------------------------- blocked edit distance
+
+
+@corpus_query(
+    "dedup_fuzzy_names",
+    oracle="""
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a
+    JOIN customer b
+      ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+     AND a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by BLOCKED edit distance — the fuzzy-matching rung
+    of the dedup ladder (exact -> fingerprint -> minhash -> semantic ->
+    fuzzy). Candidate pairs come from an equality join on a blocking key
+    (here: all but the last 2 name characters, the classic
+    prefix-blocking scheme); only within-block pairs pay the O(len^2)
+    ``levenshtein`` comparison, so pairwise work is gated exactly like
+    every other dedup-family query (no cross product — blocks bound the
+    fan-out). Both engines implement textbook Levenshtein, making the
+    distance cut engine-exact.
+
+    Blocking trades recall for tractability: a pair differing inside the
+    blocked prefix is never compared (same contract as the LSH band cap
+    and the shingle df cap, both graded elsewhere in this family)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    blocked = cust.withColumn("blk", F.substring("c_name", 1, 16))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_name") < F.col("b.c_name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.c_name"), F.col("b.c_name")))
+        .filter(F.col("dist") <= 1)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+    )

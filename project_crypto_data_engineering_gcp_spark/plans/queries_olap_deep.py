@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.numeric import dec
+from ..functions.numeric import dec, dsum_expr_sql
 from ..sources.tables import load_table
 from .corpus import corpus_query
 
@@ -715,5 +715,119 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(dec("c_acctbal", 18, 2)).cast("double").alias("total_bal"),
+        )
+    )
+
+
+# ------------------------------------------------------------- skyline
+
+
+@corpus_query(
+    "skyline_pareto_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+           OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size))
+    """,
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (cheaper price, larger size). The oracle states the definition as a
+    quadratic NOT EXISTS; the Spark plan computes the same set in
+    O(n log n) with ZERO pairwise work — the classic sort-scan skyline:
+
+      1. collapse to max(size) per distinct price (hash aggregate),
+      2. one window over the price-ordered distinct-price frame:
+         running max of size over prices < here (``cum_lt``) and
+         <= here (``cum_le``),
+      3. a part is on the frontier iff its size beats every strictly
+         cheaper part (size > cum_lt) and nothing at its own price is
+         strictly larger (size == cum_le).
+
+    The window is unpartitioned but runs on the DISTINCT-PRICE aggregate,
+    not the fact table — dimension-sized input, same justification as the
+    heavy-hitters re-rank. If the distinct-price domain itself were
+    huge, the prefix-max is associative and two-passes (per-range max,
+    then prefix over range boundaries) restore partitioning; the
+    single-window form is the right plan below ~1e7 frontier candidates.
+    """
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("pmax")
+    )
+    w = Window.orderBy("p_retailprice")
+    cum = per_price.select(
+        "p_retailprice",
+        F.max("pmax").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("cum_lt"),
+        F.max("pmax").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_le"),
+    )
+    return (
+        part.join(F.broadcast(cum), "p_retailprice")
+        .filter(
+            (F.col("cum_lt").isNull() | (F.col("p_size") > F.col("cum_lt")))
+            & (F.col("p_size") == F.col("cum_le"))
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
+
+
+# ------------------------------------------------ incremental maintenance
+
+
+@corpus_query(
+    "a12_incremental_merge",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {dsum_expr_sql('o_totalprice', 18, 2)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a12_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance by ALGEBRAIC PARTIAL-AGGREGATE MERGE:
+    the per-priority rollup is computed as two independent partial
+    aggregates — the 'base' (every month but the newest) and the 'delta'
+    (the newest month only, what a daily pipeline would re-read) — then
+    merged with sum-of-sums / sum-of-counts / min-of-mins / max-of-maxs.
+    The oracle is the direct full recompute, so the green row PROVES the
+    merge is lossless.
+
+    This is the 100 TB pattern for maintained rollups: only the delta
+    partition is re-scanned per run, the base lives as a tiny persisted
+    aggregate, and the merge is a union of two aggregate frames — Spark's
+    own partial/final aggregation split, reified at the pipeline level.
+    The newest-month boundary comes from a 1-row aggregate broadcast back
+    (no driver collect), so the split itself is plan-side and
+    deterministic."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "mon", F.date_trunc("month", F.col("o_orderdate"))
+    )
+    last_mon = orders.agg(F.max("mon").alias("last_mon"))
+    tagged = orders.crossJoin(F.broadcast(last_mon))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(dec("o_totalprice", 18, 2)).alias("p_rev"),
+            F.count(F.lit(1)).alias("p_n"),
+            F.min("o_totalprice").alias("p_min"),
+            F.max("o_totalprice").alias("p_max"),
+        )
+
+    base = partial(tagged.filter(F.col("mon") < F.col("last_mon")))
+    delta = partial(tagged.filter(F.col("mon") == F.col("last_mon")))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("p_rev").cast("double").alias("revenue"),
+            F.sum("p_n").cast("bigint").alias("n_orders"),
+            F.min("p_min").alias("min_price"),
+            F.max("p_max").alias("max_price"),
         )
     )

@@ -14,7 +14,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.numeric import dsum, dsum_expr_sql
+from ..functions.numeric import dec, dsum, dsum_expr_sql
 from ..sources.tables import load_table
 from .corpus import corpus_query
 
@@ -1372,4 +1372,156 @@ def a11_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept_cents"),
         (F.col("m_last") + 1).alias("forecast_month"),
+    )
+
+
+# ----------------------------------------------------- rolling anomaly
+
+
+ANOM_K = 12        # trailing-window length (events, not time)
+ANOM_SIGMAS = 3    # flag at |x - mean| > 3 sigma
+
+
+@corpus_query(
+    "events_rolling_anomaly",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_id, user_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cv
+        FROM events),
+    w AS (
+        SELECT event_id, user_id, ts, cv,
+               CAST(COUNT(*) OVER fr AS BIGINT) AS k,
+               CAST(COALESCE(SUM(cv) OVER fr, 0) AS BIGINT) AS s,
+               CAST(COALESCE(SUM(cv * cv) OVER fr, 0) AS BIGINT) AS q
+        FROM v
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {ANOM_K} PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, ts, CAST(cv AS DOUBLE) / 100 AS value,
+           s AS base_sum_cents, q AS base_sumsq
+    FROM w
+    WHERE k = {ANOM_K}
+      AND ({ANOM_K} * cv - s) * ({ANOM_K} * cv - s)
+          > {ANOM_SIGMAS * ANOM_SIGMAS} * ({ANOM_K} * q - s * s)
+    """,
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection as one window pass: flag events
+    whose value deviates more than {ANOM_SIGMAS} sigma from the mean of
+    the user's previous {ANOM_K} events. The test
+    ``(k*x - S)^2 > 9 * (k*Q - S^2)`` is the z-score condition cleared of
+    divisions and square roots — cent-scaled BIGINT arithmetic end to
+    end, so the cut is bit-exact on any partitioning and any engine
+    (float rolling variance would not be: catastrophic cancellation in
+    ``Q - S^2/k`` depends on summation order).
+
+    Scale shape: one hash-partition-by-user + per-user sort, the same
+    single shuffle every sessionization query pays; the frame is
+    bounded-width so state per row is O(1). The partial windows at each
+    user's start (k < {ANOM_K}) are excluded — no cold-start flags."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_K, -1)
+    )
+    k2 = ANOM_SIGMAS * ANOM_SIGMAS
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "cv",
+        F.count(F.lit(1)).over(fr).alias("k"),
+        F.coalesce(F.sum("cv").over(fr), F.lit(0)).cast("bigint").alias("s"),
+        F.coalesce(F.sum(F.col("cv") * F.col("cv")).over(fr), F.lit(0))
+        .cast("bigint")
+        .alias("q"),
+    )
+    dev = ANOM_K * F.col("cv") - F.col("s")
+    spread = ANOM_K * F.col("q") - F.col("s") * F.col("s")
+    return w.filter((F.col("k") == ANOM_K) & (dev * dev > k2 * spread)).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("cv").cast("double") / 100).alias("value"),
+        F.col("s").alias("base_sum_cents"),
+        F.col("q").alias("base_sumsq"),
+    )
+
+
+# ----------------------------------------------------- resample + gap-fill
+
+
+@corpus_query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hv,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+    bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+               FROM hourly GROUP BY 1),
+    spine AS (SELECT user_id,
+                     UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM bounds)
+    SELECT s.user_id, s.h, COALESCE(n_events, 0) AS n_events,
+           LAST_VALUE(hv IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hv_filled
+    FROM spine s LEFT JOIN hourly USING (user_id, h)
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: per-user hourly grid from the user's first
+    to last active hour (``sequence`` + ``explode`` — the spine is
+    generated distributed, sized by each user's own span, never a driver
+    loop), LEFT-joined to the hourly aggregate, gaps carried forward with
+    ``last(ignorenulls)``. The canonical feed for downstream models that
+    need dense regular series out of sparse event streams.
+
+    Scale shape: the spine explode and the join are both partitioned by
+    user_id; the forward-fill window rides the same partitioning (one
+    shuffle total). Spine cardinality = active span x users, independent
+    of event count — resampling 100 TB of events costs the events scan
+    plus a calendar-sized frame."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(dec("value", 18, 2)).cast("double").alias("hv"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("hv", ignorenulls=True).over(w).alias("hv_filled"),
+        )
     )

@@ -433,3 +433,61 @@ def test_sq8_scan_is_partition_local_matmul(spark):
     assert "MapInPandas" in plan
     assert "InMemoryTableScan" in plan  # serves from the pooled codes
     assert "Window" in plan
+
+
+def test_triangles_all_joins_equality_gated(spark):
+    """Wedge enumeration and closure must be hash joins on equality keys
+    (degree orientation makes the fan-out bounded; an OR-predicate
+    closure would degrade to a nested loop)."""
+    plan = plan_of(QUERIES["graph_triangles"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # support filter + per-node counts
+
+
+def test_skyline_window_rides_price_aggregate(spark):
+    """The skyline window must consume the distinct-price aggregate (a
+    dimension-sized frame) and the frontier join back to parts must
+    broadcast it — the O(n log n) sort-scan plan, not the quadratic
+    NOT EXISTS the oracle states."""
+    plan = plan_of(QUERIES["skyline_pareto_parts"].fn(spark, SF_ORACLE))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_merge_is_planside_split(spark):
+    """Base/delta split must come from a broadcast 1-row aggregate (no
+    driver collect) and the merge from a union of two partial
+    aggregates."""
+    plan = plan_of(QUERIES["a12_incremental_merge"].fn(spark, SF_ORACLE))
+    assert "Union" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_rolling_anomaly_single_shuffle(spark):
+    """The bounded-frame window is the whole algorithm: exactly one hash
+    shuffle (by user), one Window node, filter on top."""
+    plan = plan_of(QUERIES["events_rolling_anomaly"].fn(spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_gapfill_spine_is_distributed_explode(spark):
+    """The hourly spine must be generated executor-side (Generate/explode
+    of sequence), never a driver loop; the forward-fill window and the
+    spine join share the user partitioning."""
+    plan = plan_of(QUERIES["events_hourly_gapfill"].fn(spark, SF_ORACLE))
+    assert "Generate explode" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_names_blocked_equijoin(spark):
+    """Pairwise levenshtein must be gated on the blocking-key equality
+    join — the plan's join is hash-based, the distance filter sits above
+    it."""
+    plan = plan_of(QUERIES["dedup_fuzzy_names"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
