@@ -175,6 +175,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_rolling_anomaly",
     "events_hourly_gapfill",
     "dedup_fuzzy_names",
+    "bloom_semi_revenue",
 )
 
 

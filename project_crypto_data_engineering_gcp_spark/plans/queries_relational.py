@@ -1525,3 +1525,56 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("hv", ignorenulls=True).over(w).alias("hv_filled"),
         )
     )
+
+
+# ----------------------------------------------- bloom runtime pruning
+
+
+@corpus_query(
+    "bloom_semi_revenue",
+    oracle=f"""
+    SELECT l_linestatus,
+           {dsum_expr_sql('l_extendedprice', 18, 2)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_linestatus
+    """,
+)
+def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join revenue with an explicit BLOOM RUNTIME FILTER in front
+    of the exact join (operators/bloom.py): the urgent-order keys fold
+    into a fixed 128 KiB bitmap, the lineitem probe is pre-filtered by a
+    broadcast bucket join + bit test, and only survivors reach the
+    shuffle semi-join. The oracle is the plain semi-join — a green row
+    proves the filter is transparent (no false negatives by
+    construction; false positives die in the exact join).
+
+    Why this matters at 100 TB: the bitmap stays 128 KiB whether the
+    build side has 10^4 or 10^9 keys — an exact broadcast set grows
+    with the data and eventually can't ship; the Bloom bitmap always
+    can, and the ~(1 - selectivity) of the probe it kills never pays
+    shuffle I/O. This reifies the runtime-filter rewrite engines apply
+    to scans, as a composable operator usable mid-pipeline."""
+    from ..operators.bloom import bloom_bitmap, bloom_prune
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_extendedprice"
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    bitmap = bloom_bitmap(urgent, "o_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", bitmap)
+    return (
+        pruned.join(
+            urgent, pruned.l_orderkey == urgent.o_orderkey, "left_semi"
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            dsum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )

@@ -683,3 +683,25 @@ def test_boilerplate_hot_gram_cap_is_subset_and_noop_at_capacity(spark):
     capped = removed(capped_df)
     assert all(capped[d] <= base[d] for d in base)
     assert sum(capped.values()) < sum(base.values())  # cap actually binds
+
+
+def test_bloom_filter_transparent_and_pruning(spark):
+    """Bloom contract: NO false negatives (every true key survives the
+    prune) and real pruning (a probe of mostly-absent keys shrinks)."""
+    from pyspark.sql import functions as F
+
+    from project_crypto_data_engineering_gcp_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_prune,
+    )
+
+    build = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(0, 20000).select(F.col("id").alias("k"))
+    bitmap = bloom_bitmap(build, "k")
+    assert bitmap.count() <= (1 << 20) // 64
+    survivors = bloom_prune(probe, "k", bitmap)
+    true_keys = {r.k for r in build.filter(F.col("k") < 20000).collect()}
+    got = {r.k for r in survivors.collect()}
+    assert true_keys <= got, "false negatives"
+    # single-hash fp rate ~ n/m = 500/2^20 -> expect ~ no extra survivors
+    assert survivors.count() < 20000 * 0.05, "no pruning happened"

@@ -491,3 +491,13 @@ def test_fuzzy_names_blocked_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_bloom_prune_broadcasts_bitmap_before_semi_join(spark):
+    """The bloom pre-filter must be a BroadcastHashJoin on the bucket
+    (fixed 128 KiB side) sitting under the exact semi-join — survivors
+    only reach the shuffle."""
+    plan = plan_of(QUERIES["bloom_semi_revenue"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
