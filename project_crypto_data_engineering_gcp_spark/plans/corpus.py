@@ -176,6 +176,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_hourly_gapfill",
     "dedup_fuzzy_names",
     "bloom_semi_revenue",
+    "a13_correlation_moments",
+    "sim_mmr_rerank",
 )
 
 

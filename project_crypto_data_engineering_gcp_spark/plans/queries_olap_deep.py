@@ -831,3 +831,66 @@ def a12_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_max").alias("max_price"),
         )
     )
+
+
+# --------------------------------------------- exact-moment correlation
+
+
+def _corr_moments_sql() -> str:
+    cents = "CAST(l_quantity * 100 AS DECIMAL(18,0))"
+    price = "CAST(l_extendedprice * 100 AS DECIMAL(18,0))"
+    return f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({cents}) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM({price}) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM({cents} * {price}) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM({cents} * {cents}) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM({price} * {price}) AS DECIMAL(38,0)) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS corr_qty_price
+    FROM m
+    """
+
+
+@corpus_query("a13_correlation_moments", oracle=_corr_moments_sql())
+def a13_correlation_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group WITHOUT the built-in ``corr`` — via
+    exact integer/decimal moments (n, Σx, Σy, Σxy, Σx², Σy²), the final
+    double formula applied once per group. The built-in streams doubles
+    and its result depends on partition merge order (Welford merges);
+    cent-scaled DECIMAL(38,0) moments are associative-exact, so this is
+    the bit-stable-under-repartitioning formulation — the same trick the
+    corpus uses for sums, extended to second moments. Moments partial-
+    aggregate map-side, so the plan is one scan + one bounded shuffle;
+    the correlation arithmetic runs on 3 group rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_quantity") * 100).cast("decimal(18,0)")
+    price = (F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("decimal(38,0)").alias("sx"),
+        F.sum(price).cast("decimal(38,0)").alias("sy"),
+        F.sum(cents * price).cast("decimal(38,0)").alias("sxy"),
+        F.sum(cents * cents).cast("decimal(38,0)").alias("sxx"),
+        F.sum(price * price).cast("decimal(38,0)").alias("syy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )

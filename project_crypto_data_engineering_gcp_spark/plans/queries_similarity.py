@@ -1515,3 +1515,143 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _recall_report(exact, approx)
+
+
+# ------------------------------------------------------ MMR diversity
+
+
+MMR_C = 32   # exact top-C shortlist fed to the re-rank
+MMR_K = 8    # selections returned
+# lambda = 0.7: score = 0.7 * relevance - 0.3 * max-sim-to-selected
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR unrolled into MMR_K chained CTEs (the PageRank
+    technique applied to a selection loop): round i picks the argmax of
+    ``0.7*rel - 0.3*redundancy`` over candidates not yet selected, where
+    redundancy = max pair-sim to the i-1 already-selected rows. All sims
+    are ROUND(.,6) of deterministic double folds with vec_id tiebreaks,
+    so the greedy trajectory is engine-exact."""
+    dot = dot_double_sql
+    parts = [
+        f"""
+    {_NORM_CTE},
+    q AS (SELECT nv FROM e WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+        SELECT vec_id, rel, nv FROM (
+            SELECT c.vec_id, ROUND({dot("q.nv", "c.nv")}, 6) AS rel, c.nv,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND({dot("q.nv", "c.nv")}, 6) DESC, c.vec_id
+                   ) AS rk
+            FROM e c, q WHERE c.vec_id <> 0) t
+        WHERE rk <= {MMR_C}),
+    ps AS MATERIALIZED (
+        SELECT a.vec_id AS ca, b.vec_id AS cb,
+               ROUND({dot("a.nv", "b.nv")}, 6) AS s
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    s1 AS (SELECT vec_id, rel, 1 AS rank, 0.0 AS redundancy
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS MATERIALIZED (SELECT vec_id, rel, rank, redundancy FROM s1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        parts.append(
+            f""",
+    s{i} AS MATERIALIZED (
+        SELECT c.vec_id, c.rel, {i} AS rank, r.red AS redundancy
+        FROM cand c
+        JOIN (SELECT ca, MAX(s) AS red FROM ps
+              JOIN sel{i - 1} sl ON ps.cb = sl.vec_id GROUP BY ca) r
+          ON r.ca = c.vec_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        ORDER BY 0.7 * c.rel - 0.3 * r.red DESC, c.vec_id LIMIT 1),
+    sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})"""
+        )
+    parts.append(
+        f"""
+    SELECT rank, vec_id, rel AS relevance, redundancy FROM sel{MMR_K}"""
+    )
+    return "".join(parts)
+
+
+@corpus_query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: diversity-aware re-ranking of the
+    exact top-{MMR_C} cosine shortlist for one query (vec_id 0) — the
+    retrieval-serving step that stops near-duplicate results from
+    crowding a context window. Greedy loop: each of {MMR_K} rounds picks
+    argmax(0.7*relevance - 0.3*max_sim_to_already_selected).
+
+    Scale split, the same shape as every serving query here: the
+    DISTRIBUTED part is the shortlist (TakeOrderedAndProject over the
+    corpus scan — swap in the IVF/PQ gate for 100 TB) and the {MMR_C}^2
+    pair-sim table; the greedy loop then runs {MMR_K} tiny plan-side
+    rounds on those bounded frames (localCheckpoint per round cuts the
+    exponentially-nesting lineage, as in the PageRank loop — never a
+    driver-side collect of vectors)."""
+    from ..functions.vectors import dot_prenorm, normalized
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = emb.select(
+        "vec_id", "embedding", norm("embedding").alias("nrm")
+    ).select("vec_id", normalized("embedding", "nrm").alias("nv"))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("nv").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", F.round(dot_prenorm("qv", "nv"), 6).alias("rel"), "nv"
+        )
+    )
+    cand = (
+        scored.orderBy(F.desc("rel"), "vec_id").limit(MMR_C).localCheckpoint()
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    ps = (
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ca"),
+            F.col("b.vec_id").alias("cb"),
+            F.round(
+                dot_prenorm(F.col("a.nv"), F.col("b.nv")), 6
+            ).alias("s"),
+        )
+        .localCheckpoint()
+    )
+    sel = (
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel",
+            F.lit(1).alias("rank"),
+            F.lit(0.0).alias("redundancy"),
+        )
+        .localCheckpoint()
+    )
+    for i in range(2, MMR_K + 1):
+        red = (
+            ps.join(
+                sel.select(F.col("vec_id").alias("sv")),
+                F.col("cb") == F.col("sv"),
+            )
+            .groupBy("ca")
+            .agg(F.max("s").alias("red"))
+        )
+        pick = (
+            cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+            .join(red, F.col("vec_id") == F.col("ca"))
+            .orderBy(
+                (0.7 * F.col("rel") - 0.3 * F.col("red")).desc(), "vec_id"
+            )
+            .limit(1)
+            .select(
+                "vec_id",
+                "rel",
+                F.lit(i).alias("rank"),
+                F.col("red").alias("redundancy"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "rank", "vec_id", F.col("rel").alias("relevance"), "redundancy"
+    )

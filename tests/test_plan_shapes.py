@@ -501,3 +501,16 @@ def test_bloom_prune_broadcasts_bitmap_before_semi_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mmr_rounds_run_on_checkpointed_bounded_frames(spark):
+    """The greedy MMR loop must consume the checkpointed shortlist/pair
+    frames (ExistingRDD scans) — lineage is cut per round, so the final
+    plan is a shallow union of bounded picks, not an exponentially
+    nested join tree; and the pair stage is the intentional broadcast
+    nested loop over the 32-row shortlist, never a CartesianProduct."""
+    df = QUERIES["sim_mmr_rerank"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert df.count() == 8
