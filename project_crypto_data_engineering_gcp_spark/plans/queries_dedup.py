@@ -168,7 +168,51 @@ MINHASH_AB = (
 assert len(MINHASH_AB) == NUM_HASHES
 
 
-def _minhash_oracle(hot_band_cap: int | None = None) -> str:
+def _sigs_of(toks: DataFrame) -> DataFrame:
+    """Minhash signature frame for an exploded (doc_id, tok) frame: one
+    md5 per shingle, then the {NUM_HASHES}-function affine family, MIN
+    per function per doc (a single map-combinable groupBy)."""
+    hx = (md5_long("tok") % MINHASH_P).alias("hx")
+    return (
+        toks.select("doc_id", hx)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("hx") + F.lit(b)) % MINHASH_P).alias(
+                    f"h{j}"
+                )
+                for j, (a, b) in enumerate(MINHASH_AB)
+            ]
+        )
+    )
+
+
+def _bands_of(sigs: DataFrame) -> DataFrame:
+    """LSH banding of a signature frame: {BANDS} (doc_id, band_id,
+    band_key) rows per doc, band_key = salted md5 of the band's minima."""
+    band_frames = []
+    for b in range(BANDS):
+        cols = [
+            f"h{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        ]
+        band_frames.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                md5_long(F.concat_ws(",", *cols), f"band{b}:").alias(
+                    "band_key"
+                ),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    return bands
+
+
+def _minhash_oracle(
+    hot_band_cap: int | None = None, new_only_mod: int | None = None
+) -> str:
     h_exprs = ", ".join(
         f"MIN(({a} * hx + {b}) % {MINHASH_P}) AS h{j}"
         for j, (a, b) in enumerate(MINHASH_AB)
@@ -228,6 +272,7 @@ def _minhash_oracle(hot_band_cap: int | None = None) -> str:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {MINHASH_JACCARD_THRESHOLD}
+    {f"AND (doc_a % {new_only_mod} = 0 OR doc_b % {new_only_mod} = 0)" if new_only_mod else ""}
     """
 
 
@@ -262,43 +307,14 @@ def dedup_minhash_lsh(
     # frame on both sides, and repeat calls (capped twin, LSH family)
     # reuse it instead of caching a duplicate copy
     def build_sigs() -> DataFrame:
-        hx = (md5_long("tok") % MINHASH_P).alias("hx")
-        out = (
-            toks.select("doc_id", hx)
-            .groupBy("doc_id")
-            .agg(
-                *[
-                    F.min((F.lit(a) * F.col("hx") + F.lit(b)) % MINHASH_P).alias(
-                        f"h{j}"
-                    )
-                    for j, (a, b) in enumerate(MINHASH_AB)
-                ]
-            )
-            .cache()
-        )
+        out = _sigs_of(toks).cache()
         out.count()  # materialize at build: pool hits run no job
         return out
 
     sigs = _bounded_cached(_SIGS_MEMO, (app, sf_dir), build_sigs)
 
     def build_cand() -> DataFrame:
-        band_frames = []
-        for b in range(BANDS):
-            cols = [
-                f"h{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
-            ]
-            band_frames.append(
-                sigs.select(
-                    "doc_id",
-                    F.lit(b).alias("band_id"),
-                    md5_long(F.concat_ws(",", *cols), f"band{b}:").alias(
-                        "band_key"
-                    ),
-                )
-            )
-        bands = band_frames[0]
-        for bf in band_frames[1:]:
-            bands = bands.unionByName(bf)
+        bands = _bands_of(sigs)
         # bands itself is NOT cached: both self-join sides rebuild it
         # from the cached sigs with cheap md5 column work — one fewer
         # resident copy of an N x BANDS frame
@@ -927,4 +943,106 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.c_name").alias("name_b"),
             F.col("dist").cast("bigint").alias("dist"),
         )
+    )
+
+
+# ------------------------------------------------ incremental LSH index
+
+
+INCR_NEW_MOD = 10  # doc_id % 10 == 0 plays the "newly arrived" batch
+
+# persisted banded index per (application, dataset) — built once over the
+# OLD corpus slice, reused by every subsequent incremental batch
+_MINHASH_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@corpus_query(
+    "dedup_minhash_incremental",
+    oracle=_minhash_oracle(new_only_mod=INCR_NEW_MOD),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup of a GROWING corpus: the old corpus's LSH
+    bands are PERSISTED once (parquet index of (doc_id, band_id,
+    band_key) — {BANDS} small rows per doc, no shingles, no signatures);
+    each newly-arrived batch (here: doc_id % {INCR_NEW_MOD} == 0, the
+    held-out tenth) is shingled/signed/banded on its own, then candidates
+    come from (new bands JOIN index bands) plus the within-batch
+    self-join. Exact-jaccard verification fetches shingles ONLY for
+    candidate docs from the source (same semi-join prefilter as the full
+    LSH query).
+
+    This is the production shape for continuous dedup at 100 TB: per-run
+    cost is (batch scan + batch-sized band join + candidate-bounded
+    verify) — the accumulated corpus is touched only through the
+    fixed-width band index, never re-shingled. The oracle is the FULL
+    recompute restricted to pairs involving a new doc, so the green row
+    proves index reuse loses nothing vs. rerunning from scratch."""
+    import os
+    import tempfile
+
+    from ..plans.queries_similarity import _dataset_dirname
+
+    app = spark.sparkContext.applicationId
+    toks = _shared_shingle_frame(spark, sf_dir, MINHASH_SHINGLE_K)
+
+    key = (app, sf_dir)
+    if key not in _MINHASH_INDEX_MEMO:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_lshidx_{app}",
+            _dataset_dirname(sf_dir),
+        )
+        old_toks = toks.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+        _bands_of(_sigs_of(old_toks)).write.mode("overwrite").parquet(path)
+        _MINHASH_INDEX_MEMO[key] = path
+    index_bands = spark.read.parquet(_MINHASH_INDEX_MEMO[key])
+
+    new_toks = toks.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    new_bands = _bands_of(_sigs_of(new_toks))
+
+    n, o = new_bands.alias("n"), index_bands.alias("o")
+    cross = n.join(
+        o,
+        (F.col("n.band_id") == F.col("o.band_id"))
+        & (F.col("n.band_key") == F.col("o.band_key")),
+    ).select(
+        F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+        F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+    )
+    na, nb = new_bands.alias("na"), new_bands.alias("nb")
+    within = na.join(
+        nb,
+        (F.col("na.band_id") == F.col("nb.band_id"))
+        & (F.col("na.band_key") == F.col("nb.band_key"))
+        & (F.col("na.doc_id") < F.col("nb.doc_id")),
+    ).select(
+        F.col("na.doc_id").alias("doc_a"), F.col("nb.doc_id").alias("doc_b")
+    )
+    cand = cross.unionByName(within).distinct()
+
+    # verify on candidate docs only: semi-join prefiltered shingles
+    ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    ctoks = toks.join(ids, "doc_id", "left_semi")
+    sizes = ctoks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta, tb = ctoks.alias("ta"), ctoks.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    jac = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= MINHASH_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

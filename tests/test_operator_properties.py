@@ -705,3 +705,19 @@ def test_bloom_filter_transparent_and_pruning(spark):
     assert true_keys <= got, "false negatives"
     # single-hash fp rate ~ n/m = 500/2^20 -> expect ~ no extra survivors
     assert survivors.count() < 20000 * 0.05, "no pruning happened"
+
+
+def test_minhash_incremental_second_call_reuses_index(spark, tmp_path):
+    """The band index is built once per (app, dataset): a second call must
+    reuse the SAME persisted path (no rebuild) and return identical rows."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_dedup import (
+        _MINHASH_INDEX_MEMO,
+        dedup_minhash_incremental,
+    )
+    from .conftest import SF_ORACLE
+
+    r1 = sorted(map(tuple, dedup_minhash_incremental(spark, SF_ORACLE).collect()))
+    paths = dict(_MINHASH_INDEX_MEMO)
+    r2 = sorted(map(tuple, dedup_minhash_incremental(spark, SF_ORACLE).collect()))
+    assert r1 == r2
+    assert dict(_MINHASH_INDEX_MEMO) == paths  # same index path, no rebuild

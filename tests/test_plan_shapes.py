@@ -514,3 +514,14 @@ def test_mmr_rounds_run_on_checkpointed_bounded_frames(spark):
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert df.count() == 8
+
+
+def test_minhash_incremental_reads_persisted_index(spark):
+    """The incremental batch's candidate join must read the OLD corpus
+    through the persisted band index (parquet scan of band columns), and
+    every pairwise stage stays equality-gated."""
+    df = QUERIES["dedup_minhash_incremental"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "spark_graft_lshidx" in plan  # parquet index scan, not re-shingling
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan
