@@ -178,6 +178,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "bloom_semi_revenue",
     "a13_correlation_moments",
     "sim_mmr_rerank",
+    "dedup_minhash_incremental",
 )
 
 
