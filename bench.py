@@ -60,6 +60,13 @@ HEADLINE = (
     "graph_pagerank",
     "text_bm25_topk",
     "sim_ivfpq_topk",
+    # r4 continuation: the heaviest of the analytics batch (pooled
+    # co-purchase edge build + wedge closure), the Bloom runtime-filter
+    # semi-join (the fixed-footprint prune shape), and incremental LSH
+    # against the persisted band index (continuous-dedup serving path)
+    "graph_triangles",
+    "bloom_semi_revenue",
+    "dedup_minhash_incremental",
 )
 
 
