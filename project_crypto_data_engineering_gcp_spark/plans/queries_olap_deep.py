@@ -753,24 +753,13 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     huge, the prefix-max is associative and two-passes (per-range max,
     then prefix over range boundaries) restore partitioning; the
     single-window form is the right plan below ~1e7 frontier candidates.
-    """
+    Core in operators/skyline.py, differential-tested on random tied
+    data against the brute-force definition."""
+    from ..operators.skyline import pareto_frontier_2d
+
     part = load_table(spark, sf_dir, "part")
-    per_price = part.groupBy("p_retailprice").agg(
-        F.max("p_size").alias("pmax")
-    )
-    w = Window.orderBy("p_retailprice")
-    cum = per_price.select(
-        "p_retailprice",
-        F.max("pmax").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("cum_lt"),
-        F.max("pmax").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_le"),
-    )
-    return (
-        part.join(F.broadcast(cum), "p_retailprice")
-        .filter(
-            (F.col("cum_lt").isNull() | (F.col("p_size") > F.col("cum_lt")))
-            & (F.col("p_size") == F.col("cum_le"))
-        )
-        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    return pareto_frontier_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
     )
 
 

@@ -721,3 +721,37 @@ def test_minhash_incremental_second_call_reuses_index(spark, tmp_path):
     r2 = sorted(map(tuple, dedup_minhash_incremental(spark, SF_ORACLE).collect()))
     assert r1 == r2
     assert dict(_MINHASH_INDEX_MEMO) == paths  # same index path, no rebuild
+
+
+def test_skyline_matches_bruteforce_on_random_ties(spark):
+    """pareto_frontier_2d (sort-scan window) must equal the O(n²)
+    dominance definition on random data dense with ties on both
+    dimensions (the corpus part table barely has any)."""
+    from project_crypto_data_engineering_gcp_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    for trial in range(3):
+        pdf = pd.DataFrame(
+            {
+                "id": np.arange(200, dtype="int64"),
+                "cost": RNG.integers(0, 12, size=200).astype("int64"),
+                "gain": RNG.integers(0, 12, size=200).astype("int64"),
+            }
+        )
+        got = {
+            r.id
+            for r in pareto_frontier_2d(
+                spark.createDataFrame(pdf), "cost", "gain"
+            ).collect()
+        }
+        c, g = pdf["cost"].values, pdf["gain"].values
+        want = {
+            int(pdf["id"][i])
+            for i in range(len(pdf))
+            if not any(
+                (c[j] <= c[i] and g[j] >= g[i]) and (c[j] < c[i] or g[j] > g[i])
+                for j in range(len(pdf))
+            )
+        }
+        assert got == want, f"trial {trial}"
