@@ -179,6 +179,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "a13_correlation_moments",
     "sim_mmr_rerank",
     "dedup_minhash_incremental",
+    "streaming_incremental_dedup",
 )
 
 

@@ -1062,3 +1062,51 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= MINHASH_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# one drained stream-dedup state per (application, dataset)
+_STREAM_DEDUP_MEMO: dict[tuple[str, str], str] = {}
+
+
+@corpus_query("streaming_incremental_dedup", oracle=_minhash_oracle())
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of the incremental LSH index
+    (streaming/dedup_stream.py): the documents table arrives as three
+    parquet file-drops drained by an AvailableNow foreachBatch stream;
+    every micro-batch is near-deduplicated against all prior arrivals
+    via the persisted band index + candidate-pruned doc store, then
+    folded into the state. The returned frame is the accumulated pairs
+    table — and because each pair is emitted exactly when its later
+    member arrives, the union over batches equals the one-shot
+    full-corpus LSH answer, which is precisely the oracle here. A green
+    driver row therefore proves streaming-incremental == batch for the
+    dedup pipeline (the same batch-equivalence contract every other
+    streaming entry carries)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..plans.queries_similarity import _dataset_dirname
+    from ..streaming.dedup_stream import stream_incremental_dedup
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key not in _STREAM_DEDUP_MEMO:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_streamdedup_{app}",
+            _dataset_dirname(sf_dir),
+        )
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        landing = os.path.join(base, "landing")
+        os.makedirs(landing)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                os.path.join(landing, f"chunk_{i}.parquet")
+            )
+        state = os.path.join(base, "state")
+        stream_incremental_dedup(spark, landing + "/*/", state)
+        _STREAM_DEDUP_MEMO[key] = os.path.join(state, "pairs")
+    return spark.read.parquet(_STREAM_DEDUP_MEMO[key])

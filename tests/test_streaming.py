@@ -219,3 +219,49 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     assert batch.count() > 0  # fixture has matches; vacuous otherwise
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_incremental_dedup_equals_batch_lsh(spark, tmp_path):
+    """Streaming-incremental dedup must converge to the full-corpus LSH
+    answer: draining the documents table in 3 file-batches (each batch
+    deduped only against prior arrivals + itself) emits, in union,
+    exactly the pairs the one-shot batch oracle finds."""
+    import duckdb
+
+    from project_crypto_data_engineering_gcp_spark.plans.queries_dedup import (
+        _minhash_oracle,
+    )
+    from project_crypto_data_engineering_gcp_spark.sources.tables import load_table
+    from project_crypto_data_engineering_gcp_spark.streaming.dedup_stream import (
+        stream_incremental_dedup,
+    )
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(landing / f"chunk_{i}.parquet")
+        )
+
+    state = str(tmp_path / "state")
+    total = stream_incremental_dedup(spark, str(landing) + "/*/", state)
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(state + "/pairs").collect()
+    }
+    assert total == len(got)  # no pair emitted twice across batches
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    want = {
+        (a, b, j)
+        for a, b, j in con.execute("WITH " + _minhash_oracle().lstrip().removeprefix("WITH")).fetchall()
+    }
+    assert got == want
