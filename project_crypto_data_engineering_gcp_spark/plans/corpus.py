@@ -41,19 +41,15 @@ class CorpusQuery:
 _REGISTRY: dict[str, CorpusQuery] = {}
 
 # r5 WINDOW PLAN (leads for next round's rotation): after r4's driver
-# run lands, the oldest evidence will be the r2-checked set (crypto
-# pipeline + TPC-H menu + curation + first ANN wave) — rotate onto
-# those, plus any r5 additions, plus refreshers for code r5 touches.
-# MUST-INCLUDE (never-checked): the late-r4 additions registered AFTER
-# the 50-slot window filled — the full ROLLOVER QUEUE below
-# (graph_pagerank, text_bm25_topk, curate_temperature_mix,
-# dedup_minhash_recall, sim_ivfpq_topk, sim_ivfpq_recall,
-# events_markov_transitions, curate_shuffle_shards,
-# w8_ema_customer_spend) — kept out of the r4
-# window deliberately so the 38 stale-evidence refreshers (the r3
-# verdict's lead task, worth exactly 50 slots with the early-r4
-# additions) were not displaced; until r5 their evidence is the local
-# DuckDB parity suite + tests/test_graph.py.
+# run lands, the never-checked set will be EXACTLY the rollover queue
+# below (positions 51+, now 26 entries: the late-r4 additions from
+# graph_pagerank through curate_contrastive_pairs plus the r4
+# continuation batch from basket_frequent_pairs through
+# streaming_incremental_dedup). The r5 window MUST lead with all of
+# them — that still leaves ~24 slots for r5 additions and the oldest
+# stale evidence (the r2-checked crypto/TPC-H/curation set). Until
+# their driver rows land, the queue's evidence is the local DuckDB
+# parity suite + the operator property tests.
 # Queries whose newest row will then be r3 (streaming family, j4-j7,
 # a6-a9, w4-w6, o4/o5, relational deep set) are one round old and can
 # wait for r6. Keep the invariant: never-checked ⊆ window, no query's
