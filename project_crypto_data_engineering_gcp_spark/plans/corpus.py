@@ -176,6 +176,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_mmr_rerank",
     "dedup_minhash_incremental",
     "streaming_incremental_dedup",
+    "dedup_keep_best_quality",
 )
 
 

@@ -1110,3 +1110,64 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_incremental_dedup(spark, landing + "/*/", state)
         _STREAM_DEDUP_MEMO[key] = os.path.join(state, "pairs")
     return spark.read.parquet(_STREAM_DEDUP_MEMO[key])
+
+
+def _keep_best_oracle() -> str:
+    """Composes the transitive-closure oracle with the registered quality
+    formula (both reused verbatim — the no-drift rule): per near-dup
+    cluster of >= 2 docs, the winner is the highest-quality member,
+    doc_id as tiebreak."""
+    from .queries_text import quality_sql
+
+    return f"""
+    WITH clusters AS (SELECT doc_id, cluster FROM ({_clusters_oracle()}) c),
+    q AS ({quality_sql()}),
+    ranked AS (
+        SELECT cl.cluster, cl.doc_id, q.quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cl.cluster
+                   ORDER BY q.quality DESC, cl.doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY cl.cluster) AS n_members
+        FROM clusters cl JOIN q ON q.doc_id = cl.doc_id
+    )
+    SELECT cluster, doc_id AS keep_doc_id, quality AS best_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1 AND n_members >= 2
+    """
+
+
+@corpus_query("dedup_keep_best_quality", oracle=_keep_best_oracle())
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-grade APPLY step for near-dup clusters: instead of
+    keep-FIRST (dedup_apply_keep_first's smallest doc_id), keep the
+    BEST member of each transitive near-dup cluster by the registered
+    quality score — what a training-data pipeline actually wants (the
+    duplicate with the least boilerplate/most diversity survives).
+    Composition: jaccard pairs -> connected components (iterative label
+    propagation) -> broadcast-sized cluster labels joined to the quality
+    scan -> one ranking window per cluster. Oracle composes the same two
+    registered oracles verbatim."""
+    from .queries_text import text_quality_score
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    from ..operators.components import connected_components
+
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster").orderBy(F.desc("quality"), "doc_id")
+    wc = Window.partitionBy("cluster")
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "cluster",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("quality").alias("best_quality"),
+            "n_members",
+        )
+    )

@@ -82,9 +82,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@corpus_query(
-    "text_quality_score",
-    oracle=f"""
+def quality_sql() -> str:
+    """The registered quality formula as a self-contained SELECT (nested
+    WITH), reusable verbatim by composing oracles (no-drift rule)."""
+    return f"""
     WITH m AS (
         SELECT doc_id,
                len({tokens_sql("text")}) AS n_tokens,
@@ -100,8 +101,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(0.5 * distinct_ratio + 0.3 * (1 - stopword_ratio)
                  + 0.2 * least(1.0, n_tokens / 64.0), 6) AS quality
     FROM m
-    """,
-)
+    """
+
+
+@corpus_query("text_quality_score", oracle=quality_sql())
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: lexical diversity, stopword ratio, and
     length saturation combined into one score."""
