@@ -177,6 +177,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_incremental",
     "streaming_incremental_dedup",
     "dedup_keep_best_quality",
+    "curate_pack_offsets",
+    "curate_corpus_report",
 )
 
 

@@ -823,3 +823,128 @@ def curate_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("doc_id").over(w).alias("negative_doc_id"),
         "shard",
     )
+
+
+@corpus_query(
+    "curate_pack_offsets",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               {md5_long_sql("CAST(doc_id AS VARCHAR)", SHUFFLE_SALT)} AS hv
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, n_chars, hv, hv % {N_SHARDS} AS shard FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(COALESCE(SUM(n_chars + 1) OVER (
+               PARTITION BY shard ORDER BY hv, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS byte_offset,
+           CAST(n_chars + 1 AS BIGINT) AS byte_len
+    FROM sharded
+    """,
+)
+def curate_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader MANIFEST for concatenated shard files: every document's
+    byte offset and length inside its shard, were the shard written as
+    newline-joined text in the deterministic shuffle order
+    (curate_shuffle_shards' md5 permutation — the two queries share the
+    salt and shard formula verbatim, so this manifest indexes exactly
+    that layout). Offsets are an exclusive prefix sum of (n_chars + 1)
+    per shard — one hash-partitioned window over the same partitioning
+    the shard write itself uses, no global sort. With the manifest, a
+    training loader random-accesses any document in O(1) seeks without
+    a parquet runtime."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "n_chars",
+        md5_long(F.col("doc_id").cast("string"), SHUFFLE_SALT).alias("hv"),
+    ).withColumn("shard", F.col("hv") % N_SHARDS)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return h.select(
+        "doc_id",
+        "shard",
+        F.coalesce(F.sum(F.col("n_chars") + 1).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("byte_offset"),
+        (F.col("n_chars") + 1).cast("bigint").alias("byte_len"),
+    )
+
+
+def _corpus_report_oracle() -> str:
+    from .queries_text import quality_sql
+
+    return f"""
+    WITH q AS ({quality_sql()}),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT {md5_long_sql("text")}) AS BIGINT)
+                   AS n_unique_texts,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(len({tokens_sql("text")})) AS BIGINT) AS total_tokens
+        FROM documents
+    ),
+    qq AS (
+        SELECT CAST(SUM(CAST(ROUND(quality * 1000000) AS BIGINT)) AS BIGINT)
+                   AS q_micro_sum
+        FROM q
+    )
+    SELECT n_docs, n_unique_texts,
+           ROUND(1.0 - CAST(n_unique_texts AS DOUBLE)
+                 / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate,
+           n_langs, total_tokens,
+           ROUND(CAST(q_micro_sum AS DOUBLE)
+                 / CAST(n_docs AS DOUBLE) / 1000000, 6) AS mean_quality
+    FROM base, qq
+    """
+
+
+@corpus_query("curate_corpus_report", oracle=_corpus_report_oracle())
+def curate_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health dashboard: document count, exact-duplicate
+    rate, language count, total token volume, and mean quality — the
+    numbers a curation run prints before/after each stage. Everything is
+    integer/decimal-exact (the quality mean goes through micro-scaled
+    BIGINTs so summation order cannot perturb it); the whole report is
+    two scans collapsing to 1-row aggregates combined by broadcast
+    cross-join."""
+    from ..functions.hashing import md5_long as _md5
+    from .queries_text import text_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(_md5("text")).cast("bigint").alias("n_unique_texts"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("total_tokens"),
+    )
+    qq = text_quality_score(spark, sf_dir).agg(
+        F.sum(F.round(F.col("quality") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("q_micro_sum")
+    )
+    j = base.crossJoin(F.broadcast(qq))
+    return j.select(
+        "n_docs",
+        "n_unique_texts",
+        F.round(
+            1.0
+            - F.col("n_unique_texts").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+        "n_langs",
+        "total_tokens",
+        F.round(
+            F.col("q_micro_sum").cast("double")
+            / F.col("n_docs").cast("double")
+            / 1000000,
+            6,
+        ).alias("mean_quality"),
+    )
