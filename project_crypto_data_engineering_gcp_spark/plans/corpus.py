@@ -179,6 +179,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_keep_best_quality",
     "curate_pack_offsets",
     "curate_corpus_report",
+    "sim_knn_classify",
+    "graph_link_prediction",
 )
 
 

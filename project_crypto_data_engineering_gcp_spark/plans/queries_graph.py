@@ -363,3 +363,79 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roles.groupBy(F.col("node").alias("p_partkey")).agg(
         F.count(F.lit(1)).cast("bigint").alias("triangles")
     )
+
+
+LINKPRED_TOPK = 20
+
+
+@corpus_query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    adj AS (
+        SELECT u AS node, v AS nbr FROM e
+        UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+    common AS (
+        SELECT a.node AS pa, b.node AS pb, COUNT(*) AS cn
+        FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+        GROUP BY 1, 2),
+    cand AS (
+        SELECT c.pa, c.pb, c.cn
+        FROM common c
+        LEFT JOIN e ON e.u = c.pa AND e.v = c.pb
+        WHERE e.u IS NULL)
+    SELECT pa, pb, CAST(cn AS BIGINT) AS common_neighbors,
+           ROUND(CAST(cn AS DOUBLE) / (da.d + db.d - cn), 6) AS nbr_jaccard
+    FROM cand
+    JOIN deg da ON da.node = pa
+    JOIN deg db ON db.node = pb
+    ORDER BY nbr_jaccard DESC, pa, pb
+    LIMIT {LINKPRED_TOPK}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: the top co-purchase part
+    pairs that are NOT yet connected but share neighbors (the
+    'frequently bought with what you bought together' recommender
+    primitive). Candidates come from the wedge join on a shared
+    neighbor — only pairs with >= 1 common neighbor ever materialize
+    (never all non-edges), the anti-join removes existing edges, and
+    the support filter bounds degrees so wedge fan-out is Σ deg(n)²
+    over the dimension-sized graph (a hub-heavy graph would cap
+    neighbor lists first, the same dial as the LSH band cap)."""
+    edges = _basket_edges(spark, sf_dir).select("u", "v")
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.nbr") == F.col("b.nbr"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("pa"), F.col("b.node").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = common.join(
+        F.broadcast(edges),
+        (F.col("pa") == F.col("u")) & (F.col("pb") == F.col("v")),
+        "left_anti",
+    )
+    da = F.broadcast(deg.select(F.col("node").alias("pa"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("node").alias("pb"), F.col("d").alias("db")))
+    score = F.col("cn").cast("double") / (F.col("da") + F.col("db") - F.col("cn"))
+    return (
+        cand.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(score, 6).alias("nbr_jaccard"),
+        )
+        .orderBy(F.desc("nbr_jaccard"), "pa", "pb")
+        .limit(LINKPRED_TOPK)
+    )

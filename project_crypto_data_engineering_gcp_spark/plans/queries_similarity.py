@@ -86,9 +86,10 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_grid(emb, threshold=COSINE_PAIR_THRESHOLD)
 
 
-@corpus_query(
-    "sim_topk_neighbors",
-    oracle=f"""
+def _topk_oracle() -> str:
+    """Exact brute-force top-{TOPK_K} per query — reused verbatim by the
+    kNN-classification composition (no-drift rule)."""
+    return f"""
     {_NORM_CTE}
     SELECT vec_a, vec_b, cos_sim, rk FROM (
         SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
@@ -101,8 +102,10 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e q JOIN e c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < {TOPK_QUERIES}
     ) t WHERE rk <= {TOPK_K}
-    """,
-)
+    """
+
+
+@corpus_query("sim_topk_neighbors", oracle=_topk_oracle())
 def sim_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-{TOPK_K} nearest neighbors for the first
     {TOPK_QUERIES} query vectors, as the blockwise numpy operator.
@@ -1654,4 +1657,49 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel = sel.unionByName(pick).localCheckpoint()
     return sel.select(
         "rank", "vec_id", F.col("rel").alias("relevance"), "redundancy"
+    )
+
+
+@corpus_query(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH knn AS ({{topk}}),
+    votes AS (
+        SELECT k.vec_a AS qid, lb.label,
+               CAST(COUNT(*) AS BIGINT) AS votes
+        FROM knn k JOIN embeddings lb ON lb.vec_id = k.vec_b
+        GROUP BY 1, 2
+    )
+    SELECT qid, label AS predicted_label, votes FROM (
+        SELECT qid, label, votes,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY votes DESC, label
+               ) AS rn
+        FROM votes
+    ) t WHERE rn = 1
+    """.replace("{topk}", _topk_oracle()),
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: each of the {TOPK_QUERIES} query vectors takes
+    the majority label of its exact top-{TOPK_K} neighbors (label-asc
+    tiebreak) — the standard embedding-space labeler (weak supervision,
+    eval probes) expressed as the top-k entry composed with one broadcast
+    label join + a vote argmax. Swap the brute-force shortlist for any of
+    the ANN rungs at scale; the vote stage is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    knn = sim_topk_neighbors(spark, sf_dir)
+    votes = (
+        knn.join(
+            F.broadcast(emb.withColumnRenamed("vec_id", "vec_b")), "vec_b"
+        )
+        .groupBy(F.col("vec_a").alias("qid"), "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"), "label")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("predicted_label"), "votes")
     )
