@@ -181,6 +181,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "curate_corpus_report",
     "sim_knn_classify",
     "graph_link_prediction",
+    "a14_share_of_parent",
 )
 
 

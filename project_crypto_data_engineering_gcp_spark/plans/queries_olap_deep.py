@@ -883,3 +883,65 @@ def a13_correlation_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_qty_price"),
     )
+
+
+# ------------------------------------------------------ share of parent
+
+
+@corpus_query(
+    "a14_share_of_parent",
+    oracle=f"""
+    WITH per_nation AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               {dsum_expr_sql('o_totalprice', 18, 2)} AS revenue
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+               AS share_of_region,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS share_of_total
+    FROM per_nation
+    """,
+)
+def a14_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent across a dimension hierarchy (nation within
+    region within grand total) — the drill-down ratio every BI rollup
+    needs, as two window sums OVER the already-aggregated frame: the
+    fact table is scanned once into the (region, nation) aggregate, and
+    the ratios ride that dimension-sized output (the empty-frame total
+    is the broadcast-ish degenerate window, fine at dimension size).
+    Revenue is an exact decimal sum; the ratio is one double division of
+    identical exact operands in both engines, so ROUND(.,6) is stable.
+
+    The share-of-total window mirrors the reference's market-dominance
+    denominator quirk Q5 (SURVEY §2.11) at hierarchy depth 2."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(w_region), 6
+        ).alias("share_of_region"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+    )
