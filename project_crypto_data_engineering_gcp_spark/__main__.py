@@ -50,6 +50,15 @@ def _build_parser() -> argparse.ArgumentParser:
     k.add_argument("--path", required=True)
     k.add_argument("--target-mb", type=int, default=256)
     k.add_argument("--sort-by", default=None, help="comma-separated clustering columns")
+
+    ds = sub.add_parser(
+        "dedup-stream",
+        help="incrementally near-dedup a parquet landing dir of (doc_id, text)"
+        " files against the persisted LSH band index",
+    )
+    ds.add_argument("--landing", required=True, help="parquet file/dir glob")
+    ds.add_argument("--state", required=True, help="band-index state dir")
+    ds.add_argument("--max-files-per-trigger", type=int, default=1)
     return p
 
 
@@ -109,6 +118,16 @@ def main(argv: list[str] | None = None) -> int:
                 sort_cols=sort_cols,
             )
             print(f"compacted to {n} files")
+        elif args.cmd == "dedup-stream":
+            from .streaming.dedup_stream import stream_incremental_dedup
+
+            n = stream_incremental_dedup(
+                spark,
+                args.landing,
+                args.state,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+            print(f"duplicate pairs emitted: {n}")
         return 0
     finally:
         if existing is None:

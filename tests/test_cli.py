@@ -39,3 +39,39 @@ def test_cli_curate_and_compact(spark, tmp_path, capsys):
     assert main(["compact", "--path", tbl, "--sort-by", "id"]) == 0
     assert "compacted to 1 files" in capsys.readouterr().out
     assert spark.read.parquet(tbl).count() == 1000
+
+
+def test_cli_dedup_stream(spark, tmp_path, capsys):
+    """dedup-stream drains a landing dir and reports emitted pairs; a
+    second invocation with the same checkpoint is a no-op (exactly-once
+    source progress)."""
+    from pyspark.sql import functions as F
+
+    from project_crypto_data_engineering_gcp_spark.__main__ import main
+    from project_crypto_data_engineering_gcp_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(
+            str(landing / f"chunk_{i}.parquet")
+        )
+    state = str(tmp_path / "state")
+    rc = main(
+        ["dedup-stream", "--landing", str(landing) + "/*/", "--state", state]
+    )
+    assert rc == 0
+    out1 = capsys.readouterr().out
+    assert "duplicate pairs emitted:" in out1
+    n1 = spark.read.parquet(state + "/pairs").count()
+    assert n1 > 0
+    # re-run: checkpoint already consumed every file -> nothing new
+    rc = main(
+        ["dedup-stream", "--landing", str(landing) + "/*/", "--state", state]
+    )
+    assert rc == 0
+    assert "duplicate pairs emitted: 0" in capsys.readouterr().out
+    assert spark.read.parquet(state + "/pairs").count() == n1
