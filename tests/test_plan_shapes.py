@@ -525,3 +525,45 @@ def test_minhash_incremental_reads_persisted_index(spark):
     assert "spark_graft_lshidx" in plan  # parquet index scan, not re-shingling
     assert "CartesianProduct" not in plan
     assert "band_key" in plan
+
+
+def test_a14_ratios_ride_dimension_aggregate(spark):
+    """The percent-of-parent windows must consume the (region, nation)
+    aggregate (25 rows), with every dim join a broadcast."""
+    plan = plan_of(QUERIES["a14_share_of_parent"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Window" in plan
+
+
+def test_knn_classify_broadcasts_labels(spark):
+    """The vote join ships only the (vec_id, label) dim — broadcast —
+    and the argmax is a per-query ranking window."""
+    plan = plan_of(QUERIES["sim_knn_classify"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_wedge_gated(spark):
+    """Candidates must come from the shared-neighbor equi-join (never
+    all non-edges) and the existing-edge removal must be an anti-join."""
+    plan = plan_of(QUERIES["graph_link_prediction"].fn(spark, SF_ORACLE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_offsets_single_window_pass(spark):
+    """The byte-offset manifest is exactly one hash-partitioned window
+    (the shard partitioning the writer itself uses)."""
+    plan = plan_of(QUERIES["curate_pack_offsets"].fn(spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_corpus_report_is_broadcast_assembly(spark):
+    """The health report combines 1-row aggregates by broadcast — no
+    wide join anywhere."""
+    plan = plan_of(QUERIES["curate_corpus_report"].fn(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
