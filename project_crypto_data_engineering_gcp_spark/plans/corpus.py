@@ -182,6 +182,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_knn_classify",
     "graph_link_prediction",
     "a14_share_of_parent",
+    "a15_cusum_drift",
 )
 
 

@@ -1578,3 +1578,85 @@ def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
     )
+
+
+# ------------------------------------------------------------ CUSUM drift
+
+
+@corpus_query(
+    "a15_cusum_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(rev_cents) AS BIGINT) AS total_cents
+          FROM daily),
+    cum AS (
+        SELECT day, rev_cents,
+               CAST(SUM(rev_cents) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS d
+        FROM daily
+    )
+    SELECT day, rev_cents,
+           n_days * cum_cents - d * total_cents AS cusum_scaled
+    FROM cum, s
+    ORDER BY abs(n_days * cum_cents - d * total_cents) DESC, day
+    LIMIT 10
+    """,
+)
+def a15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over daily revenue: the 10 days of
+    greatest cumulative deviation from the overall daily mean (random
+    -walk excursions shrink relatively as days grow, so a fixed
+    threshold is SF-dependent — the top-k formulation grades the same
+    statistic at every scale). The classic drift monitor, made
+    partitioning-proof by
+    clearing the rational mean: cusum_d = Σ(rev_i - total/n) is scaled
+    by n into ``n·Σrev_i - d·total`` — pure BIGINT, so the flag set is
+    bit-identical on any cluster and engine (a float CUSUM would
+    accumulate summation-order error precisely where it matters, near
+    the threshold).
+
+    Scale shape: the fact scan collapses to the per-day aggregate; the
+    running sum rides the day-ordered dimension-sized frame (calendar
+    rows, not fact rows — same justification as the skyline window), and
+    the (n, total) scalars arrive via broadcast cross-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("rev_cents").cast("bigint").alias("total_cents"),
+    )
+    w = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_cents"),
+        F.row_number().over(w).cast("bigint").alias("d"),
+    )
+    j = cum.crossJoin(F.broadcast(s))
+    cusum = F.col("n_days") * F.col("cum_cents") - F.col("d") * F.col(
+        "total_cents"
+    )
+    return (
+        j.select("day", "rev_cents", cusum.alias("cusum_scaled"))
+        .orderBy(F.abs(F.col("cusum_scaled")).desc(), "day")
+        .limit(10)
+    )
