@@ -183,6 +183,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "graph_link_prediction",
     "a14_share_of_parent",
     "a15_cusum_drift",
+    "a16_rfm_segments",
+    "events_category_drift",
 )
 
 

@@ -1660,3 +1660,120 @@ def a15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum_scaled")).desc(), "day")
         .limit(10)
     )
+
+
+# ------------------------------------------------------- RFM segmentation
+
+
+@corpus_query(
+    "a16_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT custkey,
+               NTILE(5) OVER (ORDER BY last_order, custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_cents, custkey) AS m_score
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def a16_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles (NTILE with custkey tiebreaks — deterministic bucket
+    boundaries on both engines) rolled up to segment populations. The
+    aggregation collapses the fact table to one row per customer before
+    any window runs; the three NTILEs ride that dimension-sized frame
+    (the skyline/heavy-hitters justification), and monetary is exact
+    cents so bucket edges cannot drift with summation order."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "custkey",
+        F.ntile(5).over(Window.orderBy("last_order", "custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+# -------------------------------------------------- categorical drift
+
+
+@corpus_query(
+    "events_category_drift",
+    oracle="""
+    WITH wk AS (
+        SELECT date_trunc('week', ts) AS week, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT week, CAST(SUM(n) AS BIGINT) AS t FROM wk GROUP BY 1),
+    shares AS (
+        SELECT wk.week, wk.event_type,
+               CAST(wk.n * 1000000 // tot.t AS BIGINT) AS share_ppm
+        FROM wk JOIN tot ON tot.week = wk.week
+    ),
+    deltas AS (
+        SELECT week, event_type, share_ppm,
+               share_ppm - LAG(share_ppm) OVER (
+                   PARTITION BY event_type ORDER BY week
+               ) AS delta_ppm
+        FROM shares
+    )
+    SELECT week, event_type, share_ppm, delta_ppm
+    FROM deltas WHERE delta_ppm IS NOT NULL
+    ORDER BY abs(delta_ppm) DESC, week, event_type
+    LIMIT 10
+    """,
+)
+def events_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution drift: the 10 largest week-over-week
+    swings in event-type share (the monitoring twin of CUSUM's numeric
+    drift). Shares are floor-divided parts-per-million — exact integer
+    arithmetic, so the ranking is engine- and partitioning-stable; the
+    lag rides a per-type window over the week-granular aggregate
+    (calendar-sized state, one shuffle)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = wk.groupBy("week").agg(F.sum("n").cast("bigint").alias("t"))
+    shares = wk.join(F.broadcast(tot), "week").select(
+        "week",
+        "event_type",
+        F.expr("CAST(n * 1000000 DIV t AS BIGINT)").alias("share_ppm"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    deltas = shares.withColumn(
+        "delta_ppm", F.col("share_ppm") - F.lag("share_ppm").over(w)
+    )
+    return (
+        deltas.filter(F.col("delta_ppm").isNotNull())
+        .orderBy(F.abs(F.col("delta_ppm")).desc(), "week", "event_type")
+        .limit(10)
+    )
