@@ -1109,7 +1109,14 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = os.path.join(base, "state")
         stream_incremental_dedup(spark, landing + "/*/", state)
         _STREAM_DEDUP_MEMO[key] = os.path.join(state, "pairs")
-    return spark.read.parquet(_STREAM_DEDUP_MEMO[key])
+    pairs_path = _STREAM_DEDUP_MEMO[key]
+    if not os.path.exists(pairs_path):
+        # a duplicate-free corpus emits no pairs file at all — return the
+        # empty frame with the contract schema rather than failing the read
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, jaccard double"
+        )
+    return spark.read.parquet(pairs_path)
 
 
 def _keep_best_oracle() -> str:
