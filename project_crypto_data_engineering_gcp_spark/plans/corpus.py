@@ -185,6 +185,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "a15_cusum_drift",
     "a16_rfm_segments",
     "events_category_drift",
+    "text_bpe_pair_counts",
 )
 
 

@@ -945,3 +945,45 @@ def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= HH_TOPK)
     )
+
+
+BPE_TOPK = 20
+
+
+@corpus_query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair
+        FROM words WHERE len(w) >= 2)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOPK}
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step, corpus-wide: adjacent character-pair
+    frequencies within words, top-{BPE_TOPK} by count ('which two symbols
+    would a byte-pair-encoding tokenizer merge first'). The pair explode
+    is an in-place array lambda (substring slices over a sequence — no
+    per-character rows until the single explode), the count is one
+    map-combinable hash aggregate on 2-char keys, and the cut is
+    TakeOrderedAndProject. Iterating this query with a symbol-remapping
+    between rounds IS the BPE training loop; each round has exactly this
+    plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOPK)
+    )
