@@ -567,3 +567,38 @@ def test_corpus_report_is_broadcast_assembly(spark):
     plan = plan_of(QUERIES["curate_corpus_report"].fn(spark, SF_ORACLE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cusum_window_rides_daily_aggregate(spark):
+    """The CUSUM running sum must consume the per-day aggregate (calendar
+    -sized) with the (n, total) scalars broadcast back."""
+    plan = plan_of(QUERIES["a15_cusum_drift"].fn(spark, SF_ORACLE))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_windows_over_customer_aggregate(spark):
+    """All three NTILEs must ride the per-customer aggregate — the fact
+    table is collapsed before any window runs."""
+    plan = plan_of(QUERIES["a16_rfm_segments"].fn(spark, SF_ORACLE))
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2  # pre-agg + final rollup
+
+
+def test_category_drift_broadcasts_week_totals(spark):
+    """Week totals are dimension-sized — broadcast to the share join;
+    the lag rides a per-type window; top-k is a TakeOrdered cut."""
+    plan = plan_of(QUERIES["events_category_drift"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_pairs_single_aggregate(spark):
+    """Pair extraction must stay an in-place array lambda (one Generate
+    per explode level) feeding a map-combinable aggregate and a
+    TakeOrdered cut — no join, no extra shuffle."""
+    plan = plan_of(QUERIES["text_bpe_pair_counts"].fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
