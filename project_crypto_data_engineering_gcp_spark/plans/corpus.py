@@ -186,6 +186,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "a16_rfm_segments",
     "events_category_drift",
     "text_bpe_pair_counts",
+    "a17_mad_by_priority",
+    "events_interarrival_stats",
 )
 
 

@@ -1777,3 +1777,95 @@ def events_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta_ppm")).desc(), "week", "event_type")
         .limit(10)
     )
+
+
+# ----------------------------------------------- robust dispersion (MAD)
+
+
+@corpus_query(
+    "a17_mad_by_priority",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(m.med), 6) AS median_price,
+           ROUND(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 6) AS mad
+    FROM orders o JOIN med m ON m.o_orderpriority = o.o_orderpriority
+    GROUP BY 1
+    """,
+)
+def a17_mad_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic (outlier-proof, unlike stddev). Two exact-percentile
+    levels: group medians (bounded-group exact percentile, the a8
+    trade-off), broadcast back, then the median of absolute deviations.
+    Spark `percentile` and DuckDB `quantile_cont` share the continuous
+    -interpolation definition (established by a8), and the deviation
+    operands are bit-identical doubles, so both levels agree exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("med"), 6).alias("median_price"),
+            F.round(
+                F.expr("percentile(abs(o_totalprice - med), 0.5)"), 6
+            ).alias("mad"),
+        )
+    )
+
+
+# -------------------------------------------- inter-arrival statistics
+
+
+@corpus_query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )) AS BIGINT) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           ROUND(quantile_cont(gap_us, 0.5), 2) AS median_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process profile per user: inter-event gap distribution
+    (min / exact median / max in integer microseconds) — the statistic
+    behind session-timeout tuning and bot detection. One lag window on
+    the (user, ts) ordering every sessionization query already pays,
+    then a bounded-group exact percentile; gaps are integer epoch-µs
+    differences, so everything but the interpolated median is
+    integer-exact (and the median interpolates two exact integers
+    identically in both engines)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        ).cast("bigint").alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 2).alias("median_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
