@@ -42,11 +42,11 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 
 # r5 WINDOW PLAN (leads for next round's rotation): after r4's driver
 # run lands, the never-checked set will be EXACTLY the rollover queue
-# below (positions 51+, now 35 entries: the late-r4 additions from
+# below (positions 51+, now 37 entries: the late-r4 additions from
 # graph_pagerank through curate_contrastive_pairs plus the r4
 # continuation batch from basket_frequent_pairs through
-# text_bpe_pair_counts). The r5 window MUST lead with all of
-# them — that still leaves ~15 slots for r5 additions and the oldest
+# events_interarrival_stats). The r5 window MUST lead with all of
+# them — that still leaves ~13 slots for r5 additions and the oldest
 # stale evidence (the r2-checked crypto/TPC-H/curation set). Until
 # their driver rows land, the queue's evidence is the local DuckDB
 # parity suite + the operator property tests.
