@@ -270,9 +270,11 @@ def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg AS (SELECT node, COUNT(*) AS d FROM (
         SELECT u AS node FROM e UNION ALL SELECT v FROM e) t GROUP BY node),
     o AS (
-        SELECT CASE WHEN du.d * 1000000 + u < dv.d * 1000000 + v
+        -- lexicographic (degree, id) orientation: strict total order for
+        -- ANY id domain (no arithmetic packing, no overflow at large ids)
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
                     THEN u ELSE v END AS src,
-               CASE WHEN du.d * 1000000 + u < dv.d * 1000000 + v
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
                     THEN v ELSE u END AS dst
         FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
     wed AS (
@@ -304,27 +306,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     its three member nodes for per-node counts."""
     edges = _basket_edges(spark, sf_dir).select("u", "v")
 
-    # the oriented frame is pooled too: it is referenced twice by the
+    # the oriented frame is pooled: it is referenced twice by the
     # wedge self-join, and its upstream (degree groupBy + two joins)
     # would otherwise re-run its shuffle chain once per reference —
     # measured 4.4 s of pure stage latency on a 3.6k-row graph
     def build_oriented() -> DataFrame:
-        deg = (
-            edges.select(F.col("u").alias("node"))
-            .unionAll(edges.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        key = lambda d, n: d * 1000000 + n  # noqa: E731 — orientation order
-        e = (
-            edges.join(F.broadcast(deg).withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-            .join(F.broadcast(deg).withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
-        )
-        ku, kv = key(F.col("du"), F.col("u")), key(F.col("dv"), F.col("v"))
-        out = e.select(
-            F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        ).cache()
+        out = oriented_edges(edges).cache()
         out.count()  # materialize at build; pool hits are action-free
         return out
 
@@ -333,15 +320,52 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = bounded_cached(
         _ORIENTED_POOL, ("basket_oriented", sf_dir), build_oriented
     )
-    # the support filter keeps this frame dimension-sized and scale-
-    # stable (~3.6k edges at BOTH sf0.01 and sf0.1 — collision
-    # dilution), so the wedge/closure joins broadcast: the whole
-    # triangle stage collapses to map-side work over the pooled edge
-    # frame (measured 5.9s -> sub-second warm; the 64-partition shuffle
-    # chain was pure scheduling latency on 3.6k rows). On a graph whose
-    # FILTERED edge set outgrew broadcast, drop the hints — the same
-    # plan becomes shuffle hash joins and the orientation bound on
-    # wedge fan-out still holds.
+    return triangle_node_counts(edges, oriented).select(
+        F.col("node").alias("p_partkey"), "triangles"
+    )
+
+
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges ``(u, v)`` (u < v) from the
+    lower-(degree, id) endpoint to the higher: ``(src, dst)``.
+
+    The order is the LEXICOGRAPHIC (degree, id) comparison — a strict
+    total order for ANY id domain. (An earlier d*1_000_000+n arithmetic
+    packing was only injective for ids < 1e6 — TPC-H partkeys exceed
+    that from ~sf5 — where collisions would silently break the
+    O(sqrt(m)) wedge bound that degree ordering exists to provide;
+    pinned by tests/test_graph.py's big-id differential test.)"""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(F.broadcast(deg).withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(F.broadcast(deg).withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    forward = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(forward, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(forward, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+
+
+def triangle_node_counts(edges: DataFrame, oriented: DataFrame) -> DataFrame:
+    """Per-node triangle counts ``(node, triangles)`` from a canonical
+    (u < v) edge frame and its degree-oriented twin.
+
+    The support filter keeps the corpus frame dimension-sized and scale-
+    stable (~3.6k edges at BOTH sf0.01 and sf0.1 — collision dilution),
+    so the wedge/closure joins broadcast: the whole triangle stage
+    collapses to map-side work over the pooled edge frame (measured
+    5.9s -> sub-second warm; the 64-partition shuffle chain was pure
+    scheduling latency on 3.6k rows). On a graph whose FILTERED edge set
+    outgrew broadcast, drop the hints — the same plan becomes shuffle
+    hash joins and the orientation bound on wedge fan-out still holds."""
     w1 = oriented.alias("w1")
     w2 = oriented.alias("w2")
     wedges = w1.join(
@@ -360,7 +384,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("b").alias("node")))
         .unionAll(tri.select(F.col("c").alias("node")))
     )
-    return roles.groupBy(F.col("node").alias("p_partkey")).agg(
+    return roles.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("triangles")
     )
 

@@ -258,3 +258,43 @@ def test_zorder_tightens_both_dimensions(spark):
     s_y_span = sum(r["y_max"] - r["y_min"] for r in srows) / len(srows)
     # sort-by-x buckets span ~the whole date range; z buckets must not
     assert z_y_span < 0.6 * s_y_span, (z_y_span, s_y_span)
+
+
+def test_triangle_counts_big_ids_match_python_reference(spark):
+    """Differential triangle test on random graphs whose node ids EXCEED
+    1e6 — the regime where the old d*1_000_000+n orientation packing
+    collided across degrees. The lexicographic (degree, id) orientation
+    must count every triangle exactly once for any id domain."""
+    import itertools
+    import random
+
+    from project_crypto_data_engineering_gcp_spark.plans.queries_graph import (
+        oriented_edges,
+        triangle_node_counts,
+    )
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        # dense small graphs over huge, widely-spread ids (beyond 2^31
+        # too, to catch any int32 truncation) — many triangles guaranteed
+        nodes = sorted(
+            rng.sample(range(10**6, 2**40), rng.randint(8, 14))
+        )
+        edge_list = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(rng.randint(20, 40))
+            }
+        )
+        eset = set(edge_list)
+        want: dict[int, int] = {}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if (a, b) in eset and (a, c) in eset and (b, c) in eset:
+                for n in (a, b, c):
+                    want[n] = want.get(n, 0) + 1
+        edges = spark.createDataFrame(edge_list, "u long, v long")
+        got = {
+            r["node"]: r["triangles"]
+            for r in triangle_node_counts(edges, oriented_edges(edges)).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
