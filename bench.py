@@ -92,29 +92,35 @@ def main() -> None:
         F.broadcast(tiny), F.col("id") == F.col("k"), "left"
     ).count()
 
-    # Two timed passes per query, keep the MIN: this VM's throughput swings
-    # ~2x with load/thermal state, and a single cold pass conflates one-time
-    # cache/broadcast population with steady-state throughput (the number
-    # that actually predicts 100 TB behavior). Both passes run the full
-    # plan end-to-end; min-of-2 just drops the noise outlier.
-    PASSES = 2
-    timings: dict[str, float] = {}
+    # Three timed passes per query, split COLD / WARM (r4 verdict task 6):
+    # pass 1 pays one-time index/pool builds (band index, oriented edges,
+    # IVF cells) on top of the plan — that's "cold"; warm = min of the
+    # remaining passes, the steady-state number that matches SCALE.md's
+    # warm rows and predicts 100 TB serving behavior. min-of-rest also
+    # drops this VM's ~2x load/thermal noise outliers. The headline
+    # "value" stays the warm total (same quantity r1-r4 reported via
+    # min-of-passes), with the cold totals alongside for build-cost
+    # visibility.
+    PASSES = 3
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         # drop cached blocks left by PREVIOUS queries: accumulated storage
         # blocks from the dedup/similarity caches otherwise crowd executor
         # memory and the tail queries measure GC pressure, not their plan
         # (observed: sim_ann_ivf_topk 9.4s in-context vs 1.5s isolated).
-        # Each query still warms its own cache across its two passes.
+        # Each query still warms its own cache across its own passes.
         spark.catalog.clearCache()
         q = queries[name]
-        best = float("inf")
+        passes = []
         for _ in range(PASSES):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            passes.append(time.perf_counter() - t0)
+        cold[name] = round(passes[0], 3)
+        warm[name] = round(min(passes[1:]), 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
@@ -122,7 +128,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "passes": PASSES,
-                "queries": timings,
+                "queries": warm,
+                "cold": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,91 @@
+"""Scale-safe global ROW_NUMBER: range-partition + partition-offset.
+
+A plain ``ROW_NUMBER() OVER (ORDER BY ...)`` (no PARTITION BY) funnels
+the entire input through ONE window task — the classic single-partition
+chokepoint that works at sf0.1 and dies on a 1000-executor cluster.
+``global_rank`` produces the identical rank column with every stage
+parallel:
+
+1. ``repartitionByRange`` on the order columns — contiguous, sorted key
+   ranges per partition (Spark samples boundaries; equal keys land in
+   one partition, and our callers always include a unique tiebreaker so
+   the order is strict).
+2. rank WITHIN each range partition — a window PARTITIONED by the
+   captured ``spark_partition_id`` (parallel, no global funnel).
+3. add the number of rows in all PRECEDING range partitions — computed
+   from the tiny per-partition count frame (``<= num_partitions`` rows)
+   with a triangular self-join (no window at all, no driver collect)
+   and broadcast back.
+
+Cost: one range shuffle + one hash shuffle on the partition id, both
+parallel. The triangular join is O(P^2) on a P-row frame where P is the
+partition COUNT (a config constant), never data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__gr_pid"
+_CNT = "__gr_cnt"
+_OFF = "__gr_off"
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``rank_col`` = global ROW_NUMBER under ``order_cols``.
+
+    ``order_cols`` must define a STRICT total order (include a unique
+    tiebreaker) — equal keys would otherwise be ranked by an arbitrary
+    within-partition order. All other columns pass through unchanged.
+    """
+    for reserved in (_PID, _CNT, _OFF):
+        assert reserved not in df.columns, (
+            f"global_rank reserved column {reserved!r} already present"
+        )
+    assert rank_col not in df.columns, f"rank_col {rank_col!r} already present"
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+
+    counts = tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.coalesce(F.sum(f"b.{_CNT}"), F.lit(0)).alias(_OFF))
+    )
+
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    return (
+        tagged.join(F.broadcast(offsets), _PID)
+        .withColumn(rank_col, (F.col(_OFF) + F.row_number().over(w)).cast("bigint"))
+        .drop(_PID, _OFF)
+    )
+
+
+def ntile_from_rank(rank: Column, n_rows: Column, n_buckets: int) -> Column:
+    """SQL ``NTILE(n_buckets)`` bucket from a 1-based global rank and the
+    total row count (a broadcast 1-row aggregate, never a collect).
+
+    NTILE semantics: with ``q = N div n`` and ``r = N mod n``, the first
+    ``r`` buckets hold ``q+1`` rows and the rest hold ``q`` — exact
+    integer arithmetic, so buckets match any engine's NTILE bit-for-bit.
+    """
+    q = (n_rows / n_buckets).cast("bigint")
+    r = n_rows % n_buckets
+    big = r * (q + 1)  # rows covered by the size-(q+1) buckets
+    return (
+        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("bigint") + 1)
+        .otherwise(r + ((rank - big - 1) / F.greatest(q, F.lit(1))).cast("bigint") + 1)
+        .cast("int")
+    )

@@ -40,117 +40,37 @@ class CorpusQuery:
 
 _REGISTRY: dict[str, CorpusQuery] = {}
 
-# r5 WINDOW PLAN (leads for next round's rotation): after r4's driver
-# run lands, the never-checked set will be EXACTLY the rollover queue
-# below (positions 51+, now 37 entries: the late-r4 additions from
-# graph_pagerank through curate_contrastive_pairs plus the r4
-# continuation batch from basket_frequent_pairs through
-# events_interarrival_stats). The r5 window MUST lead with all of
-# them — that still leaves ~13 slots for r5 additions and the oldest
-# stale evidence (the r2-checked crypto/TPC-H/curation set). Until
-# their driver rows land, the queue's evidence is the local DuckDB
-# parity suite + the operator property tests.
-# Queries whose newest row will then be r3 (streaming family, j4-j7,
-# a6-a9, w4-w6, o4/o5, relational deep set) are one round old and can
-# wait for r6. Keep the invariant: never-checked ⊆ window, no query's
-# newest row older than 2 rounds.
+# r5 WINDOW (this round; per the r4 verdict's lead task): the first 37
+# entries are the ENTIRE late-r4 rollover queue — the only corpus
+# segment with zero hard driver evidence (local DuckDB parity only).
+# Three related r5 code changes are re-verified locally and sit inside
+# this window: graph_triangles (lexicographic orientation rewrite),
+# a16_rfm_segments (global_rank quintiles, no unpartitioned window),
+# and the de-registration of dedup_semantic_blocked (uncapped contrast
+# shape; registry is now 180 queries, none with a known-superlinear
+# graded plan). The remaining ~13 slots go to the OLDEST stale evidence
+# (newest row r2): the crypto gold/dashboard family (the reference's own
+# surface, 7), the pandas-UDF pair, the headline TPC-H trio, and
+# curate_decontaminate.
 #
-# The driver's correctness gate checks the FIRST ~50 registry entries only.
-# The window ROTATES per round so every corpus query accumulates a green
-# driver row: r1 covered entries 1-50 of the original order, r2 the
+# STALENESS TRIAGE (r4 verdict task 5) — with 180 queries and a ~50-slot
+# window, the "newest row <= 2 rounds old" invariant is arithmetically
+# unkeepable (a full rotation takes ~4 rounds); the standing policy is:
+#   (a) never-checked queries ALWAYS lead the next window,
+#   (b) queries rewritten/refactored since their last row join them,
+#   (c) remaining slots refresh oldest-first,
+# so every query's newest row stays at most ~3 rounds old.
+#   r6 plan: r5 additions (rollover queue below) + the 32 r2-stale not
+#   refreshed here (TPC-H q2..q22 minus the trio, approx_distinct_parts,
+#   curate core 5, d1/p13/p14, sim_ann r2 trio, streaming_hourly_rollup).
+#   r7: the r3-latest set (streaming family, j4-j7, a6-a9, w4-w7, o4/o5,
+#   the dedup/sim r3 batch).
+#
+# History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
-# additions. r4 (this window, per the r3 verdict lead task) refreshes the
-# 38 queries whose only green row is r1 — two refactor-heavy rounds old —
-# plus the r4 additions and every query whose code this round's pooling /
-# silver-casts refactors touched. Cumulative coverage stays total and no
-# query's newest driver row is older than 2 rounds.
+# additions, r4 the 38 r1-only refreshers + r4 additions (50/50 green).
 CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- r1-only evidence, refreshed (r3 verdict task 1; 38 queries) ---
-    "a1_global_stats",
-    "a4_customer_market_dominance",
-    "a5_rollup_revenue",
-    "asof_purchase_last_view",
-    "cube_revenue",
-    "dedup_apply_keep_first",
-    "dedup_embedding_cosine",
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "events_hourly_rollup",
-    "j1_customer_dashboard",
-    "j3_customers_without_orders",
-    "mm_frame_sample",
-    "mm_media_meta_stub",
-    "mm_payload_meta",
-    "mm_resize_meta",
-    "o1_ranked_orders",
-    "o3_top_bottom_orders",
-    "p11_quantity_classification",
-    "p1_event_json_projection",
-    "p9_round_family",
-    "percentiles_acctbal_by_nation",
-    "pivot_status_by_priority",
-    "set_ops_orderkeys",
-    "sim_cosine_pairs",
-    "sim_embedding_norms",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_redacted",
-    "text_tfidf_topk",
-    "text_token_explode",
-    "text_token_stats",
-    "text_top_bigrams",
-    "unpivot_lineitem_amounts",
-    "w1b_latest_via_max_by",
-    "w2_acctbal_rank_in_nation",
-    "w3_running_order_total",
-    # --- new in r4: both production levers for cluster-blocked semantic
-    # dedup (the r3 scale-killer fix) + the custom DataSource's stream
-    # path ---
-    "dedup_semantic_blocked_capped",
-    "dedup_semantic_blocked_scaled_k",
-    "streaming_snapshot_datasource",
-    "text_hash_embedding",
-    "sim_ann_lsh_recall",
-    "sim_ann_ivf_recall",
-    # --- new in r4 (second batch): boilerplate excision (the document
-    # REWRITE step after dedup flags), PQ shortlist -> exact re-rank
-    # (recall repair; exercises the shared ADC front half of
-    # sim_pq_topk, whose oracle CTEs it composes), and symmetric-int8
-    # scalar quantization (completes the LSH/IVF/PQ/SQ ladder) ---
-    "text_boilerplate_ngrams",
-    "sim_pq_refined",
-    "sim_sq8_topk",
-    "sim_quant_recall",
-    # --- refreshers: code changed underneath this round (pooling
-    # rework, index-path hashing, silver_casts refactor) — re-prove
-    # with the hard driver signal.
-    # (a8_exact_quantiles_by_priority keeps its r3 row: its one r4
-    # change is a column REORDER, and the driver's r3 row was green
-    # under the old order — the compare is column-order-insensitive —
-    # so the slot goes to the never-checked sim_quant_recall instead.)
-    "dedup_minhash_lsh",
-    # (dedup_semantic_blocked keeps its r3 row; its r4 changes — k param
-    # + pooled training — are driver-checked via its three window twins.
-    # cluster_kmeans_embeddings / sim_ann_ivf_kmeans likewise keep their
-    # r3 rows: the pooled-training change is exercised by the in-window
-    # semantic twins, which call the same _kmeans_fit.
-    # sim_pq_topk / sim_pq_indexed keep their r3 rows: the in-window
-    # sim_pq_refined composes the refactored oracle CTEs and drives the
-    # shared ADC front half (_pq_codes_and_lut); sim_ann_ivf_indexed's
-    # one r4 change — index-path hashing — is pinned by its own pytest
-    # plan/path tests and the local parity suite.)
-    # silver_casts refactor re-homed the Bronze->Silver projection; the
-    # replica oracle checks it value-exactly (downstream gold builders
-    # are untouched and keep their r2 rows)
-    "crypto_silver_assets",
-    # ---- ROLLOVER QUEUE (positions 51+): late-r4 additions. The
-    # driver's gate reads ~50 entries; these sit immediately after it so
-    # (a) they are first in line if the gate reads deeper, and (b) the
-    # r5 rotation starts exactly here. Kept out of slots 1-50 so the 38
-    # stale-evidence refreshers (the r3 verdict's lead task) were not
-    # displaced. Until their driver row lands, evidence = the local
-    # DuckDB parity suite + tests/test_graph.py. ----
+    # ---- the complete late-r4 rollover queue (37): never driver-checked
     "graph_pagerank",
     "text_bm25_topk",
     "curate_temperature_mix",
@@ -165,7 +85,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "a11_revenue_trend",
     "curate_contrastive_pairs",
     "basket_frequent_pairs",
-    "graph_triangles",
+    "graph_triangles",  # r5 rewrite: lexicographic (degree, id) orientation
     "skyline_pareto_parts",
     "a12_incremental_merge",
     "events_rolling_anomaly",
@@ -183,11 +103,29 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "graph_link_prediction",
     "a14_share_of_parent",
     "a15_cusum_drift",
-    "a16_rfm_segments",
+    "a16_rfm_segments",  # r5 rewrite: global_rank quintiles, no NTILE funnel
     "events_category_drift",
     "text_bpe_pair_counts",
     "a17_mad_by_priority",
     "events_interarrival_stats",
+    # ---- oldest stale evidence (newest row = r2), 13 slots:
+    # the reference's own gold/dashboard surface first
+    "crypto_daily_overview",
+    "crypto_top_gainers_losers",
+    "crypto_market_dominance",
+    "crypto_supply_dynamics",
+    "crypto_dashboard",
+    "crypto_merge_upsert",
+    "crypto_scd2_history",
+    "pandas_scalar_price_tier",
+    "pandas_grouped_zscore",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "curate_decontaminate",
+    # ---- ROLLOVER QUEUE (positions 51+): r5 additions land here, first
+    # in line for the r6 window together with the 32 remaining r2-stale
+    # refreshers enumerated in the triage note above. ----
 )
 
 

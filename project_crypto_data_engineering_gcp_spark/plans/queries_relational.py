@@ -1690,13 +1690,21 @@ def a15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a16_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency / frequency / monetary
-    quintiles (NTILE with custkey tiebreaks — deterministic bucket
-    boundaries on both engines) rolled up to segment populations. The
-    aggregation collapses the fact table to one row per customer before
-    any window runs; the three NTILEs ride that dimension-sized frame
-    (the skyline/heavy-hitters justification), and monetary is exact
-    cents so bucket edges cannot drift with summation order."""
-    from pyspark.sql import Window
+    quintiles (NTILE semantics with custkey tiebreaks — deterministic
+    bucket boundaries on both engines) rolled up to segment populations.
+
+    Scale shape: a plain ``NTILE(5) OVER (ORDER BY ...)`` funnels the
+    whole customer dimension through ONE window task — fine at sf0.1,
+    a chokepoint at 100 TB where the dimension is data-sized. Instead
+    each quintile rides ``operators.rank.global_rank`` (range-partition
+    + partition-offset: every window PARTITIONED by the range-partition
+    id) and the bucket is recovered arithmetically from (rank, N) with
+    ``ntile_from_rank`` — bit-identical to the oracle's NTILE, no
+    unpartitioned Window node anywhere in the plan (pinned by
+    tests/test_plan_shapes.py::test_a16_no_global_window_funnel).
+    Monetary is exact cents so bucket edges cannot drift with summation
+    order; N arrives as a broadcast 1-row aggregate, never a collect."""
+    from ..operators.rank import global_rank, ntile_from_rank
 
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -1706,13 +1714,19 @@ def a16_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_cents"),
     )
-    scored = rfm.select(
+    n = rfm.agg(F.count(F.lit(1)).cast("bigint").alias("__n_cust"))
+    ranked = rfm
+    for dim, rcol in (
+        ("last_order", "__r_rank"),
+        ("frequency", "__f_rank"),
+        ("monetary_cents", "__m_rank"),
+    ):
+        ranked = global_rank(ranked, [dim, "custkey"], rank_col=rcol)
+    scored = ranked.crossJoin(F.broadcast(n)).select(
         "custkey",
-        F.ntile(5).over(Window.orderBy("last_order", "custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_cents", "custkey"))
-        .alias("m_score"),
+        ntile_from_rank(F.col("__r_rank"), F.col("__n_cust"), 5).alias("r_score"),
+        ntile_from_rank(F.col("__f_rank"), F.col("__n_cust"), 5).alias("f_score"),
+        ntile_from_rank(F.col("__m_rank"), F.col("__n_cust"), 5).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")

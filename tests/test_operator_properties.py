@@ -755,3 +755,40 @@ def test_skyline_matches_bruteforce_on_random_ties(spark):
             )
         }
         assert got == want, f"trial {trial}"
+
+
+def test_global_rank_matches_window_row_number(spark):
+    """global_rank (range-partition + offset, every window partitioned)
+    must equal the single-task ROW_NUMBER() OVER (ORDER BY ...) it
+    replaces, on random data with heavy duplicate keys, and
+    ntile_from_rank must reproduce F.ntile for awkward N % n splits."""
+    from pyspark.sql import Window
+
+    from project_crypto_data_engineering_gcp_spark.operators.rank import (
+        global_rank,
+        ntile_from_rank,
+    )
+
+    rng = np.random.default_rng(20260814)
+    for trial, n in enumerate((1, 4, 203, 1000)):
+        pdf = pd.DataFrame(
+            {
+                "id": np.arange(n, dtype="int64"),
+                "v": rng.integers(0, max(2, n // 20), size=n).astype("int64"),
+            }
+        )
+        df = spark.createDataFrame(pdf).repartition(7)
+        got = global_rank(df, ["v", "id"], rank_col="r", num_partitions=5)
+        w = Window.orderBy("v", "id")
+        want = df.select(
+            "id", F.row_number().over(w).cast("bigint").alias("r_want"),
+            F.ntile(5).over(w).alias("t_want"),
+        )
+        n_rows = F.lit(n).cast("bigint")
+        joined = got.withColumn(
+            "t", ntile_from_rank(F.col("r"), n_rows, 5)
+        ).join(want, "id")
+        bad = joined.filter(
+            (F.col("r") != F.col("r_want")) | (F.col("t") != F.col("t_want"))
+        ).count()
+        assert bad == 0, f"trial {trial} n={n}: {bad} mismatching rows"

@@ -342,7 +342,11 @@ def test_pq_broadcast_codebook_and_lut(spark):
 def test_semantic_blocked_pairs_are_hash_gated(spark):
     """The blocked-dedup pair stage must join on the cluster key via a
     hash-based equi-join — never an unkeyed pairwise product."""
-    plan = plan_of(QUERIES["dedup_semantic_blocked"].fn(spark, SF_ORACLE))
+    from project_crypto_data_engineering_gcp_spark.plans.queries_similarity import (
+        dedup_semantic_blocked,
+    )
+
+    plan = plan_of(dedup_semantic_blocked(spark, SF_ORACLE))
     assert (
         "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
@@ -602,3 +606,21 @@ def test_bpe_pairs_single_aggregate(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_a16_no_global_window_funnel(spark):
+    """a16's quintiles must never run an UNPARTITIONED window over the
+    customer dimension (the 100 TB chokepoint the global_rank rewrite
+    removed): every windowspecdefinition in the plan must carry a
+    partition column before its first sort-order argument."""
+    import re
+
+    df = QUERIES["a16_rfm_segments"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "extended")
+    specs = re.findall(r"windowspecdefinition\([^)]*?specifiedwindowframe", plan)
+    assert specs, "expected window nodes in the a16 plan"
+    unpartitioned = [
+        s for s in specs
+        if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
+    ]
+    assert not unpartitioned, unpartitioned

@@ -84,6 +84,7 @@ def test_semantic_blocked_subset_and_recall(spark):
     )
     from project_crypto_data_engineering_gcp_spark.plans.queries_similarity import (
         SEMANTIC_BLOCK_THRESHOLD,
+        dedup_semantic_blocked,
     )
     from project_crypto_data_engineering_gcp_spark.sources.tables import load_table
 
@@ -96,9 +97,7 @@ def test_semantic_blocked_subset_and_recall(spark):
     }
     blocked = {
         (r["vec_a"], r["vec_b"])
-        for r in all_queries()["dedup_semantic_blocked"]
-        .fn(spark, SF_ORACLE)
-        .collect()
+        for r in dedup_semantic_blocked(spark, SF_ORACLE).collect()
     }
     assert blocked <= exact, blocked - exact
     recall = len(blocked) / len(exact)

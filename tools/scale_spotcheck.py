@@ -38,7 +38,7 @@ QUERIES = (
     "sim_ann_ivf_indexed",
     "cluster_kmeans_embeddings",
     "sim_pq_topk",
-    "dedup_semantic_blocked",
+    "dedup_semantic_blocked",  # r5: de-registered contrast shape (EXTRA_FNS)
     "dedup_semantic_blocked_capped",  # r4: the Σ n_c² guardrail, measured
     "dedup_containment",
     # r4 second batch: hot-gram excision (hot set grows with distinct
@@ -96,8 +96,14 @@ def main() -> None:
     if not os.path.exists(f"{amp}/embeddings.parquet"):
         amplify(base, amp)
 
+    from project_crypto_data_engineering_gcp_spark.plans.queries_similarity import (
+        dedup_semantic_blocked,
+    )
+
     spark = get_spark("scale_spotcheck")
     qs = all_queries()
+    # non-graded contrast shapes still measured for SCALE.md's honesty rows
+    extra_fns = {"dedup_semantic_blocked": dedup_semantic_blocked}
     qs["q1_pricing_summary"].fn(spark, base).count()  # JVM/codegen warmup
     spark.range(32).mapInPandas(lambda it: it, schema="id long").count()
 
@@ -109,9 +115,10 @@ def main() -> None:
             # 3 passes: pass 1 pays shingle/index cache population, and this
             # box's throughput swings ~2x with load — min-of-3 is the
             # steady-state number that predicts the next scale-up
+            fn = qs[name].fn if name in qs else extra_fns[name]
             for _ in range(3):
                 t0 = time.perf_counter()
-                n = qs[name].fn(spark, sf_dir).count()
+                n = fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
             out.setdefault(name, {})[tag] = round(best, 3)
             out[name][f"{tag}_rows"] = n
