@@ -65,7 +65,16 @@ def bloom_prune(
     """Keep only probe rows whose key MIGHT be in the build set: broadcast
     the bitmap, equi-join on the bucket, test the bit. Probe columns pass
     through unchanged; rows hashing to an absent bucket or an unset bit
-    are dropped before any downstream shuffle."""
+    are dropped before any downstream shuffle.
+
+    The probe must not already carry the reserved internal columns
+    (``bb_bucket``/``bb_bit``/``bb_mask``) — ``withColumn`` would
+    silently REPLACE a same-named probe column and the final ``drop``
+    would erase it, corrupting the caller's data without error."""
+    reserved = {"bb_bucket", "bb_bit", "bb_mask"} & set(probe.columns)
+    assert not reserved, (
+        f"bloom_prune reserved column(s) {sorted(reserved)} present in probe"
+    )
     bucket, bit = _bucket_and_bit(F.col(key_col), m_bits)
     probed = probe.withColumn("bb_bucket", bucket).withColumn("bb_bit", bit)
     return (

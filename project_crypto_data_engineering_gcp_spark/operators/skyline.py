@@ -30,7 +30,17 @@ def pareto_frontier_2d(
     df: DataFrame, minimize_col: str, maximize_col: str
 ) -> DataFrame:
     """Rows of ``df`` not dominated on (``minimize_col`` low,
-    ``maximize_col`` high). Preserves all input columns."""
+    ``maximize_col`` high). Preserves all input columns.
+
+    NULL contract: rows with NULL in either dimension are EXCLUDED from
+    the frontier (filtered explicitly below). Under a NOT-EXISTS
+    dominance definition a NULL row would be vacuously undominated —
+    NULL compares unknown against everything — so silently keeping or
+    dropping them via join/comparison null semantics would be an
+    accident either way; the operator makes the exclusion explicit."""
+    df = df.filter(
+        F.col(minimize_col).isNotNull() & F.col(maximize_col).isNotNull()
+    )
     per_level = df.groupBy(minimize_col).agg(
         F.max(maximize_col).alias("__pmax")
     )

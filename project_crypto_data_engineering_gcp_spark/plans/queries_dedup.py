@@ -1116,7 +1116,10 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_a bigint, doc_b bigint, jaccard double"
         )
-    return spark.read.parquet(pairs_path)
+    # explicit select: the state is partitioned by the writer's epoch
+    # (idempotent-replay layout) and the partition column is not part of
+    # the pairs contract
+    return spark.read.parquet(pairs_path).select("doc_a", "doc_b", "jaccard")
 
 
 def _keep_best_oracle() -> str:

@@ -22,11 +22,18 @@ pairs equals the full-corpus LSH answer (pinned by
 tests/test_streaming.py equivalence against the batch oracle).
 
 Failure semantics: the stream checkpoint makes source progress
-exactly-once, while the state appends are idempotent-per-batch only if
-the batch writer completes — a production deployment would write the
-three state dirs through a transactional table format (the Delta path
-this environment can't exercise; see README §Delta Lake status) or
-stage-and-rename per epoch. The shape of the computation is unchanged.
+exactly-once, and the state writes are IDEMPOTENT under epoch replay:
+each foreachBatch epoch writes its pairs/bands/docs into an
+``epoch=<id>`` subdirectory with OVERWRITE mode, so a crashed-and-
+retried epoch replaces its own partial output instead of appending a
+duplicate copy (duplicated doc rows would otherwise inflate shingle
+counts in _verify_pairs and corrupt jaccard for later batches). The
+computation per epoch is deterministic, so replay converges to the
+same bytes. A transactional table format (the Delta path this
+environment can't exercise; see README §Delta Lake status) would give
+the same guarantee without the directory convention. Readers see the
+state as ordinary partitioned parquet (the ``epoch`` partition column
+is dropped on read).
 """
 
 from __future__ import annotations
@@ -84,14 +91,34 @@ def _verify_pairs(cand: DataFrame, toks: DataFrame) -> DataFrame:
 
 
 def dedup_batch_against_state(
-    spark: SparkSession, batch: DataFrame, state_dir: str
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    epoch_id: int | None = None,
 ) -> int:
     """One incremental step: emit duplicate pairs touching this batch,
     then fold the batch into the persisted state. Returns pairs emitted.
-    Callable directly (batch pipelines) or from foreachBatch."""
+    Callable directly (batch pipelines) or from foreachBatch.
+
+    With ``epoch_id`` set (the foreachBatch path), every state write
+    goes to an ``epoch=<id>`` subdirectory in OVERWRITE mode — replaying
+    a crashed epoch replaces its own partial output, making the fold
+    idempotent. Without it (direct batch callers), writes append."""
     bands_path = os.path.join(state_dir, "bands")
     docs_path = os.path.join(state_dir, "docs")
     pairs_path = os.path.join(state_dir, "pairs")
+
+    def write_state(df: DataFrame, path: str) -> None:
+        # coalesce(1): the frames are batch-sized and an append per batch
+        # would otherwise shed shuffle-partition-many tiny files, inflating
+        # every later index read's listing (a real cluster would target
+        # file-size-based coalesce / run sources.maintenance compaction)
+        if epoch_id is None:
+            df.coalesce(1).write.mode("append").parquet(path)
+        else:
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(path, f"epoch={epoch_id}")
+            )
 
     batch = batch.select("doc_id", "text").cache()
     toks_b = _shingles(batch).cache()
@@ -109,7 +136,9 @@ def dedup_batch_against_state(
         F.col("na.doc_id").alias("doc_a"), F.col("nb.doc_id").alias("doc_b")
     )
     if has_index:
-        index_bands = spark.read.parquet(bands_path)
+        index_bands = spark.read.parquet(bands_path).select(
+            "doc_id", "band_id", "band_key"
+        )
         n, o = bands_b.alias("n"), index_bands.alias("o")
         cross = n.join(
             o,
@@ -119,6 +148,10 @@ def dedup_batch_against_state(
             F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
             F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
         )
+        # doc_a < doc_b also drops SELF-matches, which only arise when a
+        # replayed epoch's own bands are already in the index — the
+        # idempotency path, not normal flow
+        cross = cross.filter(F.col("doc_a") < F.col("doc_b"))
         cand = cross.unionByName(within).distinct().cache()
     else:
         cand = within.distinct().cache()
@@ -134,21 +167,26 @@ def dedup_batch_against_state(
     )
     toks_v = toks_b.join(ids, "doc_id", "left_semi")
     if has_index:
-        old_docs = spark.read.parquet(docs_path).join(ids, "doc_id", "left_semi")
+        # anti-join vs the batch ids: under epoch replay the doc store may
+        # already hold this batch's docs; shingling them AGAIN on top of
+        # toks_b would inflate intersection counts and corrupt jaccard
+        batch_ids = batch.select("doc_id")
+        old_docs = (
+            spark.read.parquet(docs_path)
+            .select("doc_id", "text")
+            .join(ids, "doc_id", "left_semi")
+            .join(batch_ids, "doc_id", "left_anti")
+        )
         toks_v = toks_v.unionByName(_shingles(old_docs))
 
     pairs = _verify_pairs(cand, toks_v)
     n_pairs = pairs.count()
     if n_pairs:
-        pairs.coalesce(1).write.mode("append").parquet(pairs_path)
+        write_state(pairs, pairs_path)
 
-    # fold the batch into state AFTER emission: next batches see it.
-    # coalesce(1): the frames are batch-sized and an append per batch
-    # would otherwise shed shuffle-partition-many tiny files, inflating
-    # every later index read's listing (a real cluster would target
-    # file-size-based coalesce / run sources.maintenance compaction)
-    bands_b.coalesce(1).write.mode("append").parquet(bands_path)
-    batch.coalesce(1).write.mode("append").parquet(docs_path)
+    # fold the batch into state AFTER emission: next batches see it
+    write_state(bands_b, bands_path)
+    write_state(batch, docs_path)
     for frame in (cand, bands_b, toks_b, batch):
         frame.unpersist()
     return n_pairs
@@ -173,7 +211,7 @@ def stream_incremental_dedup(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         progress["pairs"] += dedup_batch_against_state(
-            spark, batch_df, state_dir
+            spark, batch_df, state_dir, epoch_id=epoch_id
         )
 
     q = (

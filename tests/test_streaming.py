@@ -265,3 +265,38 @@ def test_stream_incremental_dedup_equals_batch_lsh(spark, tmp_path):
         for a, b, j in con.execute("WITH " + _minhash_oracle().lstrip().removeprefix("WITH")).fetchall()
     }
     assert got == want
+
+
+def test_stream_dedup_epoch_replay_is_idempotent(spark, tmp_path):
+    """A crashed-and-retried foreachBatch epoch must not corrupt state:
+    replaying the SAME epoch (same batch, same epoch_id) leaves the doc
+    store, band index, and emitted pairs identical — no duplicate doc
+    rows inflating shingle counts, no duplicate pairs — and later
+    batches still verify jaccard correctly."""
+    from project_crypto_data_engineering_gcp_spark.sources.tables import load_table
+    from project_crypto_data_engineering_gcp_spark.streaming.dedup_stream import (
+        dedup_batch_against_state,
+    )
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    state = str(tmp_path / "state")
+
+    dedup_batch_against_state(spark, b0, state, epoch_id=0)
+    n1 = dedup_batch_against_state(spark, b1, state, epoch_id=1)
+    snapshot = {
+        sub: sorted(map(tuple, spark.read.parquet(f"{state}/{sub}")
+                        .drop("epoch").collect()))
+        for sub in ("docs", "bands", "pairs")
+    }
+
+    # replay epoch 1 (simulated crash after state writes)
+    n1_replay = dedup_batch_against_state(spark, b1, state, epoch_id=1)
+    assert n1_replay == n1
+    for sub in ("docs", "bands", "pairs"):
+        again = sorted(map(tuple, spark.read.parquet(f"{state}/{sub}")
+                           .drop("epoch").collect()))
+        assert again == snapshot[sub], f"{sub} changed under replay"
