@@ -67,6 +67,13 @@ HEADLINE = (
     "graph_triangles",
     "bloom_semi_revenue",
     "dedup_minhash_incremental",
+    # r5: the rewritten full-parallel rank shapes (a16 via global_rank,
+    # o6 the raw operator), the 1-bit quantization scan, and the
+    # trigram-novelty explode-join — the round's heaviest additions
+    "a16_rfm_segments",
+    "o6_orders_global_rank",
+    "sim_binary_hamming_topk",
+    "text_trigram_novelty",
 )
 
 

@@ -73,6 +73,64 @@ def global_rank(
     )
 
 
+def grouped_global_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``rank_col`` = ROW_NUMBER within each ``group_cols`` group
+    under ``order_cols`` — WITHOUT partitioning the window by the group
+    (a low-cardinality group column would funnel data-sized groups
+    through one task each; 5 priorities over a 100 TB fact table is 5
+    tasks). Same machinery as global_rank with the group prefixed to the
+    range key: range-partition on (group, order), rank within each range
+    partition RESTARTING per group, and add the count of rows in the
+    same group in preceding partitions (per-(partition, group) counts —
+    at most P x |groups-touching-2-partitions| rows, still bounded by
+    the partition count since ranges are contiguous)."""
+    for reserved in (_PID, _CNT, _OFF):
+        assert reserved not in df.columns, (
+            f"grouped_global_rank reserved column {reserved!r} already present"
+        )
+    assert rank_col not in df.columns, f"rank_col {rank_col!r} already present"
+
+    keys = [*group_cols, *order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *keys)
+        if num_partitions
+        else df.repartitionByRange(*keys)
+    )
+    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+
+    counts = tagged.groupBy(_PID, *group_cols).agg(
+        F.count(F.lit(1)).alias(_CNT)
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    same_group = [
+        F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}")) for g in group_cols
+    ]
+    cond = F.col(f"b.{_PID}") < F.col(f"a.{_PID}")
+    for c in same_group:
+        cond = cond & c
+    offsets = (
+        a.join(b, cond, "left")
+        .groupBy(
+            F.col(f"a.{_PID}").alias(_PID),
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        )
+        .agg(F.coalesce(F.sum(f"b.{_CNT}"), F.lit(0)).alias(_OFF))
+    )
+
+    w = Window.partitionBy(_PID, *group_cols).orderBy(*order_cols)
+    return (
+        tagged.join(F.broadcast(offsets), [_PID, *group_cols])
+        .withColumn(rank_col, (F.col(_OFF) + F.row_number().over(w)).cast("bigint"))
+        .drop(_PID, _OFF)
+    )
+
+
 def ntile_from_rank(rank: Column, n_rows: Column, n_buckets: int) -> Column:
     """SQL ``NTILE(n_buckets)`` bucket from a 1-based global rank and the
     total row count (a broadcast 1-row aggregate, never a collect).

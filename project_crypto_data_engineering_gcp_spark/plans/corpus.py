@@ -47,11 +47,11 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 # this window: graph_triangles (lexicographic orientation rewrite),
 # a16_rfm_segments (global_rank quintiles, no unpartitioned window),
 # and the de-registration of dedup_semantic_blocked (uncapped contrast
-# shape; registry is now 180 queries, none with a known-superlinear
-# graded plan). The remaining ~13 slots go to the OLDEST stale evidence
-# (newest row r2): the crypto gold/dashboard family (the reference's own
-# surface, 7), the pandas-UDF pair, the headline TPC-H trio, and
-# curate_decontaminate.
+# shape; none of the graded queries ships a known-superlinear plan).
+# Next come the FIVE r5 additions (never-checked by definition), and
+# the remaining 8 slots go to the OLDEST stale evidence (newest row
+# r2): the crypto gold/dashboard family (the reference's own surface,
+# 7) and the scalar pandas-UDF entry. Registry: 185 queries.
 #
 # STALENESS TRIAGE (r4 verdict task 5) — with 180 queries and a ~50-slot
 # window, the "newest row <= 2 rounds old" invariant is arithmetically
@@ -60,11 +60,11 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 #   (b) queries rewritten/refactored since their last row join them,
 #   (c) remaining slots refresh oldest-first,
 # so every query's newest row stays at most ~3 rounds old.
-#   r6 plan: r5 additions (rollover queue below) + the 32 r2-stale not
-#   refreshed here (TPC-H q2..q22 minus the trio, approx_distinct_parts,
-#   curate core 5, d1/p13/p14, sim_ann r2 trio, streaming_hourly_rollup).
-#   r7: the r3-latest set (streaming family, j4-j7, a6-a9, w4-w7, o4/o5,
-#   the dedup/sim r3 batch).
+#   r6 plan: the 37 r2-stale not refreshed here (all of TPC-H q1-q22,
+#   pandas_grouped_zscore, curate_decontaminate, approx_distinct_parts,
+#   curate core 5, d1/p13/p14, sim_ann r2 trio, streaming_hourly_rollup)
+#   + any r6 additions. r7: the r3-latest set (streaming family, j4-j7,
+#   a6-a9, w4-w7, o4/o5, the dedup/sim r3 batch).
 #
 # History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
@@ -108,8 +108,18 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_bpe_pair_counts",
     "a17_mad_by_priority",
     "events_interarrival_stats",
-    # ---- oldest stale evidence (newest row = r2), 13 slots:
-    # the reference's own gold/dashboard surface first
+    # ---- r5 additions (never-checked, policy (a)): the 1-bit rung of
+    # the quantization ladder + its exact re-rank, the full-table
+    # global-rank shape (the operator behind the a16 rewrite, graded on
+    # its own), order-statistic robust means, and the trigram novelty
+    # score ----
+    "sim_binary_hamming_topk",
+    "sim_binary_refined",
+    "o6_orders_global_rank",
+    "a18_winsorized_stats",
+    "text_trigram_novelty",
+    # ---- oldest stale evidence (newest row = r2), remaining 8 slots:
+    # the reference's own gold/dashboard surface + the pandas-UDF entry
     "crypto_daily_overview",
     "crypto_top_gainers_losers",
     "crypto_market_dominance",
@@ -118,14 +128,13 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "crypto_merge_upsert",
     "crypto_scd2_history",
     "pandas_scalar_price_tier",
-    "pandas_grouped_zscore",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_volume",
-    "curate_decontaminate",
-    # ---- ROLLOVER QUEUE (positions 51+): r5 additions land here, first
-    # in line for the r6 window together with the 32 remaining r2-stale
-    # refreshers enumerated in the triage note above. ----
+    # (displaced to r6 by the five r5 additions: pandas_grouped_zscore,
+    # q1/q3/q5 — all three covered every round by bench.py regression
+    # numbers — and curate_decontaminate, likewise a bench headline.)
+    # ---- ROLLOVER QUEUE (positions 51+): nothing pending — every
+    # registered query is either in this window or carries a prior
+    # driver row; r6 leads with the 37 r2-stale refreshers from the
+    # triage note above. ----
 )
 
 

@@ -621,3 +621,36 @@ def w1b_latest_via_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", "ts").alias("last_type"),
         F.max_by("value", "ts").alias("last_value"),
     )
+
+
+@corpus_query(
+    "o6_orders_global_rank",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+    FROM orders
+    """,
+)
+def o6_orders_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-TABLE global ORDER BY materialized as a rank column — the
+    shape o1 deliberately avoids (o1 cuts to top-100 first; here every
+    row needs its position: percentile exports, leaderboard snapshots,
+    stable pagination keys).
+
+    Scale shape: a plain ROW_NUMBER() OVER (ORDER BY ...) funnels the
+    whole table through ONE window task; this query instead rides
+    operators/rank.py::global_rank — range-partition on the sort key,
+    rank within each range partition (window PARTITIONED by the captured
+    partition id), add the broadcast cumulative count of preceding
+    partitions. Identical output to the single-task window (differential
+    -tested in test_operator_properties), every stage parallel."""
+    from ..operators.rank import global_rank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return global_rank(
+        orders,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        rank_col="pos",
+    )

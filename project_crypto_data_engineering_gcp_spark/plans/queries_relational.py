@@ -1883,3 +1883,125 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_us, 0.5)"), 2).alias("median_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+# ------------------------------------------- robust means (winsor/trim)
+
+
+@corpus_query(
+    "a18_winsorized_stats",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    ranked AS (
+        SELECT o_orderpriority, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
+               ) AS rk
+        FROM c
+    ),
+    sizes AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST((5 * COUNT(*) + 99) // 100 AS BIGINT) AS lo_rk,
+               CAST((95 * COUNT(*) + 99) // 100 AS BIGINT) AS hi_rk
+        FROM c GROUP BY 1
+    ),
+    bounds AS (
+        SELECT s.o_orderpriority, s.n, s.lo_rk, s.hi_rk,
+               MAX(CASE WHEN r.rk = s.lo_rk THEN r.cents END) AS lo_cents,
+               MAX(CASE WHEN r.rk = s.hi_rk THEN r.cents END) AS hi_cents
+        FROM sizes s JOIN ranked r ON r.o_orderpriority = s.o_orderpriority
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT b.o_orderpriority,
+           b.n AS n_orders,
+           b.lo_cents, b.hi_cents,
+           CAST(SUM(LEAST(GREATEST(r.cents, b.lo_cents), b.hi_cents)) // b.n
+                AS BIGINT) AS winsorized_mean_cents,
+           CAST(SUM(CASE WHEN r.rk BETWEEN b.lo_rk AND b.hi_rk
+                         THEN r.cents ELSE 0 END)
+                // (b.hi_rk - b.lo_rk + 1) AS BIGINT) AS trimmed_mean_cents
+    FROM ranked r
+    JOIN bounds b ON b.o_orderpriority = r.o_orderpriority
+    GROUP BY 1, 2, 3, 4, b.lo_rk, b.hi_rk
+    """,
+)
+def a18_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-priority means: 5th/95th-percentile WINSORIZED mean
+    (outliers clamped to the boundary order statistics) and TRIMMED mean
+    (outliers excluded) — the outlier-resistant cousins of a17's MAD,
+    exact to the cent. Boundaries are ORDER STATISTICS (value at rank
+    ceil(p*n), pure integers), not interpolated percentiles, so every
+    quantity is engine-stable integer arithmetic end to end.
+
+    Scale shape: ranks within each priority come from
+    operators/rank.py::grouped_global_rank — a PARTITION BY on the 5-row
+    priority domain would funnel a fifth of the fact table through each
+    of 5 window tasks; grouped_global_rank range-partitions on
+    (priority, cents, key) and ranks per range partition with broadcast
+    per-group offsets, keeping every stage parallel. The boundary frame
+    is 5 rows, broadcast; the final pass is one map-side-combinable
+    hash aggregate."""
+    from ..operators.rank import grouped_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("cents"),
+    )
+    ranked = grouped_global_rank(
+        c, ["o_orderpriority"], ["cents", "o_orderkey"], rank_col="rk"
+    ).select("o_orderpriority", "cents", "rk")
+    sizes = c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        "o_orderpriority",
+        "n",
+        F.expr("CAST((5 * n + 99) DIV 100 AS BIGINT)").alias("lo_rk"),
+        F.expr("CAST((95 * n + 99) DIV 100 AS BIGINT)").alias("hi_rk"),
+    )
+    bounds = (
+        ranked.join(F.broadcast(sizes), "o_orderpriority")
+        .groupBy("o_orderpriority", "n", "lo_rk", "hi_rk")
+        .agg(
+            F.max(F.when(F.col("rk") == F.col("lo_rk"), F.col("cents"))).alias(
+                "lo_cents"
+            ),
+            F.max(F.when(F.col("rk") == F.col("hi_rk"), F.col("cents"))).alias(
+                "hi_cents"
+            ),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority", "n", "lo_cents", "hi_cents", "lo_rk", "hi_rk")
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+            ).alias("__wsum"),
+            F.sum(
+                F.when(
+                    F.col("rk").between(F.col("lo_rk"), F.col("hi_rk")),
+                    F.col("cents"),
+                ).otherwise(F.lit(0))
+            ).alias("__tsum"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").alias("n_orders"),
+            "lo_cents",
+            "hi_cents",
+            F.expr("CAST(__wsum DIV n AS BIGINT)").alias("winsorized_mean_cents"),
+            F.expr("CAST(__tsum DIV (hi_rk - lo_rk + 1) AS BIGINT)").alias(
+                "trimmed_mean_cents"
+            ),
+        )
+    )

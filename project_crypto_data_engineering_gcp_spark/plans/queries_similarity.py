@@ -1709,3 +1709,220 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("qid", F.col("label").alias("predicted_label"), "votes")
     )
+
+
+# ------------------------------------------------ binary (sign-bit) ANN
+#
+# The 1-bit rung of the quantization ladder made a FIRST-CLASS serving
+# shape (sim_ann_lsh_* uses sign bits for bucketing; here the bits ARE
+# the representation): each vector compresses to its 64 sign bits and
+# similarity is Hamming distance — xor + popcount, the cheapest scan a
+# vector index can run (256x smaller than float32 at rest, no
+# multiplications at serve time). Recall is repaired the FAISS way with
+# an exact re-rank over the Hamming shortlist (sim_binary_refined).
+#
+# The codes are packed into TWO bigint words of 32 bits each rather than
+# one 64-bit word: bit 63 is the sign bit, and 1::BIGINT << 63 is
+# implementation-defined-to-hostile territory across engines (DuckDB
+# range-checks it) — two half words keep every intermediate positive and
+# the packing portable. Hamming = popcount(lo XOR lo') + popcount(hi XOR
+# hi'), identical integer in both engines.
+
+BINARY_REFINE_R = 50  # Hamming shortlist size for the exact re-rank
+
+
+def _binary_codes_sql() -> str:
+    def word(off: int) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(0, 32), i -> "
+            f"CASE WHEN embedding[i + {off + 1}] >= 0 "
+            f"THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)"
+        )
+
+    return f"""codes AS (
+        SELECT vec_id, {word(0)} AS lo, {word(32)} AS hi FROM embeddings
+    ),
+    qc AS (
+        SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM codes
+        WHERE vec_id < {TOPK_QUERIES}
+    ),
+    hscored AS (
+        SELECT q.qid, c.vec_id,
+               CAST(bit_count(xor(q.qlo, c.lo))
+                    + bit_count(xor(q.qhi, c.hi)) AS BIGINT) AS hamming
+        FROM qc q, codes c
+    )"""
+
+
+@corpus_query(
+    "sim_binary_hamming_topk",
+    oracle=f"""
+    WITH {_binary_codes_sql()}
+    SELECT qid, vec_id, hamming, rank FROM (
+        SELECT qid, vec_id, hamming,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY hamming ASC, vec_id ASC
+               ) AS rank
+        FROM hscored
+    ) t WHERE rank <= {TOPK_K}
+    """,
+)
+def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_K} nearest neighbors under SIGN-BIT binary quantization:
+    64 dims -> 64 bits (two 32-bit words, see the section comment), scan
+    scored by Hamming distance via XOR + popcount — both JVM intrinsics
+    inside whole-stage codegen, no Python, no floats, no multiplies.
+
+    Parity is exact-by-construction: bit packing, xor, and popcount are
+    integer-deterministic in any engine and any evaluation order.
+
+    Scale: the code table is 16 bytes/vector; the scan is a broadcast of
+    the {TOPK_QUERIES}-row query codes against a linear pass, and the
+    rank window's ``rank <= k`` filter compiles to WindowGroupLimit —
+    each partition forwards only its local top-k per query, so the
+    global shuffle carries k x n_partitions rows, not N x n_queries."""
+    from pyspark.sql import Window
+
+    codes = _binary_codes_pooled(spark, sf_dir)
+    q = codes.select(
+        F.col("vec_id").alias("qid"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    ).filter(F.col("qid") < TOPK_QUERIES)
+    scored = codes.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        (
+            F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+            + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("qid", "vec_id", "hamming", "rank")
+    )
+
+
+# binary code pool: one resident 16-byte-per-vector frame per dataset
+_BIN_CODES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _binary_codes_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, lo, hi) sign-bit code table, JVM-packed and pooled."""
+
+    def build() -> DataFrame:
+        def word(off: int):
+            return F.expr(
+                f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), "
+                f"(acc, i) -> acc + IF(element_at(embedding, i + {off + 1}) >= 0, "
+                f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+            )
+
+        out = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", word(0).alias("lo"), word(32).alias("hi"))
+            .cache()
+        )
+        out.count()
+        return out
+
+    return bounded_cached(
+        _BIN_CODES_MEMO, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+@corpus_query(
+    "sim_binary_refined",
+    oracle=f"""
+    {_NORM_CTE},
+    {_binary_codes_sql()},
+    short AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY hamming ASC, vec_id ASC
+                   ) AS rk
+            FROM hscored
+        ) t WHERE rk <= {BINARY_REFINE_R}
+    )
+    SELECT qid, vec_id, exact_score, rank FROM (
+        SELECT s.qid, s.vec_id,
+               ROUND({dot_double_sql("eq.nv", "ec.nv")}, 6) AS exact_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.qid
+                   ORDER BY ROUND({dot_double_sql("eq.nv", "ec.nv")}, 6) DESC,
+                            s.vec_id ASC
+               ) AS rank
+        FROM short s
+        JOIN e eq ON eq.vec_id = s.qid
+        JOIN e ec ON ec.vec_id = s.vec_id
+    ) t WHERE rank <= {TOPK_K}
+    """,
+)
+def sim_binary_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary shortlist → EXACT re-rank (the sim_pq_refined recipe on the
+    1-bit rung): the Hamming scan nominates {BINARY_REFINE_R} candidates
+    per query from 16 bytes/vector alone; only those rows fetch the real
+    vectors for an exact rounded-cosine top-{TOPK_K}. The standard
+    two-stage serving shape for binary indexes (popcount scan is so
+    cheap the shortlist can be generous — R={BINARY_REFINE_R} here).
+
+    Scale: stage 1 is the codegen'd xor/popcount scan with its
+    WindowGroupLimit-pruned shortlist; stage 2 reads n_queries x
+    {BINARY_REFINE_R} vectors via an equi-join on vec_id (semi-join-
+    sized probe of the corpus), query vectors broadcast."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot_prenorm, normalized
+
+    codes = _binary_codes_pooled(spark, sf_dir)
+    q = codes.select(
+        F.col("vec_id").alias("qid"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    ).filter(F.col("qid") < TOPK_QUERIES)
+    hscored = codes.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        (
+            F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+            + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+        ).alias("hamming"),
+    )
+    wh = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    short = (
+        hscored.withColumn("rk", F.row_number().over(wh))
+        .filter(F.col("rk") <= BINARY_REFINE_R)
+        .select("qid", "vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    fetched = (
+        short.join(F.broadcast(qv), "qid")
+        .join(emb, "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            normalized("qemb", norm("qemb")).alias("qv"),
+            normalized("embedding", norm("embedding")).alias("nv"),
+        )
+    )
+    scored = fetched.select(
+        "qid",
+        "vec_id",
+        F.round(dot_prenorm("qv", "nv"), 6).alias("exact_score"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("exact_score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("qid", "vec_id", "exact_score", "rank")
+    )

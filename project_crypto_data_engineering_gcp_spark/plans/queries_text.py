@@ -13,6 +13,7 @@ from ..functions.hashing import md5_long, md5_long_sql
 from ..functions.text import (
     canonical_text,
     canonical_text_sql,
+    shingles_sql,
     stopword_count,
     stopword_count_sql,
     tokens,
@@ -986,4 +987,72 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy(F.desc("n"), "pair")
         .limit(BPE_TOPK)
+    )
+
+
+# ------------------------------------------------- trigram novelty score
+
+TRIGRAM_RARE_DF = 1  # a trigram is "rare" if it appears in <= this many docs
+
+
+@corpus_query(
+    "text_trigram_novelty",
+    oracle=f"""
+    WITH tri AS (
+        SELECT doc_id, unnest(sh) AS gram FROM (
+            SELECT doc_id, {shingles_sql('text', 3)} AS sh FROM documents
+        ) s
+    ),
+    dfreq AS (SELECT gram, COUNT(*) AS df FROM tri GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN d.df <= {TRIGRAM_RARE_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           CAST(1000000 * SUM(CASE WHEN d.df <= {TRIGRAM_RARE_DF}
+                                   THEN 1 ELSE 0 END) // COUNT(*)
+                AS BIGINT) AS novelty_ppm
+    FROM tri t JOIN dfreq d ON d.gram = t.gram
+    GROUP BY 1
+    """,
+)
+def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY score: the parts-per-million share of a doc's
+    DISTINCT word trigrams that are corpus-rare (document frequency <=
+    {TRIGRAM_RARE_DF}) — low novelty flags near-boilerplate / heavily
+    templated docs, high novelty flags unique content; the inverse view
+    of text_boilerplate_ngrams' hot-gram excision, and the per-doc
+    aggregate of the n-gram-overlap contamination check. Docs with < 3
+    tokens contribute no trigrams and drop out (no 0/0 row).
+
+    Shares are floor-divided ppm on exact integer counts — engine- and
+    partition-order-stable. Scale: one explode + two map-side-combinable
+    hash aggregates + one shuffle equi-join of the doc-trigram relation
+    against the trigram DF table on the gram key (both data-sized but
+    key-partitioned; no window, no collect, no pairwise stage)."""
+    from ..functions.text import shingles_of_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("__toks")
+    )
+    tri = docs.select(
+        "doc_id",
+        F.explode(shingles_of_tokens("__toks", 3)).alias("gram"),
+    )
+    dfreq = tri.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    rare = F.when(F.col("df") <= TRIGRAM_RARE_DF, F.lit(1)).otherwise(F.lit(0))
+    return (
+        tri.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_rare",
+            F.expr("CAST(1000000 * n_rare DIV n_trigrams AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
     )

@@ -624,3 +624,44 @@ def test_a16_no_global_window_funnel(spark):
         if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
     ]
     assert not unpartitioned, unpartitioned
+
+
+def test_binary_hamming_codegen_scan(spark):
+    """The binary ANN scan must stay JVM-side (xor+popcount inside the
+    scan stage, no Python), broadcast the query codes, and prune the
+    rank window partition-locally (WindowGroupLimit) so the global
+    shuffle carries k x n_partitions rows, not N x n_queries."""
+    plan = plan_of(QUERIES["sim_binary_hamming_topk"].fn(spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "mapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_o6_global_rank_no_window_funnel(spark):
+    """Full-table rank must never run an unpartitioned window (the
+    single-task funnel global_rank exists to remove)."""
+    import re
+
+    df = QUERIES["o6_orders_global_rank"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "extended")
+    specs = re.findall(r"windowspecdefinition\([^)]*?specifiedwindowframe", plan)
+    assert specs
+    assert not [
+        s for s in specs
+        if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
+    ]
+
+
+def test_a18_no_low_cardinality_window_funnel(spark):
+    """a18's per-priority ranks ride grouped_global_rank: every window
+    in the plan must carry the range-partition id, never PARTITION BY
+    the 5-value priority column alone."""
+    import re
+
+    df = QUERIES["a18_winsorized_stats"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "extended")
+    specs = re.findall(r"windowspecdefinition\([^)]*?specifiedwindowframe", plan)
+    assert specs
+    for s in specs:
+        assert "__gr_pid" in s, s

@@ -53,6 +53,12 @@ QUERIES = (
     "sim_ivfpq_topk",
     "text_bm25_topk",
     "curate_temperature_mix",
+    # r5: binary Hamming scan (16 bytes/vector linear scan — should be
+    # ~flat), its exact re-rank (shortlist-bounded stage 2), and the
+    # trigram-novelty explode-join (~linear in trigram volume)
+    "sim_binary_hamming_topk",
+    "sim_binary_refined",
+    "text_trigram_novelty",
 )
 
 
