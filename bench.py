@@ -74,6 +74,11 @@ HEADLINE = (
     "o6_orders_global_rank",
     "sim_binary_hamming_topk",
     "text_trigram_novelty",
+    # late-r5: the second iterative-algorithm shape (fixed-round k-core
+    # peel) and the grouped-global-rank Gini — both new heavy shapes
+    # whose regressions the bench should catch
+    "graph_kcore",
+    "a19_gini_by_nation",
 )
 
 

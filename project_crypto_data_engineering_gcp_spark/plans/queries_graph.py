@@ -463,3 +463,158 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("nbr_jaccard"), "pa", "pb")
         .limit(LINKPRED_TOPK)
     )
+
+
+# ---------------------------------------------------- k-core (fixed-round)
+
+KCORE_K = 3       # minimum degree to survive a peel round
+KCORE_ROUNDS = 4  # fixed peel rounds (both engines run exactly these)
+
+
+def _kcore_oracle() -> str:
+    """The peel loop UNROLLED into KCORE_ROUNDS chained CTE triples
+    (degree → keep → surviving edges) — the same fixed-iteration
+    technique as the PageRank and MMR oracles, generated by a Python
+    loop so Spark and DuckDB provably run the identical rounds."""
+    parts = [
+        f"WITH {_EDGE_SQL},\n"
+        "    sym0 AS (SELECT u, v FROM e"
+        " UNION ALL SELECT v AS u, u AS v FROM e)"
+    ]
+    for r in range(KCORE_ROUNDS):
+        parts.append(
+            f""",
+    deg{r} AS (SELECT u AS node, COUNT(*) AS d FROM sym{r} GROUP BY 1),
+    keep{r} AS (SELECT node FROM deg{r} WHERE d >= {KCORE_K}),
+    sym{r + 1} AS (
+        SELECT s.u, s.v FROM sym{r} s
+        JOIN keep{r} ku ON ku.node = s.u
+        JOIN keep{r} kv ON kv.node = s.v)"""
+        )
+    parts.append(
+        f"""
+    SELECT u AS p_partkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM sym{KCORE_ROUNDS} GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@corpus_query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the co-purchase graph by FIXED-ROUND peeling:
+    {KCORE_ROUNDS} rounds of "drop every node with degree < {KCORE_K},
+    then re-count" over the symmetrized support-filtered edge set,
+    reporting each survivor with its degree inside the peeled subgraph.
+    Fixing the round count (rather than iterating to convergence) is the
+    same determinism technique as the PageRank fixed-point: both engines
+    run EXACTLY the same rounds, so the result is comparable even when
+    the peel has not yet converged — when it has (as on this graph), the
+    output is the true {KCORE_K}-core. The dense-cohesion complement to
+    graph_triangles' local closure counts.
+
+    Scale shape: each round is ONE map-side-combinable degree aggregate
+    plus two equi-joins of the edge frame against the shrinking survivor
+    node list — no pairwise stage, no window, no collect. Survivor lists
+    are broadcast (bounded by the support-filtered node domain, the same
+    argument as the triangle joins; on a data-sized graph swap them for
+    shuffle joins — the round structure is unchanged). ``localCheckpoint``
+    cuts each round's lineage exactly as in operators/graph.py: the
+    survivor frame is referenced twice per round (degree count + edge
+    filter), so an uncut plan re-evaluates the base 2^rounds times."""
+    edges = _basket_edges(spark, sf_dir).select("u", "v")
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select("u")
+        sym = (
+            sym.join(F.broadcast(keep), "u")
+            .join(F.broadcast(keep.withColumnRenamed("u", "v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return sym.groupBy(F.col("u").alias("p_partkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+
+
+# ----------------------------------------- label propagation (fixed-round)
+
+LPA_ROUNDS = 3  # fixed synchronous rounds (both engines run exactly these)
+
+
+def _lpa_oracle() -> str:
+    """Synchronous LPA unrolled CTE-per-round: each node adopts the MODE
+    of its neighbors' labels (tie -> smallest label), starting from
+    label = own id. Python-generated so the round count and tie-break
+    are provably identical in both engines."""
+    parts = [
+        f"WITH {_EDGE_SQL},\n"
+        "    sym AS (SELECT u, v FROM e"
+        " UNION ALL SELECT v AS u, u AS v FROM e),\n"
+        "    lab0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym)"
+    ]
+    for r in range(LPA_ROUNDS):
+        parts.append(
+            f""",
+    nl{r} AS (SELECT s.v AS node, l.lbl
+              FROM sym s JOIN lab{r} l ON l.node = s.u),
+    cnt{r} AS (SELECT node, lbl, COUNT(*) AS c FROM nl{r} GROUP BY 1, 2),
+    lab{r + 1} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl, ROW_NUMBER() OVER (
+                PARTITION BY node ORDER BY c DESC, lbl ASC) AS rk
+            FROM cnt{r}) t
+        WHERE rk = 1)"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS p_partkey, lbl AS community FROM lab{LPA_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+@corpus_query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation, fixed at
+    {LPA_ROUNDS} rounds: every node starts as its own label and each
+    round adopts the most frequent label among its neighbors (ties to
+    the smallest label — a strict deterministic rule, where textbook LPA
+    breaks ties randomly and is irreproducible). Fixing the round count
+    is the PageRank/k-core determinism technique; synchronous updates
+    (all nodes read round r, write round r+1) make the result
+    partition-order-independent. Completes the graph family: global
+    importance (pagerank), local cohesion (triangles), dense subgraphs
+    (k-core), link prediction, transitive closure (dedup_clusters) —
+    and now mesoscale communities.
+
+    Scale shape: each round is ONE edge-sized equi-join (neighbor label
+    gather) + a map-combinable (node, label) count + a max_by aggregate
+    — the per-node mode needs no window and no sort, and the label
+    frame is node-sized. ``localCheckpoint`` per round cuts lineage
+    exactly as in the k-core peel. The oracle's ROW_NUMBER mirror of
+    max_by is windowed per node (n_nodes partitions — parallel, not a
+    funnel)."""
+    edges = _basket_edges(spark, sf_dir).select("u", "v")
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        nl = sym.join(labels.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"), "lbl"
+        )
+        cnt = nl.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max_by(
+                    "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("t"))
+                ).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("node").alias("p_partkey"), F.col("lbl").alias("community"))

@@ -1926,3 +1926,59 @@ def sim_binary_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK_K)
         .select("qid", "vec_id", "exact_score", "rank")
     )
+
+
+def _binary_recall_oracle() -> str:
+    """Both 1-bit variants in one report, the sim_quant_recall
+    convention: each constituent oracle reused VERBATIM from its
+    registered entry (wrapped to pair-id form, self-hits dropped — the
+    binary rankings include the query vector at Hamming 0, so one of
+    their {TOPK_K} slots is structurally self), composed with the exact
+    baseline and tagged with a variant literal."""
+    from .corpus import get_query
+
+    ham = (
+        f"SELECT qid AS vec_a, vec_id AS vec_b FROM "
+        f"({get_query('sim_binary_hamming_topk').oracle}) tbh "
+        f"WHERE qid <> vec_id"
+    )
+    ref = (
+        f"SELECT qid AS vec_a, vec_id AS vec_b FROM "
+        f"({get_query('sim_binary_refined').oracle}) tbr "
+        f"WHERE qid <> vec_id"
+    )
+    return f"""
+    SELECT 'binary' AS variant, * FROM ({_recall_vs_exact_oracle(ham)}) h
+    UNION ALL
+    SELECT 'binary_refined' AS variant, *
+    FROM ({_recall_vs_exact_oracle(ref)}) r
+    """
+
+
+@corpus_query("sim_binary_recall", oracle=_binary_recall_oracle())
+def sim_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK_K} of the sign-bit Hamming scan and of its
+    exact-re-rank repair against the brute-force baseline — the 1-bit
+    rung's quality report, completing the graded recall coverage of the
+    quantization ladder (LSH buckets, IVF pruning, PQ/SQ8 compression,
+    and now the binary scan: every serving shape in the repo carries a
+    measured recall). The hamming → refined delta isolates what the
+    R={BINARY_REFINE_R} exact re-rank buys on 16-byte codes. Self-hits
+    are dropped before scoring (the binary rankings include the query at
+    Hamming 0), so n_approx < {TOPK_K} shows the structural self-slot —
+    the same accounting as sim_quant_recall. Bounded shape: only id
+    pairs move, 2·k·n_queries rows per variant."""
+    exact = _exact_pairs_local(spark, sf_dir)
+
+    def pairs(df: DataFrame) -> DataFrame:
+        return _pairs_local(
+            df.filter(F.col("qid") != F.col("vec_id")).select(
+                F.col("qid").alias("vec_a"), F.col("vec_id").alias("vec_b")
+            )
+        )
+
+    rep_h = _recall_report(exact, pairs(sim_binary_hamming_topk(spark, sf_dir)))
+    rep_r = _recall_report(exact, pairs(sim_binary_refined(spark, sf_dir)))
+    return rep_h.select(F.lit("binary").alias("variant"), "*").unionByName(
+        rep_r.select(F.lit("binary_refined").alias("variant"), "*")
+    )

@@ -1056,3 +1056,117 @@ def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- count-min sketch
+
+CM_DEPTH = 4        # independent hash rows
+CM_WIDTH = 1024     # buckets per row
+CM_PROBE_DOCS = 5   # probe set = distinct tokens of doc_id < this
+
+
+def _countmin_oracle() -> str:
+    """Sketch build + probe unrolled per hash row (Python-generated, so
+    both engines use the identical CM_DEPTH salted md5 hashes)."""
+    cells = "\n        UNION ALL ".join(
+        f"SELECT {d} AS d, ({md5_long_sql('tok', f'cm{d}')}) % {CM_WIDTH} AS b"
+        f" FROM tok"
+        for d in range(CM_DEPTH)
+    )
+    phash = "\n        UNION ALL ".join(
+        f"SELECT tok, {d} AS d,"
+        f" ({md5_long_sql('tok', f'cm{d}')}) % {CM_WIDTH} AS b FROM probe"
+        for d in range(CM_DEPTH)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({tokens_sql("text")}) AS tok FROM documents
+    ),
+    cells AS (
+        {cells}
+    ),
+    sketch AS (SELECT d, b, CAST(COUNT(*) AS BIGINT) AS n
+               FROM cells GROUP BY 1, 2),
+    probe AS (SELECT DISTINCT tok FROM tok WHERE doc_id < {CM_PROBE_DOCS}),
+    exact AS (
+        SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM tok t JOIN probe p ON p.tok = t.tok GROUP BY 1
+    ),
+    phash AS (
+        {phash}
+    ),
+    est AS (
+        SELECT ph.tok, MIN(s.n) AS est_n
+        FROM phash ph JOIN sketch s ON s.d = ph.d AND s.b = ph.b
+        GROUP BY 1
+    )
+    SELECT e.tok AS token, x.exact_n, e.est_n,
+           e.est_n - x.exact_n AS over_n
+    FROM est e JOIN exact x ON x.tok = e.tok
+    """
+
+
+@corpus_query("approx_countmin_tokens", oracle=_countmin_oracle())
+def approx_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH over the corpus token stream: {CM_DEPTH} salted
+    hash rows x {CM_WIDTH} buckets, point-queried for the probe set
+    (every distinct token of the first {CM_PROBE_DOCS} docs) and
+    reported against the exact counts — the overestimate column IS the
+    sketch's one-sided error, made a graded corpus fact (est >= exact
+    always; E[over] <= token_volume / width per row, min over rows).
+    Complements approx_heavy_tokens (top-k sketch) and the HLL
+    distinct-count sketch: the full fixed-memory frequency toolbox.
+
+    Parity is exact-by-construction: the {CM_DEPTH} hash functions are
+    the shared salted-md5 (functions/hashing.py) generated into both
+    plans by the same Python loop; counting and min are integers.
+
+    Scale shape: the build explodes each token occurrence into
+    {CM_DEPTH} (row, bucket) cells, but the groupBy's map-side combine
+    bounds the shuffle at {CM_DEPTH}*{CM_WIDTH} cells PER PARTITION
+    regardless of token volume — the fixed-memory property that makes
+    CM the streaming/distributed frequency structure. The probe joins
+    the {CM_DEPTH}*{CM_WIDTH}-row sketch broadcast; exact counts for
+    the probe ride a semi-join-filtered aggregate (bounded probe set,
+    a report-side cost only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    cell_arr = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(md5_long(F.col("tok"), f"cm{d}"), F.lit(CM_WIDTH)).alias(
+                    "b"
+                ),
+            )
+            for d in range(CM_DEPTH)
+        ]
+    )
+    sketch = (
+        tok.select(F.explode(cell_arr).alias("c"))
+        .select("c.d", "c.b")
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    probe = (
+        tok.filter(F.col("doc_id") < CM_PROBE_DOCS).select("tok").distinct()
+    )
+    exact = (
+        tok.join(probe, "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    )
+    phash = probe.select(
+        "tok", F.explode(cell_arr).alias("c")
+    ).select("tok", "c.d", "c.b")
+    est = (
+        phash.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("tok")
+        .agg(F.min("n").alias("est_n"))
+    )
+    return est.join(exact, "tok").select(
+        F.col("tok").alias("token"),
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("over_n"),
+    )

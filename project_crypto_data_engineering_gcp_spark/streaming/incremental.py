@@ -134,6 +134,50 @@ def stream_hourly_rollup(
     )
 
 
+def stream_enriched_rollup(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    static_dim: DataFrame,
+    *,
+    dim_key: str = "user_id",
+    dim_col: str = "cohort_week",
+    watermark: str = "2 hours",
+    query_name: str = "enriched_rollup",
+):
+    """STREAM-STATIC ENRICHMENT: the canonical production composition of
+    a streaming fact source with a slowly-changing batch dimension — the
+    stream joins the static frame (broadcast: the dimension re-resolves
+    per micro-batch, so a dimension refresh is picked up without
+    restarting the query) BEFORE the watermarked tumbling-window
+    aggregate, so windows are keyed by the enrichment attribute rather
+    than the raw stream key. Stream-static equi-joins are stateless on
+    the stream side (no watermark interaction, no join state), which is
+    why this shape scales to any stream rate: per-batch cost is the
+    probe of a broadcast hash table. For a data-sized dimension swap the
+    broadcast for a shuffle join; the composition is unchanged.
+
+    Returns the started AvailableNow query on an in-memory sink."""
+    joined = (
+        events_stream.withWatermark("ts", watermark)
+        .join(F.broadcast(static_dim), dim_key)
+    )
+    agg = (
+        joined.groupBy(F.window("ts", "1 hour").alias("w"), dim_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", 18, 2)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), dim_col, "n", "total_value")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     events_stream: DataFrame,

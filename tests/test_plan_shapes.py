@@ -665,3 +665,57 @@ def test_a18_no_low_cardinality_window_funnel(spark):
     assert specs
     for s in specs:
         assert "__gr_pid" in s, s
+
+
+def test_a19_no_low_cardinality_window_funnel(spark):
+    """a19's per-nation ranks ride grouped_global_rank: every window in
+    the plan must carry the range-partition id, never PARTITION BY the
+    25-value nation key alone."""
+    import re
+
+    df = QUERIES["a19_gini_by_nation"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "extended")
+    specs = re.findall(r"windowspecdefinition\([^)]*?specifiedwindowframe", plan)
+    assert specs
+    for s in specs:
+        assert "__gr_pid" in s, s
+
+
+def test_countmin_probe_broadcast(spark):
+    """The CM probe must join the bounded sketch broadcast (never
+    shuffle the token stream against it) and the build must stay
+    window-free (pure hash aggregate)."""
+    df = QUERIES["approx_countmin_tokens"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_kcore_round_shape(spark):
+    """One peel round is aggregates + broadcast equi-joins only — built
+    inline (the corpus query localCheckpoints each round, truncating
+    the lineage the assertions need to see): no window, no cartesian,
+    survivor joins broadcast."""
+    from pyspark.sql import functions as F
+
+    from project_crypto_data_engineering_gcp_spark.plans.queries_graph import (
+        KCORE_K,
+        _basket_edges,
+    )
+
+    edges = _basket_edges(spark, SF_ORACLE).select("u", "v")
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    keep = deg.filter(F.col("d") >= KCORE_K).select("u")
+    nxt = (
+        sym.join(F.broadcast(keep), "u")
+        .join(F.broadcast(keep.withColumnRenamed("u", "v")), "v")
+        .select("u", "v")
+    )
+    plan = plan_of(nxt)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan

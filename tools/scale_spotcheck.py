@@ -59,6 +59,10 @@ QUERIES = (
     "sim_binary_hamming_topk",
     "sim_binary_refined",
     "text_trigram_novelty",
+    # late-r5: the CM sketch build — shuffle bounded at sketch-size per
+    # partition by map-side combine, so the 10x point should be ~flat
+    # modulo the token-stream scan itself
+    "approx_countmin_tokens",
 )
 
 
