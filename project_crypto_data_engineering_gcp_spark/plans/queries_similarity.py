@@ -1982,3 +1982,65 @@ def sim_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep_h.select(F.lit("binary").alias("variant"), "*").unionByName(
         rep_r.select(F.lit("binary_refined").alias("variant"), "*")
     )
+
+
+# ------------------------------------------- incremental IVF indexing
+
+# pooled BASE inverted file for the incremental path: one per
+# (application, dataset, split-threshold)
+_IVF_INC_MEMO: dict = {}
+
+
+@corpus_query("sim_ann_ivf_incremental", oracle=_IVF_ORACLE)
+def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving with INCREMENTAL INDEXING — the continuous-ingest
+    production shape (the ANN twin of dedup_minhash_incremental): the
+    oldest 90% of the corpus is the PERSISTED base inverted file
+    (pooled; built once per dataset), each run assigns ONLY the new
+    10% batch against the frozen coarse quantizer and serves top-{TOPK_K}
+    from base ∪ delta. The oracle is the FULL-recompute IVF ranking
+    (_IVF_ORACLE, shared verbatim with sim_ann_ivf_topk/_indexed):
+    because a vector's cell assignment depends only on itself and the
+    fixed centroids, delta indexing is provably lossless — the driver
+    hash-check grades that equivalence, not just the query output.
+
+    Scale shape: per-run cost = batch-sized assignment (row-local,
+    centroid matrix in the task closure) + the same broadcast probe-join
+    serve as the inline operator; the base corpus is never re-read, let
+    alone re-assigned. The split threshold derives from max(vec_id)
+    (one bounded 1-row driver scalar, same budget as the centroid
+    collect)."""
+    from ..operators.similarity import (
+        _collect_centroids,
+        ivf_assign_frame,
+        ivf_topk_distributed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"] + 1
+    thr = (n * 9) // 10
+    cent = _collect_centroids(emb, IVF_CELLS)
+
+    def build_base() -> DataFrame:
+        out = ivf_assign_frame(
+            emb.filter(F.col("vec_id") < thr),
+            n_cells=IVF_CELLS,
+            centroids=cent,
+        ).cache()
+        out.count()  # materialize at build; pool hits are action-free
+        return out
+
+    base = bounded_cached(
+        _IVF_INC_MEMO, (spark.sparkContext.applicationId, sf_dir, thr), build_base
+    )
+    delta = ivf_assign_frame(
+        emb.filter(F.col("vec_id") >= thr), n_cells=IVF_CELLS, centroids=cent
+    )
+    return ivf_topk_distributed(
+        emb,
+        k=TOPK_K,
+        query_filter=F.col("vec_id") < TOPK_QUERIES,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        index=base.unionByName(delta),
+    )

@@ -792,3 +792,43 @@ def test_global_rank_matches_window_row_number(spark):
             (F.col("r") != F.col("r_want")) | (F.col("t") != F.col("t_want"))
         ).count()
         assert bad == 0, f"trial {trial} n={n}: {bad} mismatching rows"
+
+
+def test_grouped_global_rank_matches_partitioned_row_number(spark):
+    """grouped_global_rank (range-partition on (group, order) + per-
+    (partition, group) offsets) must equal ROW_NUMBER() OVER
+    (PARTITION BY group ORDER BY ...) on random data — including groups
+    that straddle range-partition boundaries (few groups, many
+    duplicates, several range partitions force straddling) and a group
+    column containing NULL (eqNullSafe offset join)."""
+    from pyspark.sql import Window
+
+    from project_crypto_data_engineering_gcp_spark.operators.rank import (
+        grouped_global_rank,
+    )
+
+    rng = np.random.default_rng(20260815)
+    for trial, n in enumerate((1, 7, 211, 1000)):
+        g = rng.integers(0, 3, size=n).astype("float64")
+        g[rng.random(n) < 0.1] = np.nan  # NULL group rows
+        pdf = pd.DataFrame(
+            {
+                "id": np.arange(n, dtype="int64"),
+                "g": g,
+                "v": rng.integers(0, max(2, n // 10), size=n).astype("int64"),
+            }
+        )
+        df = spark.createDataFrame(pdf).repartition(7)
+        got = grouped_global_rank(
+            df, ["g"], ["v", "id"], rank_col="r", num_partitions=5
+        )
+        w = Window.partitionBy("g").orderBy("v", "id")
+        want = df.select(
+            "id", F.row_number().over(w).cast("bigint").alias("r_want")
+        )
+        bad = (
+            got.join(want, "id")
+            .filter(F.col("r") != F.col("r_want"))
+            .count()
+        )
+        assert bad == 0, f"trial {trial} n={n}: {bad} mismatching rows"
