@@ -87,6 +87,64 @@ def pagerank_fixed_point(
     return ranks.select("node", "r")
 
 
+def kcore_peel(edges: DataFrame, *, k: int, rounds: int) -> DataFrame:
+    """``(node, core_degree)`` after ``rounds`` fixed peel rounds of
+    "drop nodes with degree < k" over the symmetrized undirected edge
+    frame ``(u, v)``. Fixed-round (not to-convergence) for the same
+    determinism reason as :func:`pagerank_fixed_point`; when the peel
+    has converged the output is the true k-core. Survivor lists are
+    broadcast (support-filtered node domain; swap for shuffle joins on
+    a data-sized graph). ``localCheckpoint`` per round: the survivor
+    frame is referenced twice per round (degree count + edge filter),
+    so an uncut plan re-evaluates the base 2^rounds times."""
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        sym = (
+            sym.join(F.broadcast(keep), "u")
+            .join(F.broadcast(keep.withColumnRenamed("u", "v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+
+
+def label_propagation(edges: DataFrame, *, rounds: int) -> DataFrame:
+    """``(node, community)`` after ``rounds`` synchronous label-
+    propagation rounds over the symmetrized edge frame ``(u, v)``:
+    label = own id initially; each round every node adopts the most
+    frequent label among its neighbors, ties to the SMALLEST label (a
+    strict deterministic rule where textbook LPA breaks ties randomly).
+    Per round: one edge-sized equi-join + a map-combinable (node,
+    label) count + a max_by aggregate — no window, no sort."""
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        nl = sym.join(labels.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"), "lbl"
+        )
+        cnt = nl.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max_by(
+                    "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("t"))
+                ).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
 def pagerank_reference(
     edge_list: list[tuple[int, int]],
     *,

@@ -520,22 +520,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle joins — the round structure is unchanged). ``localCheckpoint``
     cuts each round's lineage exactly as in operators/graph.py: the
     survivor frame is referenced twice per round (degree count + edge
-    filter), so an uncut plan re-evaluates the base 2^rounds times."""
+    filter), so an uncut plan re-evaluates the base 2^rounds times.
+    The loop lives in operators/graph.py::kcore_peel (reusable on any
+    edge frame; edge-amplified scale evidence via
+    tools/graph_iter_scale.py)."""
+    from ..operators.graph import kcore_peel
+
     edges = _basket_edges(spark, sf_dir).select("u", "v")
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    for _ in range(KCORE_ROUNDS):
-        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= KCORE_K).select("u")
-        sym = (
-            sym.join(F.broadcast(keep), "u")
-            .join(F.broadcast(keep.withColumnRenamed("u", "v")), "v")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-    return sym.groupBy(F.col("u").alias("p_partkey")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    return kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS).select(
+        F.col("node").alias("p_partkey"), "core_degree"
     )
 
 
@@ -595,26 +588,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is node-sized. ``localCheckpoint`` per round cuts lineage
     exactly as in the k-core peel. The oracle's ROW_NUMBER mirror of
     max_by is windowed per node (n_nodes partitions — parallel, not a
-    funnel)."""
+    funnel). The loop lives in operators/graph.py::label_propagation
+    (reusable on any edge frame; edge-amplified scale evidence via
+    tools/graph_iter_scale.py)."""
+    from ..operators.graph import label_propagation
+
     edges = _basket_edges(spark, sf_dir).select("u", "v")
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
+    return label_propagation(edges, rounds=LPA_ROUNDS).select(
+        F.col("node").alias("p_partkey"), "community"
     )
-    for _ in range(LPA_ROUNDS):
-        nl = sym.join(labels.withColumnRenamed("node", "u"), "u").select(
-            F.col("v").alias("node"), "lbl"
-        )
-        cnt = nl.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
-            cnt.groupBy("node")
-            .agg(
-                F.max_by(
-                    "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("t"))
-                ).alias("lbl")
-            )
-            .localCheckpoint(eager=True)
-        )
-    return labels.select(F.col("node").alias("p_partkey"), F.col("lbl").alias("community"))
