@@ -102,7 +102,14 @@ def kcore_peel(edges: DataFrame, *, k: int, rounds: int) -> DataFrame:
     ).localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= k).select("u")
+        # materialize the survivor list ONCE per round: it feeds TWO
+        # broadcast joins (src + dst filter), and uncut each broadcast
+        # exchange would re-run the degree aggregate over the full edge
+        # frame — doubling exactly the per-round cost this operator's
+        # scale model counts
+        keep = (
+            deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=True)
+        )
         sym = (
             sym.join(F.broadcast(keep), "u")
             .join(F.broadcast(keep.withColumnRenamed("u", "v")), "v")

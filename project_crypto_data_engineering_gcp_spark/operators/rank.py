@@ -123,12 +123,34 @@ def grouped_global_rank(
         .agg(F.coalesce(F.sum(f"b.{_CNT}"), F.lit(0)).alias(_OFF))
     )
 
+    # NULL-SAFE final join: a plain name-based equi-join would silently
+    # DROP every row whose group key is NULL (NULL = NULL never matches)
+    # even though the offsets were computed null-safely above — the join
+    # condition must use eqNullSafe end to end so NULL groups rank as
+    # their own group, exactly like ROW_NUMBER() PARTITION BY does.
+    t, o = tagged.alias("t"), offsets.alias("o")
+    jcond = F.col(f"t.{_PID}") == F.col(f"o.{_PID}")
+    for g in group_cols:
+        jcond = jcond & F.col(f"t.{g}").eqNullSafe(F.col(f"o.{g}"))
     w = Window.partitionBy(_PID, *group_cols).orderBy(*order_cols)
     return (
-        tagged.join(F.broadcast(offsets), [_PID, *group_cols])
+        t.join(F.broadcast(o), jcond)
+        .select("t.*", f"o.{_OFF}")
         .withColumn(rank_col, (F.col(_OFF) + F.row_number().over(w)).cast("bigint"))
         .drop(_PID, _OFF)
     )
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact floor-division of non-negative INTEGER columns of any
+    magnitude: ``(a - pmod(a, b)) / b`` in DECIMAL(38,0) — the dividend
+    is made exactly divisible first, so the decimal division's result is
+    an integer representable at any scale (no double rounding, unlike a
+    plain ``(a / b).cast('bigint')`` which goes through IEEE double and
+    loses exactness past 2^53)."""
+    a38 = a.cast("decimal(38,0)")
+    b38 = b.cast("decimal(38,0)")
+    return ((a38 - F.pmod(a38, b38)) / b38).cast("bigint")
 
 
 def ntile_from_rank(rank: Column, n_rows: Column, n_buckets: int) -> Column:
@@ -137,13 +159,15 @@ def ntile_from_rank(rank: Column, n_rows: Column, n_buckets: int) -> Column:
 
     NTILE semantics: with ``q = N div n`` and ``r = N mod n``, the first
     ``r`` buckets hold ``q+1`` rows and the rest hold ``q`` — exact
-    integer arithmetic, so buckets match any engine's NTILE bit-for-bit.
+    integer arithmetic end to end (``_idiv``: decimal floor-division, no
+    IEEE-double detour), so buckets match any engine's NTILE bit-for-bit
+    at ANY row count, including past 2^53.
     """
-    q = (n_rows / n_buckets).cast("bigint")
+    q = _idiv(n_rows, F.lit(n_buckets))
     r = n_rows % n_buckets
     big = r * (q + 1)  # rows covered by the size-(q+1) buckets
     return (
-        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("bigint") + 1)
-        .otherwise(r + ((rank - big - 1) / F.greatest(q, F.lit(1))).cast("bigint") + 1)
+        F.when(rank <= big, _idiv(rank - 1, q + 1) + 1)
+        .otherwise(r + _idiv(rank - big - 1, F.greatest(q, F.lit(1))) + 1)
         .cast("int")
     )

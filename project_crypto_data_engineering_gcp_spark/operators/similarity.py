@@ -418,6 +418,7 @@ def ivf_topk_distributed(
     n_probe: int,
     round_digits: int = 6,
     index: DataFrame | None = None,
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN top-k, cell-partitioned: the coarse quantizer is the first
     ``n_cells`` vectors by vec_id (deterministic, reproducible, and
@@ -429,12 +430,16 @@ def ivf_topk_distributed(
     the cell id selects candidates — compute scales with
     n_probe / n_cells of the index, pruned in the join before any full
     dot product runs. Vectors never shuffle: the join is broadcast and
-    the ranking window moves scalars only."""
+    the ranking window moves scalars only. Pass ``centroids`` (from
+    :func:`_collect_centroids`) to reuse an already-collected quantizer
+    — callers that assigned a delta batch themselves would otherwise pay
+    a second identical driver collect."""
     rd = int(round_digits)
     spark = emb.sparkSession
-    cent_ids, cmat = _collect_centroids(emb, n_cells)  # one driver job,
-    # shared by the probe builder below and (when index is None) the
-    # assignment pass
+    cent_ids, cmat = (
+        centroids if centroids is not None else _collect_centroids(emb, n_cells)
+    )  # one driver job, shared by the probe builder below and (when
+    # index is None) the assignment pass
 
     if index is None:
         index = ivf_assign_frame(

@@ -2043,4 +2043,5 @@ def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=IVF_CELLS,
         n_probe=IVF_PROBE,
         index=base.unionByName(delta),
+        centroids=cent,
     )

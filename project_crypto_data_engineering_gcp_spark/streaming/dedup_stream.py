@@ -33,7 +33,9 @@ same bytes. A transactional table format (the Delta path this
 environment can't exercise; see README §Delta Lake status) would give
 the same guarantee without the directory convention. Readers see the
 state as ordinary partitioned parquet (the ``epoch`` partition column
-is dropped on read).
+is dropped on read). Direct (non-stream) callers write the same layout
+under synthetic negative epochs, so one state_dir never mixes flat and
+partitioned files (which would break partition discovery on read).
 """
 
 from __future__ import annotations
@@ -103,22 +105,38 @@ def dedup_batch_against_state(
     With ``epoch_id`` set (the foreachBatch path), every state write
     goes to an ``epoch=<id>`` subdirectory in OVERWRITE mode — replaying
     a crashed epoch replaces its own partial output, making the fold
-    idempotent. Without it (direct batch callers), writes append."""
+    idempotent. Direct batch callers (``epoch_id=None``) get the SAME
+    layout under synthetic NEGATIVE epochs (-1, -2, ... derived from the
+    bands listing, no clock): one uniform partitioned directory tree,
+    because mixing flat root files with epoch= subdirectories would make
+    every subsequent read of the root fail partition discovery
+    ('Conflicting directory structures'). Stream epochs (>= 0) and
+    direct calls (< 0) can therefore share a state_dir safely."""
+    import re
+
     bands_path = os.path.join(state_dir, "bands")
     docs_path = os.path.join(state_dir, "docs")
     pairs_path = os.path.join(state_dir, "pairs")
+
+    eff_epoch = epoch_id
+    if eff_epoch is None:
+        neg = [
+            int(m.group(1))
+            for d in (
+                os.listdir(bands_path) if os.path.exists(bands_path) else ()
+            )
+            if (m := re.match(r"epoch=(-\d+)$", d))
+        ]
+        eff_epoch = (min(neg) - 1) if neg else -1
 
     def write_state(df: DataFrame, path: str) -> None:
         # coalesce(1): the frames are batch-sized and an append per batch
         # would otherwise shed shuffle-partition-many tiny files, inflating
         # every later index read's listing (a real cluster would target
         # file-size-based coalesce / run sources.maintenance compaction)
-        if epoch_id is None:
-            df.coalesce(1).write.mode("append").parquet(path)
-        else:
-            df.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(path, f"epoch={epoch_id}")
-            )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, f"epoch={eff_epoch}")
+        )
 
     batch = batch.select("doc_id", "text").cache()
     toks_b = _shingles(batch).cache()

@@ -809,19 +809,26 @@ def test_grouped_global_rank_matches_partitioned_row_number(spark):
 
     rng = np.random.default_rng(20260815)
     for trial, n in enumerate((1, 7, 211, 1000)):
-        g = rng.integers(0, 3, size=n).astype("float64")
-        g[rng.random(n) < 0.1] = np.nan  # NULL group rows
-        pdf = pd.DataFrame(
-            {
-                "id": np.arange(n, dtype="int64"),
-                "g": g,
-                "v": rng.integers(0, max(2, n // 10), size=n).astype("int64"),
-            }
-        )
-        df = spark.createDataFrame(pdf).repartition(7)
+        # REAL None group keys (not NaN — a pandas float NaN arrives in
+        # Spark as a joinable double NaN, which would never exercise the
+        # null-safe join path this test exists to pin)
+        rows = [
+            (
+                int(i),
+                None if rng.random() < 0.1 else int(rng.integers(0, 3)),
+                int(rng.integers(0, max(2, n // 10))),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "id bigint, g bigint, v bigint"
+        ).repartition(7)
         got = grouped_global_rank(
             df, ["g"], ["v", "id"], rank_col="r", num_partitions=5
         )
+        # row-count first: a row-DROPPING implementation must fail here,
+        # not vanish inside the inner join below
+        assert got.count() == n, f"trial {trial}: rows lost"
         w = Window.partitionBy("g").orderBy("v", "id")
         want = df.select(
             "id", F.row_number().over(w).cast("bigint").alias("r_want")

@@ -300,3 +300,37 @@ def test_stream_dedup_epoch_replay_is_idempotent(spark, tmp_path):
         again = sorted(map(tuple, spark.read.parquet(f"{state}/{sub}")
                            .drop("epoch").collect()))
         assert again == snapshot[sub], f"{sub} changed under replay"
+
+
+def test_stream_dedup_mixed_direct_and_epoch_layout(spark, tmp_path):
+    """Direct (epoch_id=None) and foreachBatch (epoch_id>=0) calls must
+    share one state_dir: direct calls write synthetic NEGATIVE epoch
+    subdirectories, so the root never mixes flat files with partition
+    directories (which would fail partition discovery on the next
+    read). Seed state directly, then run epoch-mode batches on the same
+    dir — every subsequent read of the state must still work and the
+    doc store must hold all docs exactly once."""
+    from project_crypto_data_engineering_gcp_spark.sources.tables import load_table
+    from project_crypto_data_engineering_gcp_spark.streaming.dedup_stream import (
+        dedup_batch_against_state,
+    )
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 4 == 0)
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 2)
+    state = str(tmp_path / "state")
+
+    dedup_batch_against_state(spark, b0, state)              # direct: epoch=-1
+    dedup_batch_against_state(spark, b1, state)              # direct: epoch=-2
+    dedup_batch_against_state(spark, b2, state, epoch_id=0)  # stream epoch
+    stored = spark.read.parquet(f"{state}/docs")
+    assert "epoch" in stored.columns  # uniform partitioned layout
+    ids = sorted(r["doc_id"] for r in stored.select("doc_id").collect())
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 4 != 3).select("doc_id").collect()
+    )
+    assert ids == want  # each doc exactly once, all three modes visible

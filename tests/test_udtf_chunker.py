@@ -46,3 +46,18 @@ def test_udtf_matches_jvm_chunker(spark):
 
 def test_udtf_registration_returns_name(spark):
     assert register_chunk_udtf(spark, "sg_chunk2") == "sg_chunk2"
+
+
+def test_udtf_constants_lock_step():
+    """The UDTF's size/stride must stay in lock-step with the canonical
+    curate_chunk_overlap constants — structural pin so a retune of one
+    side fails fast here, not only via output drift."""
+    from project_crypto_data_engineering_gcp_spark.functions import (
+        udtf_chunker,
+    )
+    from project_crypto_data_engineering_gcp_spark.plans import (
+        queries_curation,
+    )
+
+    assert udtf_chunker.CHUNK_SIZE == queries_curation.CHUNK_SIZE
+    assert udtf_chunker.CHUNK_STRIDE == queries_curation.CHUNK_STRIDE

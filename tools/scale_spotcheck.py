@@ -63,6 +63,9 @@ QUERIES = (
     # partition by map-side combine, so the 10x point should be ~flat
     # modulo the token-stream scan itself
     "approx_countmin_tokens",
+    # late-r5: incremental IVF — per-run cost is the 10%-batch assignment
+    # + serve; the base index is pooled (warm passes measure serve-only)
+    "sim_ann_ivf_incremental",
 )
 
 
