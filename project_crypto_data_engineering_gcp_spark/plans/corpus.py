@@ -51,12 +51,12 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 # Next come the first FIVE r5 additions (never-checked by definition),
 # and the remaining 8 slots go to the OLDEST stale evidence (newest row
 # r2): the crypto gold/dashboard family (the reference's own surface,
-# 7) and the scalar pandas-UDF entry. Registry: 193 queries (the eight
+# 7) and the scalar pandas-UDF entry. Registry: 194 queries (the nine
 # late-r5 additions — sim_binary_recall, graph_kcore,
 # a19_gini_by_nation, dq_benford_leading_digit, approx_countmin_tokens,
 # streaming_static_enrichment, graph_label_propagation,
-# sim_ann_ivf_incremental — land in the rollover queue below, first in
-# line for r6 under policy (a)).
+# sim_ann_ivf_incremental, text_bpe_train_merges — land in the rollover
+# queue below, first in line for r6 under policy (a)).
 #
 # STALENESS TRIAGE (r4 verdict task 5) — with 180 queries and a ~50-slot
 # window, the "newest row <= 2 rounds old" invariant is arithmetically
@@ -136,7 +136,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     # (displaced to r6 by the five r5 additions: pandas_grouped_zscore,
     # q1/q3/q5 — all three covered every round by bench.py regression
     # numbers — and curate_decontaminate, likewise a bench headline.)
-    # ---- ROLLOVER QUEUE (positions 51+): the eight late-r5 additions,
+    # ---- ROLLOVER QUEUE (positions 51+): the nine late-r5 additions,
     # never driver-checked (local parity green), lead the r6 window
     # under policy (a) together with the 37 r2-stale refreshers from
     # the triage note above. ----
@@ -148,6 +148,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_static_enrichment",
     "graph_label_propagation",
     "sim_ann_ivf_incremental",
+    "text_bpe_train_merges",
 )
 
 

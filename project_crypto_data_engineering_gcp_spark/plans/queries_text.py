@@ -1170,3 +1170,184 @@ def approx_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_n",
         (F.col("est_n") - F.col("exact_n")).alias("over_n"),
     )
+
+
+# --------------------------------------------- BPE tokenizer training
+
+BPE_MERGE_ROUNDS = 3  # unrolled greedy merges (both engines run exactly these)
+
+
+def _bpe_train_oracle() -> str:
+    """The BPE training loop unrolled CTE-per-merge (the PageRank/k-core
+    technique): each round counts adjacent token pairs, picks the global
+    top pair (count DESC, then lexicographic — fully deterministic), and
+    merges its leftmost-nonoverlapping occurrences corpus-wide. Greedy
+    left-to-right merging is made PARALLEL-SAFE by run-parity islands:
+    for a != b candidate starts can never be adjacent, and for a == b a
+    run of k candidates keeps exactly the even offsets within the run —
+    a gaps-and-islands window per document, no sequential scan."""
+    parts = [
+        f"""WITH tok0 AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+        FROM (SELECT doc_id, {tokens_sql("text")} AS t FROM documents) s
+    )"""
+    ]
+    for r in range(BPE_MERGE_ROUNDS):
+        parts.append(
+            f""",
+    pairs{r} AS (
+        SELECT t.tok AS a, u.tok AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok{r} t
+        JOIN tok{r} u ON u.doc_id = t.doc_id AND u.pos = t.pos + 1
+        GROUP BY 1, 2
+    ),
+    top{r} AS (SELECT a, b, c FROM pairs{r} ORDER BY c DESC, a, b LIMIT 1),
+    cand{r} AS (
+        SELECT t.doc_id, t.pos
+        FROM tok{r} t
+        JOIN tok{r} u ON u.doc_id = t.doc_id AND u.pos = t.pos + 1
+        JOIN top{r} tp ON t.tok = tp.a AND u.tok = tp.b
+    ),
+    isl{r} AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS island
+        FROM cand{r}
+    ),
+    keep{r} AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   MIN(pos) OVER (PARTITION BY doc_id, island) AS isl_start
+            FROM isl{r}) g
+        WHERE (pos - isl_start) % 2 = 0
+    ),
+    tok{r + 1} AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+               tok
+        FROM (
+            SELECT t.doc_id, t.pos,
+                   CASE WHEN k1.pos IS NOT NULL
+                        THEN concat(tp.a, ' ', tp.b) ELSE t.tok END AS tok
+            FROM tok{r} t
+            CROSS JOIN top{r} tp
+            LEFT JOIN keep{r} k1
+                   ON k1.doc_id = t.doc_id AND k1.pos = t.pos
+            LEFT JOIN keep{r} k2
+                   ON k2.doc_id = t.doc_id AND k2.pos = t.pos - 1
+            WHERE k2.pos IS NULL
+        ) m
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r + 1} AS round, concat(a, ' ', b) AS merged_pair, c"
+        f" AS n_occurrences FROM top{r}"
+        for r in range(BPE_MERGE_ROUNDS)
+    )
+    parts.append(f"\n    {unions}")
+    return "".join(parts)
+
+
+@corpus_query("text_bpe_train_merges", oracle=_bpe_train_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING, {BPE_MERGE_ROUNDS} merge rounds corpus-
+    wide: count adjacent token pairs, adopt the most frequent pair as a
+    merge rule (ties broken lexicographically — deterministic where
+    textbook BPE is arbitrary), rewrite the corpus with the merge
+    applied leftmost-nonoverlapping, repeat. Returns the learned merge
+    table (round, merged_pair, n_occurrences) — the successor of
+    text_bpe_pair_counts (which is exactly round 1's count stage).
+
+    The classically-sequential greedy merge parallelizes exactly: for a
+    pair (a, b) with a != b two candidate starts can never be adjacent
+    (the token after a kept candidate is b != a), so every candidate
+    merges; for a == b, candidates form runs and greedy keeps the even
+    offsets within each run — a per-document gaps-and-islands window
+    (pos - ROW_NUMBER), no sequential scan anywhere. n_occurrences is
+    the raw adjacency count (the statistic BPE ranks by), which may
+    count overlaps within an a==a run.
+
+    Scale shape: per round ONE (doc_id, pos)-keyed adjacency self-join
+    + a map-combinable pair count + a global top-1 (TakeOrdered over
+    partial tops, 1-row broadcast back) + two per-document windows
+    (doc-sized partitions — parallel). Token positions REINDEX each
+    round so adjacency stays an equi-join. ``localCheckpoint`` per
+    round cuts the re-evaluation of the token frame (referenced by
+    both the pair count and the rewrite), the same discipline as
+    pagerank/k-core/LPA."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok"
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for r in range(BPE_MERGE_ROUNDS):
+        t, u = tok.alias("t"), tok.alias("u")
+        adj = t.join(
+            u,
+            (F.col("u.doc_id") == F.col("t.doc_id"))
+            & (F.col("u.pos") == F.col("t.pos") + 1),
+        )
+        pairs = adj.groupBy(
+            F.col("t.tok").alias("a"), F.col("u.tok").alias("b")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        top = pairs.orderBy(F.desc("c"), "a", "b").limit(1)
+        merges.append(
+            top.select(
+                F.lit(r + 1).alias("round"),
+                F.concat_ws(" ", "a", "b").alias("merged_pair"),
+                F.col("c").alias("n_occurrences"),
+            )
+        )
+        cand = (
+            adj.join(
+                F.broadcast(top),
+                (F.col("t.tok") == F.col("a")) & (F.col("u.tok") == F.col("b")),
+            )
+            .select(F.col("t.doc_id").alias("doc_id"), F.col("t.pos").alias("pos"))
+        )
+        wd = Window.partitionBy("doc_id").orderBy("pos")
+        isl = cand.withColumn("island", F.col("pos") - F.row_number().over(wd))
+        wi = Window.partitionBy("doc_id", "island")
+        keep = (
+            isl.withColumn("isl_start", F.min("pos").over(wi))
+            .filter((F.col("pos") - F.col("isl_start")) % 2 == 0)
+            .select("doc_id", "pos")
+        )
+        rewritten = (
+            tok.crossJoin(F.broadcast(top))
+            .join(
+                keep.withColumn("__is_start", F.lit(True)),
+                ["doc_id", "pos"],
+                "left",
+            )
+            .join(
+                keep.select(
+                    "doc_id", (F.col("pos") + 1).alias("pos")
+                ).withColumn("__is_consumed", F.lit(True)),
+                ["doc_id", "pos"],
+                "left",
+            )
+            .filter(F.col("__is_consumed").isNull())
+            .select(
+                "doc_id",
+                "pos",
+                F.when(
+                    F.col("__is_start"), F.concat_ws(" ", "a", "b")
+                ).otherwise(F.col("tok")).alias("tok"),
+            )
+        )
+        tok = rewritten.select(
+            "doc_id",
+            F.row_number().over(wd).cast("bigint").alias("pos"),
+            "tok",
+        ).localCheckpoint(eager=True)
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
