@@ -79,6 +79,9 @@ HEADLINE = (
     # whose regressions the bench should catch
     "graph_kcore",
     "a19_gini_by_nation",
+    # late-r5: BPE tokenizer training (3 merge rounds over the token
+    # stream) — the heaviest text shape, regression-tracked
+    "text_bpe_train_merges",
 )
 
 

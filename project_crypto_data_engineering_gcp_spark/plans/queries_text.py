@@ -1286,14 +1286,16 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merges = []
     for r in range(BPE_MERGE_ROUNDS):
-        t, u = tok.alias("t"), tok.alias("u")
-        adj = t.join(
-            u,
-            (F.col("u.doc_id") == F.col("t.doc_id"))
-            & (F.col("u.pos") == F.col("t.pos") + 1),
+        wd = Window.partitionBy("doc_id").orderBy("pos")
+        # adjacency via lead() over the per-doc window — ONE shuffle of
+        # one frame per round, where a (doc, pos+1) self-join would
+        # shuffle both sides (the oracle keeps the join formulation;
+        # lead over a strict per-doc order is definitionally identical)
+        adj = tok.withColumn("tok_b", F.lead("tok").over(wd)).filter(
+            F.col("tok_b").isNotNull()
         )
         pairs = adj.groupBy(
-            F.col("t.tok").alias("a"), F.col("u.tok").alias("b")
+            F.col("tok").alias("a"), F.col("tok_b").alias("b")
         ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         top = pairs.orderBy(F.desc("c"), "a", "b").limit(1)
         merges.append(
@@ -1306,11 +1308,10 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = (
             adj.join(
                 F.broadcast(top),
-                (F.col("t.tok") == F.col("a")) & (F.col("u.tok") == F.col("b")),
+                (F.col("tok") == F.col("a")) & (F.col("tok_b") == F.col("b")),
             )
-            .select(F.col("t.doc_id").alias("doc_id"), F.col("t.pos").alias("pos"))
+            .select("doc_id", "pos")
         )
-        wd = Window.partitionBy("doc_id").orderBy("pos")
         isl = cand.withColumn("island", F.col("pos") - F.row_number().over(wd))
         wi = Window.partitionBy("doc_id", "island")
         keep = (
