@@ -149,6 +149,10 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "graph_label_propagation",
     "sim_ann_ivf_incremental",
     "text_bpe_train_merges",
+    # policy (b): rewritten integer-exact late in r5 (ROUND-tie fix
+    # found by tools/parity_sf01.py) after its last driver row — joins
+    # the additions at the head of the r6 window
+    "text_token_diversity",
 )
 
 

@@ -1281,21 +1281,22 @@ EMA_LAGS = 8  # decay horizon: weights 2^0 .. 2^-(EMA_LAGS-1)
 
 
 def _ema_terms_sql(cents: str, lag_fmt: str) -> tuple[str, str]:
-    """(numerator, denominator) expressions for the dyadic-weight EMA.
-
-    Weights are powers of two, so every product cents * 2^-j is EXACTLY
-    representable as a double (cents < 2^31, j < {EMA_LAGS}: well within
-    the 53-bit mantissa), and the numerator/denominator are built as
-    FIXED-ORDER chains of exact dyadic additions — bit-identical in any
-    engine, at any parallelism, unlike a float SUM whose value depends
-    on accumulation order. ``lag_fmt`` formats the j-th lagged cents
+    """(numerator, denominator) INTEGER expressions for the dyadic-weight
+    EMA: weight 2^-j becomes the integer scale 2^(EMA_LAGS-1-j), so both
+    sums are exact BIGINTs and the quotient N/D equals the weighted mean
+    exactly — no double anywhere. (An earlier formulation kept the sums
+    as exact dyadic doubles and ROUND(num/den, 6)ed the quotient; the
+    sums and quotient were bit-exact, but ROUND(double, 6) itself
+    disagrees between engines on representation ties — caught by
+    tools/parity_sf01.py at sf0.1, 5 rows in 150k. Integer fixed-point
+    removes the hazard class.) ``lag_fmt`` formats the j-th lagged cents
     expression (engine-specific window syntax)."""
     nums, dens = [], []
     for j in range(EMA_LAGS):
-        w = repr(0.5**j)  # exact short decimal of a power of two
+        w = 1 << (EMA_LAGS - 1 - j)
         lj = lag_fmt.format(j=j, cents=cents)
-        nums.append(f"COALESCE(CAST({lj} AS DOUBLE) * {w}, 0.0)")
-        dens.append(f"CASE WHEN {lj} IS NOT NULL THEN {w} ELSE 0.0 END")
+        nums.append(f"COALESCE(CAST({lj} AS BIGINT) * {w}, 0)")
+        dens.append(f"CASE WHEN {lj} IS NOT NULL THEN {w} ELSE 0 END")
     return " + ".join(nums), " + ".join(dens)
 
 
@@ -1310,7 +1311,7 @@ def _w8_ema_oracle() -> str:
     num, den = num.format(cents=cents), den.format(cents=cents)
     return f"""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           ROUND(({num}) / ({den}), 6) AS ema_cents
+           CAST((1000000 * ({num})) // ({den}) AS BIGINT) AS ema_microcents
     FROM orders
     """
 
@@ -1319,13 +1320,16 @@ def _w8_ema_oracle() -> str:
 def w8_ema_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-decayed spend per customer — the time-decay feature
     (recent behavior weighted 2x over each step back) that activity /
-    churn models consume. EMA is inherently order-sensitive float math;
-    this one is DETERMINISTIC: weights are powers of two (every term an
-    exact dyadic double), cents are exact integers via a DECIMAL cast,
-    and the {EMA_LAGS}-term numerator/denominator are fixed-order
-    expression chains — no float aggregation whose value could depend on
-    partition merge order. Missing lags (short histories) drop out of
-    both numerator and normalizer.
+    churn models consume. EMA is classically order-sensitive float math;
+    this one is PURE INTEGER: power-of-two weights become integer scales
+    2^({EMA_LAGS}-1-j), cents are exact integers via a DECIMAL cast, and
+    the result is floor-divided micro-cents — bit-identical in any
+    engine at any parallelism. (The previous dyadic-double + ROUND(_, 6)
+    form had exact sums and quotients, yet still diverged from the
+    oracle on 5 of 150k rows at sf0.1 — the two engines' ROUND(double)
+    disagree on representation ties; tools/parity_sf01.py caught it.)
+    Missing lags (short histories) drop out of both numerator and
+    normalizer.
 
     Plan: ONE window shuffle on o_custkey; all {EMA_LAGS} lags share the
     same window spec, so Catalyst evaluates them in a single Window
@@ -1348,7 +1352,9 @@ def w8_ema_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.expr(num) / F.expr(den), 6).alias("ema_cents"),
+        F.expr(f"CAST((1000000 * ({num})) DIV ({den}) AS BIGINT)").alias(
+            "ema_microcents"
+        ),
     )
 
 

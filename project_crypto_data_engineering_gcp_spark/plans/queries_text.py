@@ -521,30 +521,32 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     arrs AS (
         SELECT doc_id,
-               list(c ORDER BY tok) AS cs,
+               CAST(SUM(c * c) AS BIGINT) AS sum_c2,
                CAST(SUM(c) AS BIGINT) AS n_tokens,
                COUNT(*) AS n_distinct
         FROM counts GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, n_distinct,
-           ROUND(1.0 - list_sum(list_transform(cs,
-                     c -> (c / n_tokens) * (c / n_tokens))), 6)
-               AS gini_diversity
+           CAST(1000000 * (n_tokens * n_tokens - sum_c2)
+                // (n_tokens * n_tokens) AS BIGINT) AS gini_ppm
     FROM arrs
     """,
 )
 def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram diversity quality signal: Gini impurity 1 - sum p_i^2 of
     each document's token distribution — near 0 for degenerate repeated-
-    token spam, near 1 for flat natural text. Chosen over Shannon
-    entropy deliberately: Gini is pure rational arithmetic (no ln whose
-    last-ulp differences vary by libm), so with a token-sorted
-    sequential fold the score is bit-identical across engines — the
-    differential-testable member of the concentration-metric family.
+    token spam, near 1_000_000 ppm for flat natural text. Chosen over
+    Shannon entropy deliberately: Gini is pure rational arithmetic (no
+    ln whose last-ulp differences vary by libm) — and it is kept FULLY
+    integer here: 1 - sum(c^2)/n^2 = (n^2 - sum c^2) / n^2, a floor-
+    divided ppm of exact BIGINTs. (The previous form folded doubles and
+    ROUND(_, 6)ed — bit-exact fold, but ROUND(double) itself disagrees
+    between engines on representation ties; tools/parity_sf01.py caught
+    one such row in 50k at sf0.1. Integer ppm removes the hazard.)
 
-    Scale: one map-side-combinable groupBy for counts; the per-doc fold
-    runs over each doc's DISTINCT tokens (bounded by vocabulary), inside
-    the aggregation stage — no second shuffle, no Python."""
+    Scale: two map-side-combinable groupBys (token counts, then per-doc
+    moments) — the per-doc square-sum needs no sorted fold and no array
+    state at all, a strict simplification of the old fold shape."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
@@ -552,24 +554,18 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     arrs = counts.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("tok", "c"))),
-            lambda s: s["c"],
-        ).alias("cs"),
-        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_distinct"),
-    )
-    gini = F.lit(1.0) - F.aggregate(
-        "cs",
-        F.lit(0.0),
-        lambda acc, c: acc
-        + (c / F.col("n_tokens")) * (c / F.col("n_tokens")),
     )
     return arrs.select(
         "doc_id",
         "n_tokens",
         "n_distinct",
-        F.round(gini, 6).alias("gini_diversity"),
+        F.expr(
+            "CAST(1000000 * (n_tokens * n_tokens - sum_c2)"
+            " DIV (n_tokens * n_tokens) AS BIGINT)"
+        ).alias("gini_ppm"),
     )
 
 

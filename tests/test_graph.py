@@ -189,7 +189,7 @@ def test_ema_single_window_pass_and_bounds(spark):
     assert plan.count("Window") == 1
     assert plan.count("Exchange") <= 1
     rows = df.collect()
-    assert rows and all(r["ema_cents"] > 0 for r in rows)
+    assert rows and all(r["ema_microcents"] > 0 for r in rows)
 
 
 def test_pagerank_operator_matches_python_reference(spark):

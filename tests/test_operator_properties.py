@@ -472,8 +472,9 @@ def test_retention_cohort_invariants(spark):
 
 
 def test_gini_diversity_bounds_and_extremes(spark):
-    """Gini diversity sits in [0, 1): 0 exactly for single-token docs
-    (if any) and strictly below 1 always; n_distinct <= n_tokens."""
+    """Gini diversity (integer ppm) sits in [0, 1e6): 0 exactly for
+    single-token docs (if any) and strictly below 1e6 always;
+    n_distinct <= n_tokens."""
     from project_crypto_data_engineering_gcp_spark.plans import all_queries
 
     from .conftest import SF_ORACLE
@@ -481,10 +482,10 @@ def test_gini_diversity_bounds_and_extremes(spark):
     rows = all_queries()["text_token_diversity"].fn(spark, SF_ORACLE).collect()
     assert rows
     for r in rows:
-        assert 0.0 <= r["gini_diversity"] < 1.0
+        assert 0 <= r["gini_ppm"] < 1_000_000
         assert 1 <= r["n_distinct"] <= r["n_tokens"]
         if r["n_distinct"] == 1:
-            assert r["gini_diversity"] == 0.0
+            assert r["gini_ppm"] == 0
 
 
 def test_cumulative_distinct_monotone_and_consistent(spark):
