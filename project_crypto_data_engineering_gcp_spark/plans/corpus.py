@@ -51,12 +51,14 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 # Next come the first FIVE r5 additions (never-checked by definition),
 # and the remaining 8 slots go to the OLDEST stale evidence (newest row
 # r2): the crypto gold/dashboard family (the reference's own surface,
-# 7) and the scalar pandas-UDF entry. Registry: 194 queries (the nine
-# late-r5 additions — sim_binary_recall, graph_kcore,
+# 7) and the scalar pandas-UDF entry. Registry: 196 queries (the
+# eleven late-r5 additions — sim_binary_recall, graph_kcore,
 # a19_gini_by_nation, dq_benford_leading_digit, approx_countmin_tokens,
 # streaming_static_enrichment, graph_label_propagation,
-# sim_ann_ivf_incremental, text_bpe_train_merges — land in the rollover
-# queue below, first in line for r6 under policy (a)).
+# sim_ann_ivf_incremental, text_bpe_train_merges, feat_user_activity,
+# mm_simhash_payload — land in the rollover queue below, first in line
+# for r6 under policy (a); text_token_diversity joins them under
+# policy (b)).
 #
 # STALENESS TRIAGE (r4 verdict task 5) — with 180 queries and a ~50-slot
 # window, the "newest row <= 2 rounds old" invariant is arithmetically
@@ -149,6 +151,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "graph_label_propagation",
     "sim_ann_ivf_incremental",
     "text_bpe_train_merges",
+    "feat_user_activity",
+    "mm_simhash_payload",
     # policy (b): rewritten integer-exact late in r5 (ROUND-tie fix
     # found by tools/parity_sf01.py) after its last driver row — joins
     # the additions at the head of the r6 window

@@ -169,3 +169,142 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     nibble extraction off ``hex(encode(text))``) agree bit-for-bit."""
     media = as_media_frame(load_table(spark, sf_dir, "documents"))
     return byte_histogram(media)
+
+
+# ----------------------------------------- binary-payload near-dedup
+
+MM_SIMHASH_BITS = 32
+MM_SIMHASH_BANDS = 4          # 4 bands x 8 bits
+MM_HAMMING_MAX = 3            # <= bands - 1 -> recall exact by pigeonhole
+MM_GRAM_BYTES = 4             # non-overlapping payload 4-grams
+
+
+def _mm_simhash_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(MM_SIMHASH_BITS)
+    )
+    hash_expr = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(MM_SIMHASH_BITS)
+    )
+    band_rows = "\n        UNION ALL ".join(
+        f"SELECT doc_id, simhash, {k} AS k,"
+        f" (simhash >> {8 * k}) & 255 AS bv FROM sh"
+        for k in range(MM_SIMHASH_BANDS)
+    )
+    return f"""
+    WITH grams AS (
+        SELECT doc_id, {md5_long_sql("gram")} AS h FROM (
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, length(text) + 1, {MM_GRAM_BYTES}),
+                           p -> substr(text, p, {MM_GRAM_BYTES}))) AS gram
+                FROM documents) u) d
+    ),
+    bits AS (SELECT doc_id, {bit_sums} FROM grams GROUP BY doc_id),
+    sh AS (SELECT doc_id, {hash_expr} AS simhash FROM bits),
+    bands AS (
+        {band_rows}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM bands a
+        JOIN bands b ON b.k = a.k AND b.bv = a.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cands WHERE bit_count(xor(ha, hb)) <= {MM_HAMMING_MAX}
+    """
+
+
+@corpus_query("mm_simhash_payload", oracle=_mm_simhash_oracle())
+def mm_simhash_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dedup for BINARY payloads (the multimodal rung of the dedup
+    ladder — dedup_exact's sha256 only catches bit-identical media):
+    {MM_SIMHASH_BITS}-bit SimHash over distinct non-overlapping
+    {MM_GRAM_BYTES}-byte payload grams, banded into {MM_SIMHASH_BANDS} x
+    8-bit keys for candidate generation, exact Hamming verify via
+    xor+popcount. Recall is EXACT BY PIGEONHOLE at this threshold: a
+    pair with Hamming <= {MM_HAMMING_MAX} differs in at most
+    {MM_HAMMING_MAX} of {MM_SIMHASH_BANDS} bands, so at least one band
+    matches exactly and the pair always becomes a candidate — banding
+    here is pure pruning, not approximation.
+
+    Scale shape: sketch = one map-side-combinable vote aggregate (the
+    dedup_simhash shape, over payload grams instead of tokens); the
+    pairwise stage is gated on the band equi-join, never all-pairs;
+    verify is integer xor+popcount on two 32-bit signatures. Payload
+    bytes are the documents text stand-in (module docstring), so gram
+    slicing is the same char-based substring in both engines."""
+    from ..functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN length(text) < 1 THEN array() ELSE "
+                    f"transform(sequence(1, length(text), {MM_GRAM_BYTES}),"
+                    f" p -> substring(text, p, {MM_GRAM_BYTES})) END"
+                )
+            )
+        ).alias("gram"),
+    ).select("doc_id", md5_long("gram").alias("h"))
+    bits = grams.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(MM_SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for i in range(MM_SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    sh = bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftright(F.col("simhash"), 8 * k)
+                        .bitwiseAND(255)
+                        .alias("bv"),
+                    )
+                    for k in range(MM_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.k", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("b.k") == F.col("a.k"))
+            & (F.col("b.bv") == F.col("a.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cands.filter(hamming <= MM_HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+    )

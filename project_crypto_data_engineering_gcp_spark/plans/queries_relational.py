@@ -2279,3 +2279,90 @@ def a19_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (n * s0) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------- ML feature-store export
+
+
+@corpus_query(
+    "feat_user_activity",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+    f AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS active_days,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                       AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS purchase_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT f.user_id, f.n_events, f.n_purchases, f.n_errors,
+           f.active_days, f.first_ts, f.last_ts, f.purchase_cents,
+           CAST(date_diff('microseconds', f.last_ts, g.gmax) AS BIGINT)
+               AS recency_us,
+           CAST(1000000 * f.n_events // f.active_days AS BIGINT)
+               AS events_per_day_ppm
+    FROM f, g
+    """,
+)
+def feat_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML FEATURE-STORE EXPORT: the per-user activity feature vector a
+    churn/propensity model trains on — counts by outcome type, activity
+    span, exact purchase cents, recency against the corpus watermark in
+    integer microseconds, and a floor-divided intensity ratio. One wide
+    row per user, every feature integer or timestamp (no float — the
+    export is bit-reproducible and joinable as a training-table
+    snapshot, the same integer-fixed-point doctrine SCALE.md's
+    ROUND-tie note mandates for rational outputs).
+
+    Scale shape: ONE map-side-combinable groupBy over the fact table
+    (the distinct-days count partial-aggregates as date sets bounded by
+    the calendar); the corpus watermark is a broadcast 1-row aggregate;
+    no window, no join against anything data-sized. This is the shape a
+    nightly feature-refresh job ships at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+    ).otherwise(F.lit(0))
+    f = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        F.countDistinct(F.col("ts").cast("date")).cast("bigint").alias(
+            "active_days"
+        ),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(cents).cast("bigint").alias("purchase_cents"),
+    )
+    return f.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "n_errors",
+        "active_days",
+        "first_ts",
+        "last_ts",
+        "purchase_cents",
+        (
+            (F.unix_micros(F.col("gmax")) - F.unix_micros(F.col("last_ts")))
+        ).cast("bigint").alias("recency_us"),
+        F.expr("CAST(1000000 * n_events DIV active_days AS BIGINT)").alias(
+            "events_per_day_ppm"
+        ),
+    )
