@@ -138,10 +138,11 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     # (displaced to r6 by the five r5 additions: pandas_grouped_zscore,
     # q1/q3/q5 — all three covered every round by bench.py regression
     # numbers — and curate_decontaminate, likewise a bench headline.)
-    # ---- ROLLOVER QUEUE (positions 51+): the nine late-r5 additions,
-    # never driver-checked (local parity green), lead the r6 window
-    # under policy (a) together with the 37 r2-stale refreshers from
-    # the triage note above. ----
+    # ---- ROLLOVER QUEUE (positions 51+): the eleven late-r5 additions
+    # (never driver-checked, local parity green) plus the policy-(b)
+    # rewritten text_token_diversity — 12 entries leading the r6 window
+    # under policy (a)/(b) together with the 37 r2-stale refreshers
+    # from the triage note above (49 total, fits the 50-slot window). ----
     "sim_binary_recall",
     "graph_kcore",
     "a19_gini_by_nation",

@@ -1263,14 +1263,15 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw adjacency count (the statistic BPE ranks by), which may
     count overlaps within an a==a run.
 
-    Scale shape: per round ONE (doc_id, pos)-keyed adjacency self-join
-    + a map-combinable pair count + a global top-1 (TakeOrdered over
-    partial tops, 1-row broadcast back) + two per-document windows
-    (doc-sized partitions — parallel). Token positions REINDEX each
-    round so adjacency stays an equi-join. ``localCheckpoint`` per
-    round cuts the re-evaluation of the token frame (referenced by
-    both the pair count and the rewrite), the same discipline as
-    pagerank/k-core/LPA."""
+    Scale shape: per round ONE per-doc lead() window for adjacency + a
+    map-combinable pair count + a global top-1 (TakeOrdered over
+    partial tops, COLLECTED as one bounded driver row — the merge rule
+    is literal-injected into the rewrite, so the pair aggregation runs
+    exactly once per round instead of re-executing for each of its
+    three consumers) + two per-document windows (doc-sized partitions —
+    parallel). Token positions REINDEX each round so adjacency stays an
+    equi-join. ``localCheckpoint`` per round cuts the re-evaluation of
+    the token frame, the same discipline as pagerank/k-core/LPA."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1280,7 +1281,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok"
     ).localCheckpoint(eager=True)
 
-    merges = []
+    merge_rows: list[tuple[int, str, int]] = []
     for r in range(BPE_MERGE_ROUNDS):
         wd = Window.partitionBy("doc_id").orderBy("pos")
         # adjacency via lead() over the per-doc window — ONE shuffle of
@@ -1293,21 +1294,17 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = adj.groupBy(
             F.col("tok").alias("a"), F.col("tok_b").alias("b")
         ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        top = pairs.orderBy(F.desc("c"), "a", "b").limit(1)
-        merges.append(
-            top.select(
-                F.lit(r + 1).alias("round"),
-                F.concat_ws(" ", "a", "b").alias("merged_pair"),
-                F.col("c").alias("n_occurrences"),
-            )
+        top_rows = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not top_rows:  # degenerate corpus with no adjacent pairs:
+            break  # the oracle's empty top{r} CTEs empty out identically
+        a_val, b_val, c_val = (
+            top_rows[0]["a"], top_rows[0]["b"], top_rows[0]["c"],
         )
-        cand = (
-            adj.join(
-                F.broadcast(top),
-                (F.col("tok") == F.col("a")) & (F.col("tok_b") == F.col("b")),
-            )
-            .select("doc_id", "pos")
-        )
+        merged_tok = f"{a_val} {b_val}"
+        merge_rows.append((r + 1, merged_tok, int(c_val)))
+        cand = adj.filter(
+            (F.col("tok") == F.lit(a_val)) & (F.col("tok_b") == F.lit(b_val))
+        ).select("doc_id", "pos")
         isl = cand.withColumn("island", F.col("pos") - F.row_number().over(wd))
         wi = Window.partitionBy("doc_id", "island")
         keep = (
@@ -1316,8 +1313,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "pos")
         )
         rewritten = (
-            tok.crossJoin(F.broadcast(top))
-            .join(
+            tok.join(
                 keep.withColumn("__is_start", F.lit(True)),
                 ["doc_id", "pos"],
                 "left",
@@ -1333,9 +1329,9 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_id",
                 "pos",
-                F.when(
-                    F.col("__is_start"), F.concat_ws(" ", "a", "b")
-                ).otherwise(F.col("tok")).alias("tok"),
+                F.when(F.col("__is_start"), F.lit(merged_tok))
+                .otherwise(F.col("tok"))
+                .alias("tok"),
             )
         )
         tok = rewritten.select(
@@ -1344,7 +1340,6 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
         ).localCheckpoint(eager=True)
 
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return spark.createDataFrame(
+        merge_rows, "round int, merged_pair string, n_occurrences bigint"
+    )
