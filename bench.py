@@ -136,20 +136,48 @@ def main() -> None:
         warm[name] = round(min(passes[1:]), 3)
 
     total = round(sum(warm.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_corpus_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "passes": PASSES,
-                "queries": warm,
-                "cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    cold_total = round(sum(cold.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # r6 fix (r5 verdict task 1): the driver records only the LAST ~2000
+    # chars of stdout and parses the final JSON line within it. r5's single
+    # line carried 35 warm + 35 cold floats (~2.2 KB) and got head-clipped,
+    # so BENCH_r05.parsed was null. Now: the full per-query detail goes to
+    # a sidecar file AND an earlier stdout line; the FINAL line stays
+    # compact — warm per-query dict included only while it fits well
+    # inside the capture window, always carrying the totals.
+    detail = {
+        "metric": "headline_corpus_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "passes": PASSES,
+        "n_queries": len(warm),
+        "queries": warm,
+        "cold": cold,
+        "cold_total": cold_total,
+        "sf": sf_val,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail))  # early line: full detail (may scroll away)
+
+    final = {
+        "metric": "headline_corpus_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "passes": PASSES,
+        "n_queries": len(warm),
+        "queries": warm,
+        "cold_total": cold_total,
+        "sf": sf_val,
+    }
+    line = json.dumps(final)
+    if len(line) > 1600:  # headroom under the 2000-char tail capture
+        final.pop("queries")
+        final["detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(final)
+    print(line)
     spark.stop()
 
 

@@ -40,109 +40,40 @@ class CorpusQuery:
 
 _REGISTRY: dict[str, CorpusQuery] = {}
 
-# r5 WINDOW (this round; per the r4 verdict's lead task): the first 37
-# entries are the ENTIRE late-r4 rollover queue — the only corpus
-# segment with zero hard driver evidence (local DuckDB parity only).
-# Three related r5 code changes are re-verified locally and sit inside
-# this window: graph_triangles (lexicographic orientation rewrite),
-# a16_rfm_segments (global_rank quintiles, no unpartitioned window),
-# and the de-registration of dedup_semantic_blocked (uncapped contrast
-# shape; none of the graded queries ships a known-superlinear plan).
-# Next come the first FIVE r5 additions (never-checked by definition),
-# and the remaining 8 slots go to the OLDEST stale evidence (newest row
-# r2): the crypto gold/dashboard family (the reference's own surface,
-# 7) and the scalar pandas-UDF entry. Registry: 196 queries (the
-# eleven late-r5 additions — sim_binary_recall, graph_kcore,
-# a19_gini_by_nation, dq_benford_leading_digit, approx_countmin_tokens,
-# streaming_static_enrichment, graph_label_propagation,
-# sim_ann_ivf_incremental, text_bpe_train_merges, feat_user_activity,
-# mm_simhash_payload — land in the rollover queue below, first in line
-# for r6 under policy (a); text_token_diversity joins them under
-# policy (b)).
+# r6 WINDOW (this round; exactly the plan declared in r5 and ratified by
+# the r5 verdict, task 2): the first 12 entries are the complete r5
+# rollover queue — the 11 late-r5 additions (never driver-checked,
+# policy (a)) plus text_token_diversity (policy (b): rewritten
+# integer-exact after its last driver row). Two r6 code changes are
+# re-verified locally and sit inside this window: mm_simhash_payload
+# (64-bit SimHash / 4x16-bit bands scale-hardening, r5 verdict task 3)
+# and sim_binary_refined's re-rank key (integer fixed-point, ADVICE r5).
+# Next come ALL 37 queries whose newest driver row is r2 (policy (c),
+# oldest-first): TPC-H q1-q22, pandas_grouped_zscore, the curation core,
+# d1/p13/p14, approx_distinct_parts, the sim_ann r2 trio, and
+# streaming_hourly_rollup. 12 + 37 = 49; slot 50 goes to the first r6
+# addition. Further r6 additions land in the rollover queue (positions
+# 51+) and lead the r7 window under policy (a).
 #
-# STALENESS TRIAGE (r4 verdict task 5) — with 180 queries and a ~50-slot
-# window, the "newest row <= 2 rounds old" invariant is arithmetically
-# unkeepable (a full rotation takes ~4 rounds); the standing policy is:
+# STALENESS TRIAGE (standing, r4 verdict task 5) — with ~200 queries and
+# a ~50-slot window, the "newest row <= 2 rounds old" invariant is
+# arithmetically unkeepable (a full rotation takes ~4 rounds); policy:
 #   (a) never-checked queries ALWAYS lead the next window,
 #   (b) queries rewritten/refactored since their last row join them,
 #   (c) remaining slots refresh oldest-first,
 # so every query's newest row stays at most ~3 rounds old.
-#   r6 plan: the 37 r2-stale not refreshed here (all of TPC-H q1-q22,
-#   pandas_grouped_zscore, curate_decontaminate, approx_distinct_parts,
-#   curate core 5, d1/p13/p14, sim_ann r2 trio, streaming_hourly_rollup)
-#   + any r6 additions. r7: the r3-latest set (streaming family, j4-j7,
-#   a6-a9, w4-w7, o4/o5, the dedup/sim r3 batch).
+#   r7 plan: r6 additions beyond slot 50, then the r3-latest set
+#   (streaming family, j4-j7, a6-a9, w4-w7, o4/o5, the dedup/sim r3
+#   batch — ~38 entries).
 #
 # History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
-# additions, r4 the 38 r1-only refreshers + r4 additions (50/50 green).
+# additions, r4 the 38 r1-only refreshers + r4 additions, r5 the
+# 37-entry late-r4 queue + 5 r5 additions + the 8 r2-stale
+# crypto/pandas entries (50/50 green).
 CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
-    # ---- the complete late-r4 rollover queue (37): never driver-checked
-    "graph_pagerank",
-    "text_bm25_topk",
-    "curate_temperature_mix",
-    "dedup_minhash_recall",
-    "sim_ivfpq_topk",
-    "sim_ivfpq_recall",
-    "events_markov_transitions",
-    "curate_shuffle_shards",
-    "w8_ema_customer_spend",
-    "approx_heavy_tokens",
-    "curate_zorder_layout",
-    "a11_revenue_trend",
-    "curate_contrastive_pairs",
-    "basket_frequent_pairs",
-    "graph_triangles",  # r5 rewrite: lexicographic (degree, id) orientation
-    "skyline_pareto_parts",
-    "a12_incremental_merge",
-    "events_rolling_anomaly",
-    "events_hourly_gapfill",
-    "dedup_fuzzy_names",
-    "bloom_semi_revenue",
-    "a13_correlation_moments",
-    "sim_mmr_rerank",
-    "dedup_minhash_incremental",
-    "streaming_incremental_dedup",
-    "dedup_keep_best_quality",
-    "curate_pack_offsets",
-    "curate_corpus_report",
-    "sim_knn_classify",
-    "graph_link_prediction",
-    "a14_share_of_parent",
-    "a15_cusum_drift",
-    "a16_rfm_segments",  # r5 rewrite: global_rank quintiles, no NTILE funnel
-    "events_category_drift",
-    "text_bpe_pair_counts",
-    "a17_mad_by_priority",
-    "events_interarrival_stats",
-    # ---- r5 additions (never-checked, policy (a)): the 1-bit rung of
-    # the quantization ladder + its exact re-rank, the full-table
-    # global-rank shape (the operator behind the a16 rewrite, graded on
-    # its own), order-statistic robust means, and the trigram novelty
-    # score ----
-    "sim_binary_hamming_topk",
-    "sim_binary_refined",
-    "o6_orders_global_rank",
-    "a18_winsorized_stats",
-    "text_trigram_novelty",
-    # ---- oldest stale evidence (newest row = r2), remaining 8 slots:
-    # the reference's own gold/dashboard surface + the pandas-UDF entry
-    "crypto_daily_overview",
-    "crypto_top_gainers_losers",
-    "crypto_market_dominance",
-    "crypto_supply_dynamics",
-    "crypto_dashboard",
-    "crypto_merge_upsert",
-    "crypto_scd2_history",
-    "pandas_scalar_price_tier",
-    # (displaced to r6 by the five r5 additions: pandas_grouped_zscore,
-    # q1/q3/q5 — all three covered every round by bench.py regression
-    # numbers — and curate_decontaminate, likewise a bench headline.)
-    # ---- ROLLOVER QUEUE (positions 51+): the eleven late-r5 additions
-    # (never driver-checked, local parity green) plus the policy-(b)
-    # rewritten text_token_diversity — 12 entries leading the r6 window
-    # under policy (a)/(b) together with the 37 r2-stale refreshers
-    # from the triage note above (49 total, fits the 50-slot window). ----
+    # ---- the complete r5 rollover queue (12): 11 never-driver-checked
+    # late-r5 additions + the policy-(b) rewritten text_token_diversity
     "sim_binary_recall",
     "graph_kcore",
     "a19_gini_by_nation",
@@ -153,11 +84,52 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_ann_ivf_incremental",
     "text_bpe_train_merges",
     "feat_user_activity",
-    "mm_simhash_payload",
-    # policy (b): rewritten integer-exact late in r5 (ROUND-tie fix
-    # found by tools/parity_sf01.py) after its last driver row — joins
-    # the additions at the head of the r6 window
+    "mm_simhash_payload",  # r6 rewrite: 64-bit SimHash, 4x16-bit bands
     "text_token_diversity",
+    # ---- the 37 r2-stale refreshers (newest driver row = r2),
+    # oldest-first policy (c): the full TPC-H menu first ----
+    "q1_pricing_summary",
+    "q2_cheapest_supplier",
+    "q3_shipping_priority",
+    "q4_priority_with_returns",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "q7_nation_trade_flows",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue_topk",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_by_month",
+    "q15_top_supplier",
+    "q16_suppliers_not_in",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q20_parts_with_surplus_stock",
+    "q21_sole_returning_supplier",
+    "q22_dormant_rich_customers",
+    "pandas_grouped_zscore",
+    "curate_decontaminate",
+    "curate_hash_split",
+    "curate_mix_sources",
+    "curate_pack_sequences",
+    "curate_quality_cut",
+    "curate_quota_per_lang",
+    "d1_date_functions",
+    "p13_string_functions",
+    "p14_map_json_ops",
+    "approx_distinct_parts",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_topk_neighbors",
+    "streaming_hourly_rollup",
+    # ---- slot 50: first r6 addition ----
+    "sim_ivf_cell_stats",
+    # ---- ROLLOVER QUEUE (positions 51+): r6 additions beyond slot 50,
+    # never driver-checked, local parity green — lead the r7 window
+    # under policy (a) together with the r3-latest refreshers. ----
 )
 
 

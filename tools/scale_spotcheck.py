@@ -66,6 +66,12 @@ QUERIES = (
     # late-r5: incremental IVF — per-run cost is the 10%-batch assignment
     # + serve; the base index is pooled (warm passes measure serve-only)
     "sim_ann_ivf_incremental",
+    # r6: binary-payload SimHash near-dedup after the 64-bit/16-bit-band
+    # + hot-band-cap hardening — the amplifier is density-constant
+    # (copy-local grams -> cross-copy collisions only at the 1/2^16
+    # random floor), so candidate growth here should be ~10x, unlike the
+    # sf0.01->sf0.1 comparison where true near-dup DENSITY itself grows
+    "mm_simhash_payload",
 )
 
 
