@@ -49,3 +49,30 @@ def dsum(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
 def dsum_expr_sql(expr: str, precision: int = 18, scale: int = 2) -> str:
     """DuckDB oracle twin of :func:`dsum` for a column/expression string."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+def roundfx(col: Column | str, scale: int = 6) -> Column:
+    """ENGINE-IDENTICAL fixed-point rounding of a computed DOUBLE:
+    ``floor(x * 10^scale + 0.5) / 10^scale``, every step a deterministic
+    IEEE-754 operation, so Spark and DuckDB produce the same double for
+    the same input bit-for-bit — including on exact half-boundary ties,
+    where Spark's ROUND (BigDecimal HALF_UP on the shortest decimal
+    repr) and DuckDB's (multiply/nearbyint, banker's) disagree (the
+    r5 ROUND-tie bug class; see tools/parity_sf01.py). Semantics are
+    "round half toward +inf" rather than half-away-from-zero — ties on
+    NEGATIVE values round up — which is fine wherever both sides use
+    this helper. Domain: |x| < 2^53 / 10^scale (Spark's floor returns
+    BIGINT); scores/ratios/lifts are all << that."""
+    c = F.col(col) if isinstance(col, str) else col
+    f = float(10**scale)
+    return F.floor(c * F.lit(f) + F.lit(0.5)) / F.lit(f)
+
+
+def roundfx_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB SQL twin of :func:`roundfx` (same IEEE op sequence). The
+    scale factor is written in scientific notation and the input is cast:
+    DuckDB parses ``1000000.0`` as DECIMAL (decimal arithmetic would both
+    overflow and diverge from Spark's double path), but ``1e+06`` as
+    DOUBLE."""
+    f = float(10**scale)
+    return f"(FLOOR(CAST({expr} AS DOUBLE) * {f:e} + 0.5) / {f:e})"

@@ -72,9 +72,10 @@ def bloom_prune(
     silently REPLACE a same-named probe column and the final ``drop``
     would erase it, corrupting the caller's data without error."""
     reserved = {"bb_bucket", "bb_bit", "bb_mask"} & set(probe.columns)
-    assert not reserved, (
-        f"bloom_prune reserved column(s) {sorted(reserved)} present in probe"
-    )
+    if reserved:  # ValueError, not assert: survives python -O
+        raise ValueError(
+            f"bloom_prune reserved column(s) {sorted(reserved)} present in probe"
+        )
     bucket, bit = _bucket_and_bit(F.col(key_col), m_bits)
     probed = probe.withColumn("bb_bucket", bucket).withColumn("bb_bit", bit)
     return (

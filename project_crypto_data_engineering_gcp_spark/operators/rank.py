@@ -32,6 +32,18 @@ _CNT = "__gr_cnt"
 _OFF = "__gr_off"
 
 
+def _check_reserved(df: DataFrame, rank_col: str, op: str) -> None:
+    """Caller-contract guard. ValueError, not assert: a bare assert is
+    stripped under ``python -O``, silently restoring the data-corruption
+    path (reserved/rank column collisions produce wrong ranks, not
+    errors)."""
+    for reserved in (_PID, _CNT, _OFF):
+        if reserved in df.columns:
+            raise ValueError(f"{op}: reserved column {reserved!r} already present")
+    if rank_col in df.columns:
+        raise ValueError(f"{op}: rank_col {rank_col!r} already present")
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[Column | str],
@@ -44,18 +56,22 @@ def global_rank(
     tiebreaker) — equal keys would otherwise be ranked by an arbitrary
     within-partition order. All other columns pass through unchanged.
     """
-    for reserved in (_PID, _CNT, _OFF):
-        assert reserved not in df.columns, (
-            f"global_rank reserved column {reserved!r} already present"
-        )
-    assert rank_col not in df.columns, f"rank_col {rank_col!r} already present"
+    _check_reserved(df, rank_col, "global_rank")
 
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
         else df.repartitionByRange(*order_cols)
     )
-    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+    # Materialize the pid-tagged frame ONCE (kcore_peel discipline): the
+    # counts branch and the ranked branch below would otherwise compile
+    # to independent range-shuffle exchanges, leaving __gr_pid
+    # consistency to Spark's runtime stage reuse + deterministic range
+    # sampling — correct today but an implicit invariant, and two
+    # redundant range shuffles per call.
+    tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
 
     counts = tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     a, b = counts.alias("a"), counts.alias("b")
@@ -90,11 +106,7 @@ def grouped_global_rank(
     same group in preceding partitions (per-(partition, group) counts —
     at most P x |groups-touching-2-partitions| rows, still bounded by
     the partition count since ranges are contiguous)."""
-    for reserved in (_PID, _CNT, _OFF):
-        assert reserved not in df.columns, (
-            f"grouped_global_rank reserved column {reserved!r} already present"
-        )
-    assert rank_col not in df.columns, f"rank_col {rank_col!r} already present"
+    _check_reserved(df, rank_col, "grouped_global_rank")
 
     keys = [*group_cols, *order_cols]
     ranged = (
@@ -102,7 +114,10 @@ def grouped_global_rank(
         if num_partitions
         else df.repartitionByRange(*keys)
     )
-    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+    # single evaluation of the pid tagging — see global_rank
+    tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
 
     counts = tagged.groupBy(_PID, *group_cols).agg(
         F.count(F.lit(1)).alias(_CNT)

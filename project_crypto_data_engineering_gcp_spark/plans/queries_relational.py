@@ -19,6 +19,27 @@ from ..functions.numeric import dec, dsum, dsum_expr_sql
 from ..sources.tables import load_table
 from .corpus import corpus_query
 
+# One parquet copy of the events table per (application, sf_dir), shared
+# by every streaming corpus query as its file-stream source (they all
+# stream the same frame). Previously each invocation wrote a fresh
+# tempfile.mkdtemp copy and never cleaned it up — bench runs each query
+# 3x and the parity sweeps re-run them, accumulating unbounded /tmp
+# copies within a session (ADVICE r5). The memory-sink streams use
+# default per-start checkpoints, so re-reading the same source dir is
+# semantically identical to a fresh copy.
+_STREAM_SRC_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _stream_events_src(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAM_SRC_MEMO:
+        src = tempfile.mkdtemp(prefix="sg_stream_events_")
+        load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _STREAM_SRC_MEMO[key] = src
+    return _STREAM_SRC_MEMO[key]
+
 # ------------------------------------------------------------- set ops
 
 
@@ -318,8 +339,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.incremental import stream_hourly_rollup
 
     events = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="sg_stream_events_")
-    events.coalesce(1).write.mode("overwrite").parquet(src)
+    src = _stream_events_src(spark, sf_dir)
     name = "sg_stream_rollup"
     q = stream_hourly_rollup(
         spark,
@@ -371,8 +391,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = events.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
-    src = tempfile.mkdtemp(prefix="sg_stream_enrich_")
-    events.coalesce(1).write.mode("overwrite").parquet(src)
+    src = _stream_events_src(spark, sf_dir)
     name = "sg_stream_enriched"
     q = stream_enriched_rollup(
         spark,
@@ -631,8 +650,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.incremental import stream_interval_join
 
     events = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="sg_stream_pv_")
-    events.coalesce(1).write.mode("overwrite").parquet(src)
+    src = _stream_events_src(spark, sf_dir)
     name = "sg_stream_pv_join"
 
     def stream():
@@ -691,8 +709,7 @@ def streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.incremental import stream_sessionize
 
     events = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="sg_stream_sess_")
-    events.coalesce(1).write.mode("overwrite").parquet(src)
+    src = _stream_events_src(spark, sf_dir)
     name = "sg_stream_sessions"
     q = stream_sessionize(
         spark,

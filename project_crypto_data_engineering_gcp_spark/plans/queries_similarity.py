@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.numeric import roundfx, roundfx_sql
 from ..functions.vectors import dot_double_sql, norm, norm_sql, normalized_sql
 from ..sources.tables import load_table
 from .corpus import corpus_query
@@ -911,10 +912,14 @@ def sim_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
             normalized("embedding", "cn").alias("nv"),
         )
     )
+    # roundfx, not ROUND: the re-rank KEY must be tie-deterministic
+    # across engines (ADVICE r5) — Spark/DuckDB ROUND(double, 6) diverge
+    # on exact half-boundary ties, which would both reorder the top-k
+    # selection and change the emitted score
     scored = fetched.select(
         "qid",
         "vec_id",
-        F.round(dot_prenorm("qv", "nv"), 6).alias("exact_score"),
+        roundfx(dot_prenorm("qv", "nv")).alias("exact_score"),
     )
     wq = Window.partitionBy("qid").orderBy(
         F.desc("exact_score"), F.asc("vec_id")
@@ -1851,10 +1856,10 @@ def _binary_codes_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT qid, vec_id, exact_score, rank FROM (
         SELECT s.qid, s.vec_id,
-               ROUND({dot_double_sql("eq.nv", "ec.nv")}, 6) AS exact_score,
+               {roundfx_sql(dot_double_sql("eq.nv", "ec.nv"))} AS exact_score,
                ROW_NUMBER() OVER (
                    PARTITION BY s.qid
-                   ORDER BY ROUND({dot_double_sql("eq.nv", "ec.nv")}, 6) DESC,
+                   ORDER BY {roundfx_sql(dot_double_sql("eq.nv", "ec.nv"))} DESC,
                             s.vec_id ASC
                ) AS rank
         FROM short s
@@ -1913,10 +1918,14 @@ def sim_binary_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
             normalized("embedding", norm("embedding")).alias("nv"),
         )
     )
+    # roundfx, not ROUND: the re-rank KEY must be tie-deterministic
+    # across engines (ADVICE r5) — Spark/DuckDB ROUND(double, 6) diverge
+    # on exact half-boundary ties, which would both reorder the top-k
+    # selection and change the emitted score
     scored = fetched.select(
         "qid",
         "vec_id",
-        F.round(dot_prenorm("qv", "nv"), 6).alias("exact_score"),
+        roundfx(dot_prenorm("qv", "nv")).alias("exact_score"),
     )
     wq = Window.partitionBy("qid").orderBy(
         F.desc("exact_score"), F.asc("vec_id")

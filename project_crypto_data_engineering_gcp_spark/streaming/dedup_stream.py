@@ -111,7 +111,17 @@ def dedup_batch_against_state(
     because mixing flat root files with epoch= subdirectories would make
     every subsequent read of the root fail partition discovery
     ('Conflicting directory structures'). Stream epochs (>= 0) and
-    direct calls (< 0) can therefore share a state_dir safely."""
+    direct calls (< 0) can therefore share a state_dir safely.
+
+    DIRECT-CALLER CONTRACT (local FS, single writer): the synthetic
+    negative-epoch allocation lists ``state_dir`` via ``os.listdir`` /
+    ``os.path.exists``, so it only sees a LOCAL filesystem, and two
+    concurrent direct callers would race to the same negative epoch and
+    overwrite each other's state. The foreachBatch path has neither
+    limitation (epochs come from the streaming engine); production
+    deployments should use it — or the Delta MERGE path this module's
+    header documents — and reserve direct calls for single-process batch
+    backfills on local state."""
     import re
 
     bands_path = os.path.join(state_dir, "bands")
