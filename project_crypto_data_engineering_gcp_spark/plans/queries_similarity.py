@@ -210,6 +210,68 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @corpus_query(
+    "sim_ivf_cell_stats",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               {normalized_sql("embedding", "nrm")} AS nv
+        FROM (SELECT vec_id, embedding,
+                     {norm_sql("embedding")} AS nrm
+              FROM embeddings) raw
+    ),
+    cent AS (SELECT vec_id AS cid, nv AS cv FROM e WHERE vec_id < {IVF_CELLS}),
+    scored AS (
+        SELECT e.vec_id, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({dot_double_sql("e.nv", "cent.cv")}, 6) DESC,
+                            cent.cid
+               ) AS crk
+        FROM e CROSS JOIN cent
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM scored WHERE crk = 1),
+    tot AS (SELECT COUNT(*) AS n_total FROM assign)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           COUNT(*) AS n_vectors,
+           COUNT(*) * 1000000 // MAX(n_total) AS share_ppm,
+           COUNT(*) * {IVF_CELLS} * 1000 // MAX(n_total) AS load_x1000
+    FROM assign, tot GROUP BY cell
+    """,
+)
+def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-balance report: per-cell population, corpus share (ppm)
+    and load factor vs uniform (x1000) — the operational diagnostic every
+    production ANN deployment watches, because cell skew IS the serving
+    cost model: a probe of the hottest cell scans ``load_factor`` times
+    the uniform candidate count, so tail latency and the probe-join
+    fan-out follow this table directly (at 100 TB a skewed quantizer is
+    re-trained; this query is the trigger). r6 example of why it
+    matters: `mm_simhash_payload`'s r5 banding looked fine until bucket
+    occupancy was actually measured.
+
+    Scale shape: ONE map-side-combinable groupBy over the pooled
+    inverted file (shared with sim_ann_ivf_topk / sim_ivfpq_topk — a
+    pool hit runs no assignment job), plus a broadcast 1-row total; K
+    rows out. All outputs integer fixed-point (floor-division ppm /
+    per-mille), zero ROUND-tie exposure."""
+    index = _ivf_index_pooled(spark, sf_dir)
+    total = index.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        index.groupBy(F.col("cell").cast("bigint").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vectors",
+            F.expr("n_vectors * 1000000 div n_total").alias("share_ppm"),
+            F.expr(f"n_vectors * {IVF_CELLS} * 1000 div n_total").alias(
+                "load_x1000"
+            ),
+        )
+    )
+
+
+@corpus_query(
     "sim_ann_lsh_topk",
     oracle=f"""
     WITH e AS (
