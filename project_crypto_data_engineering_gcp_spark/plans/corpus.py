@@ -128,8 +128,11 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     # ---- slot 50: first r6 addition ----
     "sim_ivf_cell_stats",
     # ---- ROLLOVER QUEUE (positions 51+): r6 additions beyond slot 50,
-    # never driver-checked, local parity green — lead the r7 window
-    # under policy (a) together with the r3-latest refreshers. ----
+    # never driver-checked, local parity green (sf0.01 AND sf0.1) —
+    # lead the r7 window under policy (a) together with the r3-latest
+    # refreshers. ----
+    "a20_exact_percentiles",
+    "curate_stratified_sample",
 )
 
 

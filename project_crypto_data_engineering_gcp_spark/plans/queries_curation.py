@@ -948,3 +948,73 @@ def curate_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_quality"),
     )
+
+
+# ------------------------------------------- exact stratified sampling
+
+STRATIFIED_PCT = 10          # keep ceil(10%) of every stratum
+STRATIFIED_SALT = "strat-v1"  # freeze the sample against other salted ops
+
+
+@corpus_query(
+    "curate_stratified_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, source,
+               {md5_long_sql('CAST(doc_id AS VARCHAR)', STRATIFIED_SALT)}
+                   AS skey
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source ORDER BY skey, doc_id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY lang, source) AS n
+        FROM keyed
+    )
+    SELECT doc_id, lang, source, rk AS sample_rank
+    FROM ranked
+    WHERE rk <= ({STRATIFIED_PCT} * n + 99) // 100
+    """,
+)
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified sampling: ceil({STRATIFIED_PCT}%) of every
+    (lang, source) stratum, selected in salted-hash order — the
+    training-data subsampling step that preserves the mixture
+    composition exactly. ``df.sampleBy`` gives only EXPECTED fractions
+    (Bernoulli per row: a small stratum can lose every row); quota by
+    per-stratum rank over a deterministic hash gives the exact count,
+    reproducibly (the salt freezes this sample against every other
+    salted operator in the repo), and remains a pure function of
+    doc_id — new corpus snapshots keep previously sampled docs stable.
+
+    Scale shape: ranks ride operators/rank.py::grouped_global_rank
+    (range-partition on (stratum, hash) — no per-stratum window funnel;
+    a hot stratum at 100 TB spreads over many range partitions), counts
+    are one map-combinable groupBy broadcast back; the quota threshold
+    ceil(p*n/100) = (p*n + 99) DIV 100 is exact integer arithmetic."""
+    from ..operators.rank import grouped_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        md5_long(F.col("doc_id").cast("string"), STRATIFIED_SALT).alias(
+            "skey"
+        ),
+    )
+    ranked = grouped_global_rank(
+        docs, ["lang", "source"], ["skey", "doc_id"], rank_col="sample_rank"
+    )
+    counts = ranked.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        ranked.join(F.broadcast(counts), ["lang", "source"])
+        .filter(
+            F.col("sample_rank")
+            <= F.expr(f"({STRATIFIED_PCT} * n + 99) div 100")
+        )
+        .select("doc_id", "lang", "source", "sample_rank")
+    )

@@ -2383,3 +2383,89 @@ def feat_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_per_day_ppm"
         ),
     )
+
+
+# --------------------------------------- exact distributed percentiles
+
+
+@corpus_query(
+    "a20_exact_percentiles",
+    oracle="""
+    WITH cents_t AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT)
+                   AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    ranked AS (
+        SELECT o_orderpriority, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM cents_t
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           MAX(CASE WHEN rk = (50 * n + 99) // 100 THEN cents END)
+               AS p50_cents,
+           MAX(CASE WHEN rk = (90 * n + 99) // 100 THEN cents END)
+               AS p90_cents,
+           MAX(CASE WHEN rk = (99 * n + 99) // 100 THEN cents END)
+               AS p99_cents
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def a20_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of order value per priority class — the
+    order-statistics query engines usually answer with approx_percentile
+    sketches because an exact PERCENTILE_DISC compiles to a per-group
+    sort funnel (5 priority classes over a 100 TB fact table = 5 window
+    tasks). Here the exact answer stays fully parallel:
+    operators/rank.py::grouped_global_rank range-partitions on
+    (priority, cents) and assigns per-group ranks with every stage
+    parallel; the percentile is then pure integer arithmetic —
+    PERCENTILE_DISC(p) is the value at rank ceil(p*n) = (p*n + 99) DIV
+    100 — picked out by a conditional aggregate. No sketch error bar, no
+    funnel; money in exact integer cents end to end (the a19 idiom), so
+    zero ROUND-tie exposure.
+
+    Oracle note: DuckDB's windowed ROW_NUMBER with the same (cents,
+    o_orderkey) tiebreak is the sequential twin; duplicate cents values
+    make any tiebreak emit the same CENTS at a given rank, so the
+    outputs agree bit-for-bit regardless of permutation within ties."""
+    from ..operators.rank import grouped_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    ranked = grouped_global_rank(
+        cents, ["o_orderpriority"], ["cents", "o_orderkey"], rank_col="rk"
+    )
+    counts = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    def at(p: int) -> F.Column:
+        target = F.expr(f"({p} * n + 99) div 100")
+        return F.max(F.when(F.col("rk") == target, F.col("cents"))).alias(
+            f"p{p}_cents"
+        )
+
+    return (
+        ranked.join(F.broadcast(counts), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            at(50),
+            at(90),
+            at(99),
+        )
+    )
