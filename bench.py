@@ -82,6 +82,13 @@ HEADLINE = (
     # late-r5: BPE tokenizer training (3 merge rounds over the token
     # stream) — the heaviest text shape, regression-tracked
     "text_bpe_train_merges",
+    # r6: the rewritten binary near-dedup (64-bit Manku block bands —
+    # the round's scale-hardening target, now regression-tracked), the
+    # exact-percentile rank shape, and exact stratified sampling (both
+    # new grouped_global_rank consumers)
+    "mm_simhash_payload",
+    "a20_exact_percentiles",
+    "curate_stratified_sample",
 )
 
 

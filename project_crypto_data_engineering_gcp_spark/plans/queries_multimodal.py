@@ -206,6 +206,8 @@ MM_COMBOS: tuple[tuple[int, int, int], ...] = tuple(
 # near-unique), so the cap costs zero recall there while bounding
 # worst-case fan-out to (cap-1)/2 pairs per banded row — linear in N.
 MM_HOT_BAND_CAP = 16
+# pooled 64-bit sketch frame, one per (application, sf_dir)
+_MM_SH_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _mm_simhash_gram_hash_sql() -> tuple[str, str]:
@@ -371,7 +373,22 @@ def mm_simhash_payload(
             F.lit(0).cast("long")
         )
         simhash = term if simhash is None else simhash + term
-    sh = bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    sh_plan = bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+    # POOLED sketch frame (the dedup_minhash_lsh sigs discipline): the
+    # band frame below is SELF-JOINED, so an uncached sketch would run
+    # the 64-column vote aggregate twice per execution; one row per doc,
+    # bounded LRU, repeat calls are pool hits.
+    def build_sh() -> DataFrame:
+        out = sh_plan.cache()
+        out.count()
+        return out
+
+    from .pooling import bounded_cached
+
+    sh = bounded_cached(
+        _MM_SH_MEMO, (spark.sparkContext.applicationId, sf_dir), build_sh
+    )
 
     def blk(b: int):  # block value: shift-then-mask, fill-independent
         return F.shiftright(F.col("simhash"), MM_BLOCK_OFFSETS[b]).bitwiseAND(
