@@ -133,6 +133,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     # refreshers. ----
     "a20_exact_percentiles",
     "curate_stratified_sample",
+    "streaming_interval_join_outer",
+    "mm_frame_fingerprint_match",
 )
 
 

@@ -444,3 +444,90 @@ def mm_simhash_payload(
     return cands.filter(hamming <= MM_HAMMING_MAX).select(
         "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
     )
+
+
+# ------------------------------------- frame-fingerprint near-dup match
+
+MM_FRAME_MIN_SHARED = 2     # pairs must share >= this many aligned frames
+MM_FRAME_HOT_CAP = 16       # (frame_idx, fingerprint) buckets above this
+#                             are dropped whole before the self-join
+
+
+def _mm_frame_match_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    return f"""
+    WITH frames AS (
+        SELECT doc_id, g AS frame_idx,
+               substr(text, g * {FRAME_STRIDE} + 1, {FRAME_STRIDE}) AS ft
+        FROM documents, (SELECT UNNEST(range(0, {N_FRAMES})) AS g)
+        WHERE g * {FRAME_STRIDE} < length(text)
+    ),
+    fp AS (
+        SELECT doc_id, frame_idx, {md5_long_sql("ft")} AS f FROM frames
+    ),
+    capped AS (
+        SELECT doc_id, frame_idx, f FROM (
+            SELECT doc_id, frame_idx, f,
+                   COUNT(*) OVER (PARTITION BY frame_idx, f) AS bs
+            FROM fp
+        ) t WHERE bs <= {MM_FRAME_HOT_CAP}
+    )
+    SELECT doc_a, doc_b, n_shared FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared
+        FROM capped a
+        JOIN capped b ON b.frame_idx = a.frame_idx AND b.f = a.f
+                     AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) p WHERE n_shared >= {MM_FRAME_MIN_SHARED}
+    """
+
+
+@corpus_query("mm_frame_fingerprint_match", oracle=_mm_frame_match_oracle())
+def mm_frame_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-style near-dup detection: fingerprint every sampled frame
+    (the sample_frames slices — in production the decoded keyframe's
+    perceptual hash; here the deterministic byte-slice hash, same
+    plumbing) and match documents sharing >= {MM_FRAME_MIN_SHARED}
+    POSITION-ALIGNED frames — the standard shot-level dedup for video
+    corpora, where container-level hashing (dedup_exact) misses
+    re-muxed/re-encoded copies but individual frames still collide.
+
+    Scale shape: the frame explode is JVM-side posexplode (n_frames
+    rows/doc, a constant); matching is an equi-join on (frame_idx,
+    fingerprint) — an inverted index probe, never all-pairs; the
+    (frame_idx, fingerprint) hot buckets (black frames, title cards —
+    every video corpus has them) are dropped whole before the self-join
+    (cap {MM_FRAME_HOT_CAP}, the LSH hot-band discipline, mirrored in
+    the oracle), bounding per-bucket fan-out; the pair count is one
+    map-combinable groupBy."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+
+    media = as_media_frame(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(
+        media, n_frames=N_FRAMES, frame_stride_bytes=FRAME_STRIDE
+    ).select("doc_id", "frame_idx", md5_long("frame_text").alias("f"))
+    wb = Window.partitionBy("frame_idx", "f")
+    capped = (
+        frames.withColumn("__bs", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bs") <= MM_FRAME_HOT_CAP)
+        .drop("__bs")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.frame_idx") == F.col("a.frame_idx"))
+            & (F.col("b.f") == F.col("a.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MM_FRAME_MIN_SHARED)
+    )

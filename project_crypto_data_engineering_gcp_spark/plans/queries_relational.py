@@ -2469,3 +2469,69 @@ def a20_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             at(99),
         )
     )
+
+
+@corpus_query(
+    "streaming_interval_join_outer",
+    oracle="""
+    WITH m AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value,
+           v.event_id AS view_id,
+           v.ts AS view_ts
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+      AND p.ts + INTERVAL 2 HOUR <= (SELECT max_ts FROM m)
+    """,
+)
+def streaming_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join run end-to-end: every
+    purchase attributed to same-user views in the preceding 30 minutes,
+    INCLUDING purchases with no qualifying view (null view columns) —
+    the attribution shape that inner joins silently drop, and the
+    canonical test of watermark-driven state expiry: an outer row can
+    only be emitted once the watermark PROVES no matching view can still
+    arrive, so unmatched purchases materialize at expiry rather than
+    eagerly. AvailableNow's final commit advances the watermark to
+    max(ts); both sides therefore filter to purchases with
+    ts + 2h <= max(ts) (comfortably past the 30-min lag + 1h watermark
+    delay, strict-vs-inclusive eviction immaterial), where emission is
+    GUARANTEED — the same closed-region argument as
+    streaming_hourly_rollup. Values pass through unchanged -> bit
+    parity against the batch LEFT JOIN."""
+    from ..streaming.incremental import stream_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    src = _stream_events_src(spark, sf_dir)
+    name = "sg_stream_pv_outer"
+
+    def stream():
+        return spark.readStream.schema(events.schema).parquet(src)
+
+    q = stream_interval_join(
+        stream().filter(F.col("event_type") == "purchase"),
+        stream().filter(F.col("event_type") == "view"),
+        max_lag="30 minutes",
+        query_name=name,
+        how="left_outer",
+    )
+    q.awaitTermination()
+    max_ts = events.agg(F.max("ts").alias("max_ts"))
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(max_ts))
+        .filter(
+            F.col("purchase_ts") + F.expr("INTERVAL 2 HOURS")
+            <= F.col("max_ts")
+        )
+        .drop("max_ts")
+    )

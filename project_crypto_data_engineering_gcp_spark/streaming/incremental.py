@@ -236,6 +236,7 @@ def stream_interval_join(
     max_lag: str = "30 minutes",
     watermark: str = "1 hour",
     query_name: str = "purchase_view_join",
+    how: str = "inner",
 ):
     """Stream-stream INTERVAL join: attribute each purchase to the views
     the same user made in the preceding ``max_lag`` window — the
@@ -247,6 +248,14 @@ def stream_interval_join(
     can never match a future purchase and is dropped. Without the time
     bound the state would grow forever — the interval predicate is the
     scale contract, not an optimization.
+
+    ``how="left_outer"`` additionally emits UNMATCHED purchases
+    (null view columns) — but only when the watermark proves no future
+    view can match, i.e. a left-outer row materializes at state expiry,
+    not eagerly like inner matches. Consumers must therefore gate on the
+    watermark having passed purchase_ts + max_lag (the corpus query
+    filters exactly so) — the standard correctness contract for
+    stream-stream outer joins.
 
     Returns the started AvailableNow query on an in-memory sink."""
     p = (
@@ -271,7 +280,7 @@ def stream_interval_join(
         (F.col("user_id") == F.col("v_user_id"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_lag}")),
-        "inner",
+        how,
     ).select("user_id", "purchase_id", "purchase_ts", "purchase_value", "view_id", "view_ts")
     return (
         joined.writeStream.outputMode("append")
