@@ -137,3 +137,31 @@ def test_vector_fold_parity_random_float32(spark):
     for i in range(dim):
         acc += A[:, i] * B[:, i]
     assert got == acc.tolist()
+
+
+def test_roundfx_engine_identity(spark):
+    """roundfx must produce bit-identical doubles in Spark and DuckDB,
+    INCLUDING on exact half-boundary ties where the engines' native
+    ROUND implementations disagree (dyadic rationals like 5/2048) —
+    the r5 ROUND-tie bug class this helper retires."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from project_crypto_data_engineering_gcp_spark.functions.numeric import (
+        roundfx,
+        roundfx_sql,
+    )
+
+    vals = [
+        5 / 2048, -5 / 2048, 3 / 4096, 1 / 3, 2 / 3, 0.1234565,
+        0.9999995, -0.9999995, 0.125, 0.0, 123456.789,
+    ]
+    duck = duckdb.sql(
+        "SELECT " + ", ".join(roundfx_sql(repr(v)) for v in vals)
+    ).fetchall()[0]
+    row = (
+        spark.range(1)
+        .select(*[roundfx(F.lit(v)).alias(f"v{i}") for i, v in enumerate(vals)])
+        .collect()[0]
+    )
+    assert tuple(row) == duck

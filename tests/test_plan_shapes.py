@@ -719,3 +719,48 @@ def test_kcore_round_shape(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_a20_and_stratified_no_global_window_funnel(spark):
+    """The two r6 grouped_global_rank consumers must never compile an
+    UNPARTITIONED window (the PERCENTILE_DISC / per-stratum-rank funnel
+    their designs exist to avoid): every windowspecdefinition carries a
+    partition column before its first sort-order argument."""
+    import re
+
+    for name in ("a20_exact_percentiles", "curate_stratified_sample"):
+        plan = plan_of(QUERIES[name].fn(spark, SF_ORACLE), "extended")
+        specs = re.findall(
+            r"windowspecdefinition\([^)]*?specifiedwindowframe", plan
+        )
+        assert specs, f"expected window nodes in the {name} plan"
+        unpartitioned = [
+            s
+            for s in specs
+            if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
+        ]
+        assert not unpartitioned, (name, unpartitioned)
+
+
+def test_frame_fingerprint_match_equi_join(spark):
+    """The frame-match self-join must be an equality join on the
+    (frame_idx, fingerprint) inverted index — hash-partitioned or
+    sort-merge, never a nested loop — with the pair count a partial
+    aggregate."""
+    plan = plan_of(QUERIES["mm_frame_fingerprint_match"].fn(spark, SF_ORACLE))
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_mm_simhash_band_join_is_capped_equi_join(spark):
+    """The r6 block-banded simhash candidate join: equality on
+    (combo_id, packed block triple), hot-band cap window present, no
+    nested loop anywhere."""
+    plan = plan_of(QUERIES["mm_simhash_payload"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # the hot-band bucket-size cap

@@ -334,3 +334,19 @@ def test_stream_dedup_mixed_direct_and_epoch_layout(spark, tmp_path):
         for r in docs.filter(F.col("doc_id") % 4 != 3).select("doc_id").collect()
     )
     assert ids == want  # each doc exactly once, all three modes visible
+
+
+def test_streaming_outer_interval_join_emits_unmatched(spark):
+    """The left-outer stream-stream join must actually EMIT unmatched
+    purchases (null view columns) — the rows the inner variant drops and
+    the part only watermark-driven state expiry can produce. At sf0.01
+    the oracle says ~1956 of ~1976 emitted purchases are unmatched."""
+    from project_crypto_data_engineering_gcp_spark.plans.queries_relational import (
+        streaming_interval_join_outer,
+    )
+
+    from .conftest import SF_ORACLE
+
+    out = streaming_interval_join_outer(spark, SF_ORACLE)
+    n_null = out.filter(out.view_id.isNull()).count()
+    assert n_null > 0, "outer join emitted no unmatched purchases"
