@@ -135,6 +135,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "curate_stratified_sample",
     "streaming_interval_join_outer",
     "mm_frame_fingerprint_match",
+    "a21_retention_cohorts",
+    "dq_column_profile",
 )
 
 

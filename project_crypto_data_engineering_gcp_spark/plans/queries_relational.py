@@ -2535,3 +2535,151 @@ def streaming_interval_join_outer(
         )
         .drop("max_ts")
     )
+
+
+# ------------------------------------------------ cohort retention
+
+
+@corpus_query(
+    "a21_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_users
+        FROM cohort GROUP BY 1
+    ),
+    active AS (
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week,
+                              date_trunc('week', e.ts)) // 7 AS BIGINT)
+                   AS week_offset,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN cohort c ON c.user_id = e.user_id
+        GROUP BY 1, 2
+    )
+    SELECT a.cohort_week, a.week_offset, a.active_users,
+           s.cohort_users,
+           a.active_users * 1000000 // s.cohort_users AS retained_ppm
+    FROM active a JOIN sizes s ON s.cohort_week = a.cohort_week
+    """,
+)
+def a21_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix — THE product-analytics rollup:
+    users grouped by first-seen week, each later week's active share of
+    the cohort in exact ppm. Every growth dashboard renders this table.
+
+    Scale shape: the cohort dimension is one map-combinable groupBy
+    (min per user); the fact-side join is a hash equi-join on the
+    high-cardinality user_id (no skew, no broadcast needed — both sides
+    are data-sized); the distinct-active count is the standard two-stage
+    (cohort_week, offset, user) distinct -> count, both map-combinable;
+    retention is integer floor-division ppm (zero ROUND-tie exposure).
+    date_trunc('week') is ISO-Monday in both engines; the week offset is
+    an exact integer day-diff DIV 7."""
+    events = load_table(spark, sf_dir, "events")
+    cohort = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    active = (
+        events.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+    return active.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        "cohort_users",
+        F.expr("active_users * 1000000 div cohort_users").alias(
+            "retained_ppm"
+        ),
+    )
+
+
+# ------------------------------------------------ data-quality profile
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _dq_profile_oracle() -> str:
+    aggs = ", ".join(
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_{c},"
+        f" COUNT(DISTINCT {c}) AS dist_{c}"
+        for c in _PROFILE_COLS
+    )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows,"
+        f" CAST(null_{c} AS BIGINT) AS n_null,"
+        f" CAST(dist_{c} AS BIGINT) AS n_distinct FROM t"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+    WITH t AS (SELECT COUNT(*) AS n_rows, {aggs} FROM orders)
+    {rows}
+    """
+
+
+@corpus_query("dq_column_profile", oracle=_dq_profile_oracle())
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS column profile of the orders table: per-column exact
+    null count and exact distinct count, long format — the data-quality
+    scan run before any table is admitted to a training pipeline
+    (all-null columns, constant columns, unexpected key duplication all
+    fall out of this one result).
+
+    Scale shape: a single aggregate with one COUNT(DISTINCT) per column
+    compiles to Spark's Expand strategy — the input is replicated
+    k-ways IN THE MAP STAGE (one scan of the table, k = 6 here) and each
+    replica partial-aggregates before the shuffle, so shuffle volume is
+    bounded by distinct values, not rows x k. That is the deliberate
+    trade vs k separate scans (k passes over 100 TB) or approx sketches
+    (HLL loses the exactness a PROFILE exists for; the approx variant is
+    approx_distinct_parts). The wide 1-row result is unpivoted to long
+    form driver-free via stack()."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+            for c in _PROFILE_COLS
+        ],
+        *[F.count_distinct(F.col(c)).alias(f"dist_{c}") for c in _PROFILE_COLS],
+    )
+    stack_expr = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_expr})"
+            " AS (column_name, n_null, n_distinct)"
+        ),
+    ).select(
+        "column_name",
+        "n_rows",
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )
