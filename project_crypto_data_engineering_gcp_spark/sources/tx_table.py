@@ -1,0 +1,212 @@
+"""Transactional parquet tables: a minimal versioned-manifest log.
+
+The reference persists Silver/Gold history as Delta tables (ACID commit
+log over parquet; reference `2-spark_processed_assats_list.py:65`,
+`3-spark_gold_zone.py:86-90`). This environment ships no delta-spark
+jars (`sinks.table_format` gates on the import and falls back to plain
+parquet), which leaves the ACID/time-travel CAPABILITY untested. This
+module supplies it with the same public design Delta/Iceberg use — an
+append-only log of versioned manifests over immutable parquet data
+files — small enough to audit, with the commit protocol the interesting
+part:
+
+- Data files are written to a fresh, version-private staging directory
+  (``data/v{N}-{attempt}``) — never into a shared path, so a failed or
+  abandoned write is INVISIBLE: no manifest references it.
+- A commit is ONE atomic ``os.rename`` of a temp manifest to
+  ``_txlog/{N:08d}.json``. Readers either see version N fully or not at
+  all (atomicity); rename fails if the name exists (POSIX), so two
+  concurrent writers racing to version N get exactly one winner —
+  the loser retries at N+1 against the refreshed snapshot (optimistic
+  concurrency, Delta's protocol).
+- Each manifest holds the COMPLETE active file list for its version
+  (snapshot manifests, not deltas): a reader pins one manifest and is
+  isolated from every later commit (snapshot isolation), and time
+  travel is just reading an older manifest.
+- Data files are immutable and never deleted by commits; ``vacuum``
+  removes files unreferenced by the kept manifests (the only
+  destructive operation, explicitly invoked).
+
+Local-FS scope, documented: ``os.rename`` is atomic on POSIX
+filesystems; object stores need a conditional-put/contended-rename
+primitive instead (the same caveat Delta's LogStore abstracts). This is
+the single-box stand-in for the Delta path, not a replacement — when
+delta-spark is on the classpath, ``sinks.formatted`` already prefers it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txlog"
+_DATA_DIR = "data"
+_STAGE_SEQ = __import__("itertools").count()  # per-process staging uniqueness
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (caller may retry)."""
+
+
+@dataclass(frozen=True)
+class TxSnapshot:
+    version: int
+    mode: str
+    files: tuple[str, ...]
+
+
+def _log_path(table: str) -> str:
+    return os.path.join(table, _LOG_DIR)
+
+
+def _manifest_file(table: str, version: int) -> str:
+    return os.path.join(_log_path(table), f"{version:08d}.json")
+
+
+def _versions(table: str) -> list[int]:
+    log = _log_path(table)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(name[:-5])
+        for name in os.listdir(log)
+        if name.endswith(".json") and name[:-5].isdigit()
+    )
+
+
+def snapshot(table: str, version: int | None = None) -> TxSnapshot:
+    """Pin a manifest: the latest by default, or ``version`` for time
+    travel. The returned file list is immutable — later commits cannot
+    change what this snapshot reads (snapshot isolation)."""
+    versions = _versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no committed version in {table!r}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(
+            f"version {v} not in {table!r} (have {versions[0]}..{versions[-1]})"
+        )
+    with open(_manifest_file(table, v)) as fh:
+        m = json.load(fh)
+    return TxSnapshot(version=v, mode=m["mode"], files=tuple(m["files"]))
+
+
+def read(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+    """Read the pinned snapshot's files (empty-file-list versions read as
+    an empty frame is not supported — commits always carry >= 1 file;
+    an overwrite with an empty frame still writes parquet metadata)."""
+    snap = snapshot(table, version)
+    return spark.read.parquet(*snap.files)
+
+
+def _parquet_files(directory: str) -> list[str]:
+    return sorted(
+        os.path.join(directory, f)
+        for f in os.listdir(directory)
+        if f.endswith(".parquet")
+    )
+
+
+def commit(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    *,
+    max_retries: int = 5,
+) -> TxSnapshot:
+    """Write ``df`` as a new atomic version of ``table``.
+
+    ``append`` keeps the previous snapshot's files and adds the new
+    ones; ``overwrite`` replaces the active set (old files stay on disk
+    for time travel until ``vacuum``). Returns the committed snapshot.
+
+    Protocol per attempt: stage data under a version-private directory,
+    write a temp manifest, ``os.rename`` it into the log — the atomic
+    commit point. A rename conflict (concurrent winner) re-reads the
+    latest snapshot and retries at the next version, so appends compose
+    correctly under concurrency; the orphaned staging directory of a
+    lost attempt is invisible (no manifest references it) and is
+    reclaimed by ``vacuum``."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_log_path(table), exist_ok=True)
+
+    last_err: Exception | None = None
+    for attempt in range(max_retries):
+        prior = _versions(table)
+        version = (prior[-1] + 1) if prior else 0
+        # staging name carries (pid, per-process seq): unique per WRITER,
+        # not just per (version, attempt) — two concurrent writers racing
+        # to the same version must never share a staging directory
+        stage = os.path.join(
+            table,
+            _DATA_DIR,
+            f"v{version:08d}-{os.getpid()}-{next(_STAGE_SEQ)}",
+        )
+        df.write.mode("error").parquet(stage)
+        files = _parquet_files(stage)
+        base: tuple[str, ...] = ()
+        if mode == "append" and prior:
+            base = snapshot(table).files
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": [*base, *files],
+        }
+        # writer-unique temp name (pid + per-process seq): two racing
+        # writers must never share the pre-commit manifest path either
+        tmp = os.path.join(
+            _log_path(table),
+            f".tmp-{version:08d}-{os.getpid()}-{next(_STAGE_SEQ)}",
+        )
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        target = _manifest_file(table, version)
+        try:
+            # atomic, fails-if-exists commit point: exactly one writer
+            # wins a version (os.link + unlink would also work; rename
+            # with a pre-existence check has a TOCTOU window, so rely on
+            # link(2) semantics via os.link for strictness)
+            os.link(tmp, target)
+            os.unlink(tmp)
+        except FileExistsError as exc:
+            os.unlink(tmp)
+            last_err = CommitConflict(
+                f"version {version} of {table!r} was committed concurrently"
+            )
+            last_err.__cause__ = exc
+            continue  # retry against the refreshed snapshot
+        return TxSnapshot(
+            version=version, mode=mode, files=tuple(manifest["files"])
+        )
+    raise last_err if last_err else RuntimeError("commit failed")
+
+
+def vacuum(table: str, keep_last: int = 2) -> list[str]:
+    """Delete data files unreferenced by the ``keep_last`` newest
+    manifests (and drop the older manifests) — the only destructive
+    operation; readers pinned to a vacuumed version lose it, exactly
+    like Delta's VACUUM. Returns the deleted file paths."""
+    versions = _versions(table)
+    if len(versions) <= keep_last:
+        return []
+    keep = versions[-keep_last:]
+    live: set[str] = set()
+    for v in keep:
+        live.update(snapshot(table, v).files)
+    deleted: list[str] = []
+    data_root = os.path.join(table, _DATA_DIR)
+    for sub in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        subdir = os.path.join(data_root, sub)
+        for f in list(_parquet_files(subdir)):
+            if f not in live:
+                os.unlink(f)
+                deleted.append(f)
+        if not os.listdir(subdir):
+            os.rmdir(subdir)
+    for v in versions[:-keep_last]:
+        os.unlink(_manifest_file(table, v))
+    return deleted
