@@ -2571,35 +2571,46 @@ def a21_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     users grouped by first-seen week, each later week's active share of
     the cohort in exact ppm. Every growth dashboard renders this table.
 
-    Scale shape: the cohort dimension is one map-combinable groupBy
-    (min per user); the fact-side join is a hash equi-join on the
-    high-cardinality user_id (no skew, no broadcast needed — both sides
-    are data-sized); the distinct-active count is the standard two-stage
-    (cohort_week, offset, user) distinct -> count, both map-combinable;
-    retention is integer floor-division ppm (zero ROUND-tie exposure).
+    Scale shape, ONE scan of the fact table: the naive form (groupBy
+    cohort dim + join back + separate sizes rollup) scans events three
+    times; here the cohort week is a min-over-user WINDOW (one hash
+    shuffle on the high-cardinality user_id — no skew, no join, no
+    second scan), the distinct-active count is the standard two-stage
+    (cohort, offset, user) distinct -> count (map-combinable), and
+    cohort SIZES need no extra pass at all — every user is active in
+    their own first week, so cohort_users IS the offset-0 cell of the
+    matrix, joined back broadcast (cohort-count-sized). Retention is
+    integer floor-division ppm (zero ROUND-tie exposure).
     date_trunc('week') is ISO-Monday in both engines; the week offset is
-    an exact integer day-diff DIV 7."""
+    an exact integer day-diff DIV 7. The oracle keeps the naive
+    three-pass formulation — same result, which is the point."""
+    from pyspark.sql import Window
+
     events = load_table(spark, sf_dir, "events")
-    cohort = events.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
-    sizes = cohort.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_users")
+    w = Window.partitionBy("user_id")
+    tagged = events.select(
+        "user_id",
+        F.date_trunc("week", F.min("ts").over(w)).alias("cohort_week"),
+        F.date_trunc("week", F.col("ts")).alias("event_week"),
     )
     active = (
-        events.join(cohort, "user_id")
-        .select(
+        tagged.select(
             "cohort_week",
-            (
-                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
-                / 7
-            )
+            (F.datediff("event_week", "cohort_week") / 7)
             .cast("bigint")
             .alias("week_offset"),
             "user_id",
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("active_users"))
+        # matrix-sized (cohorts x offsets); materialized once so the
+        # sizes branch below does not recompute the scan+window+distinct
+        .localCheckpoint(eager=True)
+    )
+    sizes = F.broadcast(
+        active.filter(F.col("week_offset") == 0).select(
+            "cohort_week", F.col("active_users").alias("cohort_users")
+        )
     )
     return active.join(sizes, "cohort_week").select(
         "cohort_week",
