@@ -137,6 +137,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "mm_frame_fingerprint_match",
     "a21_retention_cohorts",
     "dq_column_profile",
+    "approx_percentile_orders",
+    "graph_bfs_distances",
 )
 
 

@@ -597,3 +597,70 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=LPA_ROUNDS).select(
         F.col("node").alias("p_partkey"), "community"
     )
+
+
+# ------------------------------------------------ bounded BFS distances
+
+BFS_SEED_MOD = 100   # seeds = graph nodes with partkey % this == 0
+BFS_ROUNDS = 3       # fixed frontier rounds (both engines run exactly these)
+
+
+def _bfs_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    {_EDGE_SQL},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    walk(node, d) AS (
+        SELECT node, 0 FROM nodes WHERE node % {BFS_SEED_MOD} = 0
+        UNION ALL
+        SELECT s.v, w.d + 1
+        FROM walk w JOIN sym s ON s.u = w.node
+        WHERE w.d < {BFS_ROUNDS}
+    )
+    SELECT CAST(node AS BIGINT) AS p_partkey,
+           CAST(MIN(d) AS BIGINT) AS distance
+    FROM walk GROUP BY node
+    """
+
+
+@corpus_query("graph_bfs_distances", oracle=_bfs_oracle())
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS: hop distance (<= {BFS_ROUNDS}) from the
+    deterministic seed set (partkey % {BFS_SEED_MOD} == 0) over the
+    symmetrized co-purchase graph — the reachability / influence-radius
+    query behind recall expansion and contamination-spread analysis, the
+    fourth member of the fixed-round iterative family (PageRank power
+    iteration, k-core peel, label propagation, now frontier expansion).
+    Fixed rounds keep both engines bit-comparable (the PageRank
+    determinism technique); unreached nodes are absent, not NULL.
+
+    Scale shape per round: ONE equi-join of the current distance frame
+    against the edge list (shuffle keyed on the node id) + a
+    map-combinable min aggregate; the distance frame is node-sized and
+    localCheckpoint'd per round (lineage cut, the kcore discipline).
+    Integer distances end to end. The oracle replays the identical
+    rounds as a depth-limited recursive CTE."""
+    edges = _basket_edges(spark, sf_dir).select("u", "v")
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    dist = nodes.filter(F.col("node") % BFS_SEED_MOD == 0).select(
+        "node", F.lit(0).cast("bigint").alias("d")
+    )
+    for _ in range(BFS_ROUNDS):
+        hop = (
+            dist.join(sym, dist.node == sym.u)
+            .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("node").cast("bigint").alias("p_partkey"),
+        F.col("d").cast("bigint").alias("distance"),
+    )

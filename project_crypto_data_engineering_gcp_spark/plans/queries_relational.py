@@ -2694,3 +2694,116 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_null").cast("bigint").alias("n_null"),
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
     )
+
+
+# --------------------------------------- approx percentile (sketch twin)
+
+_APPROX_PCT_ACC = 10000  # percentile_approx accuracy: rank error <= n/acc
+
+
+@corpus_query(
+    "approx_percentile_orders",
+    oracle=f"""
+    WITH cents_t AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT)
+                   AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    ranked AS (
+        SELECT o_orderpriority, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM cents_t
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           MAX(CASE WHEN rk = (50 * n + 99) // 100 THEN cents END)
+               AS exact_p50_cents,
+           MAX(CASE WHEN rk = (90 * n + 99) // 100 THEN cents END)
+               AS exact_p90_cents,
+           TRUE AS p50_within_tol,
+           TRUE AS p90_within_tol
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def approx_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH twin of a20_exact_percentiles: Spark's
+    ``percentile_approx`` (Greenwald-Khanna summary, accuracy
+    {_APPROX_PCT_ACC}) vs the exact rank answer, oracle-checked via the
+    sketch's ERROR-BOUND invariant — the approx_distinct_parts pattern.
+    A GK summary's merge order varies with partitioning, so the raw
+    estimate is not hash-comparable; its rank-error GUARANTEE
+    (<= n/accuracy ranks off the true percentile) is, and the tolerance
+    columns assert the approximate VALUE falls between the cents at the
+    guaranteed rank bounds. n/accuracy at sf0.1 is ~2 ranks — the sketch
+    must land essentially on the exact answer.
+
+    This pairing is the 100 TB decision table: a20's
+    grouped_global_rank when the answer must be exact (two range
+    shuffles), this one-pass mergeable summary when rank error n/10^4 is
+    acceptable (one map-combinable aggregate, sketch-sized shuffle)."""
+    from ..operators.rank import grouped_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    ranked = grouped_global_rank(
+        cents, ["o_orderpriority"], ["cents", "o_orderkey"], rank_col="rk"
+    )
+    counts = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    approx = cents.groupBy("o_orderpriority").agg(
+        F.percentile_approx("cents", 0.5, _APPROX_PCT_ACC).alias("a50"),
+        F.percentile_approx("cents", 0.9, _APPROX_PCT_ACC).alias("a90"),
+    )
+
+    def exact_at(p: int) -> F.Column:
+        target = F.expr(f"({p} * n + 99) div 100")
+        return F.max(F.when(F.col("rk") == target, F.col("cents"))).alias(
+            f"exact_p{p}_cents"
+        )
+
+    def bound_at(p: int, side: int) -> F.Column:
+        # cents value at the guaranteed rank bound (clamped to [1, n]);
+        # side = -1 lower, +1 upper; rank error bound = ceil(n / accuracy)
+        err = F.expr(f"(n + {_APPROX_PCT_ACC} - 1) div {_APPROX_PCT_ACC}")
+        target = F.expr(f"({p} * n + 99) div 100") + side * err
+        clamped = F.greatest(F.least(target, F.col("n")), F.lit(1))
+        return F.max(F.when(F.col("rk") == clamped, F.col("cents"))).alias(
+            f"b{p}_{'lo' if side < 0 else 'hi'}"
+        )
+
+    exact = (
+        ranked.join(F.broadcast(counts), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            exact_at(50),
+            exact_at(90),
+            bound_at(50, -1),
+            bound_at(50, 1),
+            bound_at(90, -1),
+            bound_at(90, 1),
+        )
+    )
+    return exact.join(F.broadcast(approx), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "exact_p50_cents",
+        "exact_p90_cents",
+        ((F.col("a50") >= F.col("b50_lo")) & (F.col("a50") <= F.col("b50_hi")))
+        .alias("p50_within_tol"),
+        ((F.col("a90") >= F.col("b90_lo")) & (F.col("a90") <= F.col("b90_hi")))
+        .alias("p90_within_tol"),
+    )
