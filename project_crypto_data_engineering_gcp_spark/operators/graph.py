@@ -152,6 +152,35 @@ def label_propagation(edges: DataFrame, *, rounds: int) -> DataFrame:
     return labels.select("node", F.col("lbl").alias("community"))
 
 
+def bfs_distances(
+    edges: DataFrame, *, seed_mod: int, rounds: int
+) -> DataFrame:
+    """``(node, d)`` = min hop distance (<= ``rounds``) from the seed set
+    (node % seed_mod == 0) over the symmetrized edge frame ``(u, v)``;
+    unreached nodes are absent. Fixed synchronous frontier rounds (the
+    family's determinism technique). Per round: one equi-join of the
+    node-sized distance frame against the edges + a map-combinable min
+    aggregate; lineage cut per round."""
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    dist = nodes.filter(F.col("node") % seed_mod == 0).select(
+        "node", F.lit(0).cast("bigint").alias("d")
+    )
+    for _ in range(rounds):
+        hop = dist.join(sym, dist.node == sym.u).select(
+            F.col("v").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
 def pagerank_reference(
     edge_list: list[tuple[int, int]],
     *,

@@ -641,25 +641,10 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'd per round (lineage cut, the kcore discipline).
     Integer distances end to end. The oracle replays the identical
     rounds as a depth-limited recursive CTE."""
+    from ..operators.graph import bfs_distances
+
     edges = _basket_edges(spark, sf_dir).select("u", "v")
-    sym = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    nodes = sym.select(F.col("u").alias("node")).distinct()
-    dist = nodes.filter(F.col("node") % BFS_SEED_MOD == 0).select(
-        "node", F.lit(0).cast("bigint").alias("d")
-    )
-    for _ in range(BFS_ROUNDS):
-        hop = (
-            dist.join(sym, dist.node == sym.u)
-            .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
-        )
-        dist = (
-            dist.unionByName(hop)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
-        )
+    dist = bfs_distances(edges, seed_mod=BFS_SEED_MOD, rounds=BFS_ROUNDS)
     return dist.select(
         F.col("node").cast("bigint").alias("p_partkey"),
         F.col("d").cast("bigint").alias("distance"),

@@ -34,10 +34,13 @@ AMPLIFY = 16
 
 def main() -> None:
     from project_crypto_data_engineering_gcp_spark.operators.graph import (
+        bfs_distances,
         kcore_peel,
         label_propagation,
     )
     from project_crypto_data_engineering_gcp_spark.plans.queries_graph import (
+        BFS_ROUNDS,
+        BFS_SEED_MOD,
         KCORE_K,
         KCORE_ROUNDS,
         LPA_ROUNDS,
@@ -78,6 +81,10 @@ def main() -> None:
     for name, fn in (
         ("kcore", lambda e: kcore_peel(e, k=KCORE_K, rounds=KCORE_ROUNDS)),
         ("lpa", lambda e: label_propagation(e, rounds=LPA_ROUNDS)),
+        # r6: the fourth iterative shape — frontier expansion (amplified
+        # copies shift the seed pattern per copy; density is preserved,
+        # which is what the runtime ratio isolates)
+        ("bfs", lambda e: bfs_distances(e, seed_mod=BFS_SEED_MOD, rounds=BFS_ROUNDS)),
     ):
         b, a = run(fn, base), run(fn, amp)
         out[name] = {
