@@ -122,3 +122,28 @@ def test_silver_history_roundtrip(spark, tmp_path):
     n = silver.count()
     assert tx.read(spark, t, version=s0.version).count() == n
     assert tx.read(spark, t, version=s1.version).count() == 2 * n
+
+
+def test_model_based_history(spark, tmp_path):
+    """Model-based check: a deterministic pseudo-random sequence of
+    append/overwrite commits must leave EVERY version's snapshot equal
+    to an in-memory model of the history — the cumulative-correctness
+    property that single-op tests can miss (e.g. an append that bases
+    itself on the wrong prior snapshot)."""
+    import random
+
+    rng = random.Random(20260814)
+    t = str(tmp_path / "tbl")
+    model: list[list[int]] = []  # model[v] = expected ids at version v
+    nxt = 0
+    for _ in range(8):
+        k = rng.randint(1, 4)
+        ids = list(range(nxt, nxt + k))
+        nxt += k
+        mode = rng.choice(["append", "overwrite"])
+        snap = tx.commit(spark.range(ids[0], ids[-1] + 1), t, mode)
+        prev = model[-1] if (model and mode == "append") else []
+        model.append([*prev, *ids])
+        assert snap.version == len(model) - 1
+    for v, expected in enumerate(model):
+        assert _ids(tx.read(spark, t, version=v)) == sorted(expected), v
