@@ -461,7 +461,7 @@ def _mm_frame_match_oracle() -> str:
         SELECT doc_id, g AS frame_idx,
                substr(text, g * {FRAME_STRIDE} + 1, {FRAME_STRIDE}) AS ft
         FROM documents, (SELECT UNNEST(range(0, {N_FRAMES})) AS g)
-        WHERE g * {FRAME_STRIDE} < length(text)
+        WHERE g * {FRAME_STRIDE} < octet_length(encode(text))
     ),
     fp AS (
         SELECT doc_id, frame_idx, {md5_long_sql("ft")} AS f FROM frames
