@@ -139,6 +139,9 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dq_column_profile",
     "approx_percentile_orders",
     "graph_bfs_distances",
+    "a22_sales_cube",
+    "curate_weighted_sample",
+    "dq_table_diff",
 )
 
 

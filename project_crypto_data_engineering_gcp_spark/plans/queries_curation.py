@@ -1018,3 +1018,88 @@ def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source", "sample_rank")
     )
+
+
+# ----------------------------------------- weighted sampling (priority sample)
+
+_PS_SALT = "psample-v1:"
+_PS_K = 12  # sample size per language
+_PS_UBITS = 1073741824  # 2^30: uniform denominator AND priority scale
+
+
+@corpus_query(
+    "curate_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT lang, doc_id, source,
+               GREATEST(n_chars, 1) AS weight,
+               ({md5_long_sql("CAST(doc_id AS VARCHAR)", _PS_SALT)}
+                   % {_PS_UBITS}) + 1 AS u
+        FROM documents
+    ),
+    p AS (
+        SELECT lang, doc_id, source, weight,
+               (weight * {_PS_UBITS}) // u AS priority
+        FROM w
+    ),
+    r AS (
+        SELECT lang, doc_id, source, weight, priority,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY priority DESC, doc_id
+               ) AS rk
+        FROM p
+    )
+    SELECT lang, doc_id, source, weight, priority, rk
+    FROM r WHERE rk <= {_PS_K}
+    """,
+)
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k docs per language, via
+    PRIORITY SAMPLING (Duffield-Lund-Thorup, JACM '07): each item gets
+    priority q = w / u with u ~ Uniform(0,1]; the top-k by q is a
+    weighted sample without replacement with near-optimal variance for
+    subset-sum estimation. The LLM-mixing use case: sample long/high-
+    quality documents proportionally more while keeping the draw
+    reproducible across runs and cluster sizes.
+
+    Determinism + cross-engine exactness: u is the salted-md5 uniform
+    (functions/hashing.py) and the priority is computed entirely in
+    BIGINT arithmetic -- u' = h % 2^30 + 1 in (0, 2^30], priority =
+    (w * 2^30) DIV u' = floor of the real-valued w/u scaled by 2^30.
+    Integer floor-division is bit-identical in both engines, so the
+    ranking has ZERO float-tie exposure (the [[round-ties-lesson]]
+    doctrine) and the oracle mirrors it exactly.
+
+    Scale shape: one window partitioned by lang with the rk <= k filter
+    directly above it -- Spark's WindowGroupLimit rewrite keeps a
+    per-task top-k heap BEFORE the shuffle, so each map task emits at
+    most k rows per language regardless of input size; the reduce side
+    merges tiny per-task heads. No full sort, no data-sized window
+    funnel even for a 2-language 100 TB corpus (plan-pinned in
+    tests/test_plan_shapes.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang",
+        "doc_id",
+        "source",
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("weight"),
+        (
+            md5_long(F.col("doc_id").cast("string"), _PS_SALT) % _PS_UBITS + 1
+        ).alias("u"),
+    )
+    p = w.select(
+        "lang",
+        "doc_id",
+        "source",
+        "weight",
+        F.expr(f"(weight * {_PS_UBITS}) div u").alias("priority"),
+    )
+    win = Window.partitionBy("lang").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rk") <= _PS_K)
+        .select("lang", "doc_id", "source", "weight", "priority", "rk")
+    )

@@ -945,3 +945,71 @@ def a14_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+# ------------------------------------------------- CUBE / grouping sets
+
+
+@corpus_query(
+    "a22_sales_cube",
+    oracle="""
+    SELECT n_name, o_orderpriority,
+           (CASE WHEN n_name IS NULL THEN 2 ELSE 0 END
+            + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT))
+               AS BIGINT) AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE (n_name, o_orderpriority)
+    """,
+)
+def a22_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (nation x order priority) with grand total and both
+    one-dimension subtotals in a single pass — the grouping-sets family
+    (df.cube / GROUP BY CUBE) that every BI export needs, here over the
+    3-table orders->customer->nation join.
+
+    Scale shape: Spark compiles cube() to ONE Expand operator (each
+    input row is replicated into the 4 grouping sets map-side) feeding a
+    single partial-aggregated shuffle — the subtotal rows cost one extra
+    map-side projection each, NOT extra passes over the fact table, and
+    partial aggregation collapses every task's output to at most
+    |groups| rows before the exchange. At 100 TB this is scan + join +
+    4x-expand + partial agg + one exchange of a few thousand group
+    rows. nation (25 rows) is broadcast;
+    customer is a DATA-SIZED dimension (1.5M rows/SF) so it joins on the
+    shuffled o_custkey equi-key — deliberately NOT broadcast (AQE may
+    still choose broadcast at small SFs where it fits).
+
+    gid disambiguates genuine dimension values from subtotal NULLs
+    (Spark's grouping_id(): first cube column = MSB). Both dims are
+    non-null in the data, so the oracle reconstructs the identical id
+    arithmetically from the NULL pattern — engine-neutral, avoiding any
+    GROUPING() bit-order convention mismatch. Money in exact integer
+    cents (zero ROUND-tie exposure).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            "n_name",
+            "o_orderpriority",
+            (F.col("o_totalprice") * 100)
+            .cast("decimal(18,0)")
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    return joined.cube("n_name", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )

@@ -2807,3 +2807,126 @@ def approx_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("a90") >= F.col("b90_lo")) & (F.col("a90") <= F.col("b90_hi")))
         .alias("p90_within_tol"),
     )
+
+
+# --------------------------------------------------- snapshot diff (data CI)
+
+_DIFF_SALT = "diff-v1:"
+
+
+@corpus_query(
+    "dq_table_diff",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT)
+                   AS cents,
+               o_orderstatus AS status,
+               ('0x' || substr(md5('{_DIFF_SALT}' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM orders
+    ),
+    b AS (
+        SELECT k,
+               CASE WHEN h % 89 = 3 THEN cents + 1000 ELSE cents END AS cents,
+               CASE WHEN h % 83 = 7 THEN 'X' ELSE status END AS status
+        FROM base WHERE h % 97 <> 0
+        UNION ALL
+        SELECT k + 6000000000, cents, status FROM base WHERE h % 101 = 5
+    ),
+    d AS (
+        SELECT a.k IS NULL AS only_b, b.k IS NULL AS only_a,
+               a.cents AS a_cents, b.cents AS b_cents,
+               a.status AS a_status, b.status AS b_status
+        FROM base a FULL OUTER JOIN b ON a.k = b.k
+    ),
+    c AS (
+        SELECT CASE WHEN only_b THEN 'added'
+                    WHEN only_a THEN 'removed'
+                    WHEN a_cents IS DISTINCT FROM b_cents
+                         OR a_status IS DISTINCT FROM b_status THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               a_cents, b_cents, a_status, b_status
+        FROM d
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN change_type = 'changed'
+                          AND a_cents IS DISTINCT FROM b_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_price_chg,
+           CAST(SUM(CASE WHEN change_type = 'changed'
+                          AND a_status IS DISTINCT FROM b_status
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_status_chg,
+           CAST(SUM(COALESCE(b_cents, 0) - COALESCE(a_cents, 0)) AS BIGINT)
+               AS delta_cents
+    FROM c GROUP BY change_type
+    """,
+)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot regression diff — the data-CI gate for a re-loaded table.
+
+    The reference pipeline overwrites its serving tables on every
+    trigger (reference ``main.py``: append raw + overwrite trusted); in
+    production you want to know what a re-load actually changed before
+    promoting it. This derives snapshot B from ``orders`` with
+    deterministic hash-selected edits (removals h%97=0, price bumps
+    h%89=3, status flips h%83=7, additions h%101=5 under shifted keys) so
+    both engines build the identical pair, then runs
+    operators/diff.py::table_diff — ONE full-outer sort-merge join on
+    the key, eqNullSafe per-column flags, map-combinable rollup by
+    change class with the net money delta in exact integer cents.
+
+    At 100 TB: snapshot tables bucketed on the key make the join
+    shuffle-free; everything downstream of the join is a partial-agg
+    groupBy over a 4-value key. No window, no Python, no collect.
+    """
+    from ..functions.hashing import md5_long
+    from ..operators.diff import table_diff
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+        md5_long(F.col("o_orderkey").cast("string"), _DIFF_SALT).alias("h"),
+    )
+    snap_b = (
+        base.filter(F.col("h") % 97 != 0)
+        .select(
+            "k",
+            F.when(F.col("h") % 89 == 3, F.col("cents") + 1000)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+            F.when(F.col("h") % 83 == 7, F.lit("X"))
+            .otherwise(F.col("status"))
+            .alias("status"),
+        )
+        .unionAll(
+            base.filter(F.col("h") % 101 == 5).select(
+                (F.col("k") + 6000000000).alias("k"), "cents", "status"
+            )
+        )
+    )
+    diff = table_diff(
+        base.select("k", "cents", "status"),
+        snap_b,
+        keys=["k"],
+        compare_cols=["cents", "status"],
+    )
+    changed = F.col("change_type") == "changed"
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.when(changed & F.col("chg_cents"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_price_chg"),
+        F.sum(F.when(changed & F.col("chg_status"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_status_chg"),
+        F.sum(
+            F.coalesce(F.col("b_cents"), F.lit(0))
+            - F.coalesce(F.col("a_cents"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("delta_cents"),
+    )

@@ -840,3 +840,52 @@ def test_grouped_global_rank_matches_partitioned_row_number(spark):
             .count()
         )
         assert bad == 0, f"trial {trial} n={n}: {bad} mismatching rows"
+
+
+def test_table_diff_classification_and_null_semantics(spark):
+    """table_diff: every change class produced; NULL->value / value->NULL
+    count as changes; NULL->NULL does not; reserved columns rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from project_crypto_data_engineering_gcp_spark.operators.diff import table_diff
+
+    a = spark.createDataFrame(
+        [
+            (1, 10, "a"),      # unchanged
+            (2, 20, None),     # unchanged (NULL -> NULL)
+            (3, 30, "c"),      # changed: v 30 -> 31
+            (4, None, "d"),    # changed: v NULL -> 40
+            (5, 50, "e"),      # changed: s 'e' -> NULL
+            (6, 60, "f"),      # removed
+        ],
+        "k int, v int, s string",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 10, "a"),
+            (2, 20, None),
+            (3, 31, "c"),
+            (4, 40, "d"),
+            (5, 50, None),
+            (7, 70, "g"),      # added
+        ],
+        "k int, v int, s string",
+    )
+    out = table_diff(a, b, keys=["k"], compare_cols=["v", "s"])
+    got = {r["k"]: r for r in out.collect()}
+    assert {k: r["change_type"] for k, r in got.items()} == {
+        1: "unchanged", 2: "unchanged", 3: "changed",
+        4: "changed", 5: "changed", 6: "removed", 7: "added",
+    }
+    assert got[3]["chg_v"] and not got[3]["chg_s"]
+    assert got[4]["chg_v"] and not got[4]["chg_s"]
+    assert got[5]["chg_s"] and not got[5]["chg_v"]
+    # value pairs survive for downstream delta math
+    assert (got[3]["a_v"], got[3]["b_v"]) == (30, 31)
+    assert got[7]["a_v"] is None and got[7]["b_v"] == 70
+
+    with _pytest.raises(ValueError, match="reserved"):
+        table_diff(
+            a.withColumn("change_type", F.lit("x")), b, ["k"], ["v"]
+        )

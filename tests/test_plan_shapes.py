@@ -764,3 +764,38 @@ def test_mm_simhash_band_join_is_capped_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan  # the hot-band bucket-size cap
+
+
+def test_weighted_sample_window_group_limit(spark):
+    """curate_weighted_sample's per-lang top-k must ride WindowGroupLimit
+    (map-side per-task top-k heaps before the shuffle) — a plain
+    partitioned window with a post-filter would funnel each language's
+    full corpus through one task."""
+    plan = plan_of(QUERIES["curate_weighted_sample"].fn(spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan
+
+
+def test_sales_cube_expand_once_broadcast_nation(spark):
+    """a22_sales_cube: the CUBE compiles to exactly ONE Expand (4 grouping
+    sets materialized map-side, not 4 passes over the fact table), the
+    25-row nation dim is broadcast, and the aggregate is hash-based with
+    partial aggregation (no sort-based fallback)."""
+    plan = plan_of(QUERIES["a22_sales_cube"].fn(spark, SF_ORACLE))
+    assert plan.count("Expand") >= 1
+    # formatted mode counts physical operators exactly once
+    formatted = plan_of(
+        QUERIES["a22_sales_cube"].fn(spark, SF_ORACLE), "formatted"
+    )
+    assert formatted.count("Expand (") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_table_diff_is_single_equi_join(spark):
+    """dq_table_diff: the A-vs-B comparison is ONE full-outer sort-merge
+    equi-join on the key — no window, no nested-loop, no cartesian."""
+    plan = plan_of(QUERIES["dq_table_diff"].fn(spark, SF_ORACLE))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
