@@ -89,6 +89,12 @@ HEADLINE = (
     "mm_simhash_payload",
     "a20_exact_percentiles",
     "curate_stratified_sample",
+    # r6 continuation: the grouping-sets Expand shape, the weighted
+    # priority-sample WindowGroupLimit shape, and the snapshot-diff
+    # full-outer join — new physical-plan families, regression-tracked
+    "a22_sales_cube",
+    "curate_weighted_sample",
+    "dq_table_diff",
 )
 
 
