@@ -2814,10 +2814,46 @@ def approx_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIFF_SALT = "diff-v1:"
 
 
-@corpus_query(
-    "dq_table_diff",
-    oracle=f"""
-    WITH base AS (
+def _snapshot_pair(spark: SparkSession, sf_dir: str):
+    """The shared data-CI fixture: snapshot A = orders projected to
+    (k, cents, status); snapshot B = A with deterministic hash-selected
+    edits (removals h%97=0, price bumps h%89=3, status flips h%83=7,
+    additions h%101=5 under shifted keys). Both engines derive the
+    identical pair — dq_table_diff classifies the differences row-level,
+    dq_table_checksum detects them from O(buckets) state."""
+    from ..functions.hashing import md5_long
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+        md5_long(F.col("o_orderkey").cast("string"), _DIFF_SALT).alias("h"),
+    )
+    snap_b = (
+        base.filter(F.col("h") % 97 != 0)
+        .select(
+            "k",
+            F.when(F.col("h") % 89 == 3, F.col("cents") + 1000)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+            F.when(F.col("h") % 83 == 7, F.lit("X"))
+            .otherwise(F.col("status"))
+            .alias("status"),
+        )
+        .unionAll(
+            base.filter(F.col("h") % 101 == 5).select(
+                (F.col("k") + 6000000000).alias("k"), "cents", "status"
+            )
+        )
+    )
+    return base.select("k", "cents", "status"), snap_b
+
+
+#: the oracle-side twin of _snapshot_pair, shared by both data-CI oracles
+_SNAPSHOT_PAIR_SQL = f"""base AS (
         SELECT o_orderkey AS k,
                CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT)
                    AS cents,
@@ -2832,7 +2868,13 @@ _DIFF_SALT = "diff-v1:"
         FROM base WHERE h % 97 <> 0
         UNION ALL
         SELECT k + 6000000000, cents, status FROM base WHERE h % 101 = 5
-    ),
+    )"""
+
+
+@corpus_query(
+    "dq_table_diff",
+    oracle=f"""
+    WITH {_SNAPSHOT_PAIR_SQL},
     d AS (
         SELECT a.k IS NULL AS only_b, b.k IS NULL AS only_a,
                a.cents AS a_cents, b.cents AS b_cents,
@@ -2879,37 +2921,11 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free; everything downstream of the join is a partial-agg
     groupBy over a 4-value key. No window, no Python, no collect.
     """
-    from ..functions.hashing import md5_long
     from ..operators.diff import table_diff
 
-    base = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        (F.col("o_totalprice") * 100)
-        .cast("decimal(18,0)")
-        .cast("bigint")
-        .alias("cents"),
-        F.col("o_orderstatus").alias("status"),
-        md5_long(F.col("o_orderkey").cast("string"), _DIFF_SALT).alias("h"),
-    )
-    snap_b = (
-        base.filter(F.col("h") % 97 != 0)
-        .select(
-            "k",
-            F.when(F.col("h") % 89 == 3, F.col("cents") + 1000)
-            .otherwise(F.col("cents"))
-            .alias("cents"),
-            F.when(F.col("h") % 83 == 7, F.lit("X"))
-            .otherwise(F.col("status"))
-            .alias("status"),
-        )
-        .unionAll(
-            base.filter(F.col("h") % 101 == 5).select(
-                (F.col("k") + 6000000000).alias("k"), "cents", "status"
-            )
-        )
-    )
+    snap_a, snap_b = _snapshot_pair(spark, sf_dir)
     diff = table_diff(
-        base.select("k", "cents", "status"),
+        snap_a,
         snap_b,
         keys=["k"],
         compare_cols=["cents", "status"],
@@ -2930,3 +2946,82 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("delta_cents"),
     )
+
+
+# ------------------------------------------- table checksum (data-CI gate)
+
+_CKSUM_SALT = "cksum-v1:"
+_CKSUM_BUCKETS = 16
+
+# oracle twin of operators/checksum.py's rendering: rowstr = coalesced
+# CAST-to-string columns joined by '|'; hashes are the shared salted-md5
+_CKSUM_ROWSTR = (
+    "COALESCE(CAST(k AS VARCHAR), '\\N') || '|' || "
+    "COALESCE(CAST(cents AS VARCHAR), '\\N') || '|' || "
+    "COALESCE(status, '\\N')"
+)
+
+
+def _cksum_summary_sql(src: str, alias: str) -> str:
+    bucket = (
+        f"(('0x' || substr(md5('{_CKSUM_SALT}bk:' || CAST(k AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {_CKSUM_BUCKETS})"
+    )
+    h1 = f"('0x' || substr(md5('{_CKSUM_SALT}h1:' || {_CKSUM_ROWSTR}), 1, 15))::BIGINT"
+    h2 = f"('0x' || substr(md5('{_CKSUM_SALT}h2:' || {_CKSUM_ROWSTR}), 1, 15))::BIGINT"
+    return f"""{alias} AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               bit_xor(h1) AS x1, bit_xor(h2) AS x2
+        FROM (SELECT {bucket} AS bucket, {h1} AS h1, {h2} AS h2 FROM {src}) t
+        GROUP BY 1
+    )"""
+
+
+@corpus_query(
+    "dq_table_checksum",
+    oracle=f"""
+    WITH {_SNAPSHOT_PAIR_SQL},
+    {_cksum_summary_sql("base", "sa")},
+    {_cksum_summary_sql("b", "sb")}
+    SELECT COALESCE(sa.bucket, sb.bucket) AS bucket,
+           CAST(COALESCE(sa.n, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(sb.n, 0) AS BIGINT) AS n_b,
+           (COALESCE(sa.n, 0) = COALESCE(sb.n, 0)
+            AND COALESCE(sa.x1, 0) = COALESCE(sb.x1, 0)
+            AND COALESCE(sa.x2, 0) = COALESCE(sb.x2, 0)) AS bucket_match
+    FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
+    """,
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orderless bucketed checksum comparison — the O(1)-state twin of
+    dq_table_diff over the SAME deterministic snapshot pair.
+
+    Where dq_table_diff pays a full-outer join of the two snapshots to
+    say exactly what changed, this reduces each side independently to
+    {_CKSUM_BUCKETS} rows of (count, XOR of two independently-salted
+    60-bit row hashes) in one scan — map-combinable, order- and
+    partitioning-independent — and the only join in the comparison is
+    the {_CKSUM_BUCKETS}-row summary against itself. Buckets hash the
+    KEY, not the row, so an edited row stays in its bucket and a failing
+    bucket names the key range to hand to table_diff for the row-level
+    pass: checksum gate first, diff only on mismatch.
+
+    At 100 TB: each side is one parquet scan + partial agg with
+    {_CKSUM_BUCKETS} groups — no table-vs-table shuffle ever, state per
+    task is {_CKSUM_BUCKETS} x 3 longs. This is how you verify a
+    re-load (the reference's overwrite-per-trigger serving tables,
+    reference ``main.py``) reproduced a table for the cost of reading it
+    once. operators/checksum.py.
+    """
+    from ..operators.checksum import checksum_compare, table_checksum
+
+    snap_a, snap_b = _snapshot_pair(spark, sf_dir)
+    sa = table_checksum(
+        snap_a, keys=["k"], cols=["cents", "status"],
+        buckets=_CKSUM_BUCKETS, salt=_CKSUM_SALT,
+    )
+    sb = table_checksum(
+        snap_b, keys=["k"], cols=["cents", "status"],
+        buckets=_CKSUM_BUCKETS, salt=_CKSUM_SALT,
+    )
+    return checksum_compare(sa, sb)

@@ -1173,7 +1173,7 @@ def approx_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGE_ROUNDS = 3  # unrolled greedy merges (both engines run exactly these)
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_cte_chain() -> str:
     """The BPE training loop unrolled CTE-per-merge (the PageRank/k-core
     technique): each round counts adjacent token pairs, picks the global
     top pair (count DESC, then lexicographic — fully deterministic), and
@@ -1181,7 +1181,10 @@ def _bpe_train_oracle() -> str:
     left-to-right merging is made PARALLEL-SAFE by run-parity islands:
     for a != b candidate starts can never be adjacent, and for a == b a
     run of k candidates keeps exactly the even offsets within the run —
-    a gaps-and-islands window per document, no sequential scan."""
+    a gaps-and-islands window per document, no sequential scan.
+
+    Returns the WITH body (tok0 .. tok{BPE_MERGE_ROUNDS}); the train and
+    encode oracles attach different final SELECTs to the same chain."""
     parts = [
         f"""WITH tok0 AS (
         SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
@@ -1235,13 +1238,29 @@ def _bpe_train_oracle() -> str:
         ) m
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle() -> str:
     unions = "\n    UNION ALL ".join(
         f"SELECT {r + 1} AS round, concat(a, ' ', b) AS merged_pair, c"
         f" AS n_occurrences FROM top{r}"
         for r in range(BPE_MERGE_ROUNDS)
     )
-    parts.append(f"\n    {unions}")
-    return "".join(parts)
+    return f"{_bpe_cte_chain()}\n    {unions}"
+
+
+def _bpe_encode_oracle() -> str:
+    final = BPE_MERGE_ROUNDS
+    return f"""{_bpe_cte_chain()}
+    SELECT b.doc_id,
+           b.n_tok_base,
+           e.n_tok_bpe,
+           b.n_tok_base - e.n_tok_bpe AS n_merges_applied
+    FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok_base
+          FROM tok0 GROUP BY 1) b
+    JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok_bpe
+          FROM tok{final} GROUP BY 1) e ON e.doc_id = b.doc_id"""
 
 
 @corpus_query("text_bpe_train_merges", oracle=_bpe_train_oracle())
@@ -1272,14 +1291,29 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel). Token positions REINDEX each round so adjacency stays an
     equi-join. ``localCheckpoint`` per round cuts the re-evaluation of
     the token frame, the same discipline as pagerank/k-core/LPA."""
+    merge_rows, _, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merge_rows, "round int, merged_pair string, n_occurrences bigint"
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, int]], DataFrame, DataFrame]:
+    """Run the {BPE_MERGE_ROUNDS}-round training loop (see
+    text_bpe_train_merges for the algorithm and scale notes). Returns
+    (merge_rows, tok0, tok_final): the learned merge table, the base
+    tokenization, and the corpus REWRITTEN under all learned merges —
+    the encoded corpus that text_bpe_encode_stats reports on."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok0 = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
     ).select(
         "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok"
     ).localCheckpoint(eager=True)
+    tok = tok0
 
     merge_rows: list[tuple[int, str, int]] = []
     for r in range(BPE_MERGE_ROUNDS):
@@ -1340,6 +1374,39 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
         ).localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
-        merge_rows, "round int, merged_pair string, n_occurrences bigint"
+    return merge_rows, tok0, tok
+
+
+@corpus_query("text_bpe_encode_stats", oracle=_bpe_encode_oracle())
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING corpus-wide — the inference half of the tokenizer
+    story (text_bpe_pair_counts = the count stage, text_bpe_train_merges
+    = training, this = applying the trained tokenizer to the corpus).
+    Trains the {BPE_MERGE_ROUNDS}-merge tokenizer, rewrites every
+    document under the learned merges (the training loop's final token
+    frame IS the encoded corpus — merges must be applied in learned
+    order, which the unrolled loop does by construction), and returns
+    the per-document compression ledger: (doc_id, n_tok_base,
+    n_tok_bpe, n_merges_applied). n_tok_bpe is the number a training
+    pipeline actually bills by — sequence length under the deployed
+    tokenizer, not whitespace tokens.
+
+    Scale shape: identical to text_bpe_train_merges per round (one
+    per-doc lead() window + map-combinable pair count + bounded top-1
+    driver literal + gaps-and-islands rewrite), plus two map-combinable
+    per-doc counts and ONE equi-join on doc_id for the report. Encoding
+    cost at 100 TB is the same corpus rewrite the trainer already
+    performs; nothing here is new shuffle volume."""
+    merge_rows, tok0, tok_final = _bpe_train(spark, sf_dir)
+    base_counts = tok0.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok_base")
+    )
+    bpe_counts = tok_final.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok_bpe")
+    )
+    return base_counts.join(bpe_counts, "doc_id").select(
+        "doc_id",
+        "n_tok_base",
+        "n_tok_bpe",
+        (F.col("n_tok_base") - F.col("n_tok_bpe")).alias("n_merges_applied"),
     )

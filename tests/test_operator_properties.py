@@ -934,3 +934,86 @@ def test_priority_sampling_favors_heavy_items(spark):
     top = sum(freq.get(i, 0) for i in range(180, 200))
     bottom = sum(freq.get(i, 0) for i in range(0, 20))
     assert top >= 4 * max(bottom, 1), (top, bottom)
+
+
+# ------------------------------------------------ table_checksum properties
+
+
+def _cksum_frame(n: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "k": np.arange(n, dtype="int64"),
+            "v": RNG.integers(0, 1_000_000, size=n).astype("int64"),
+            "s": [f"s{int(x) % 7}" for x in RNG.integers(0, 100, size=n)],
+        }
+    )
+
+
+def test_table_checksum_order_and_partitioning_invariant(spark):
+    """The checksum is an orderless reduction: shuffling rows and changing
+    the partitioning must produce the identical summary."""
+    from project_crypto_data_engineering_gcp_spark.operators.checksum import (
+        table_checksum,
+    )
+
+    pdf = _cksum_frame(400)
+    a = spark.createDataFrame(pdf)
+    shuffled = spark.createDataFrame(
+        pdf.sample(frac=1.0, random_state=7)
+    ).repartition(13)
+    sa = table_checksum(a, keys=["k"], cols=["v", "s"]).toPandas()
+    sb = table_checksum(shuffled, keys=["k"], cols=["v", "s"]).toPandas()
+    pd.testing.assert_frame_equal(
+        sa.sort_values("bucket").reset_index(drop=True),
+        sb.sort_values("bucket").reset_index(drop=True),
+    )
+
+
+def test_table_checksum_detects_single_cell_edit_and_localizes(spark):
+    """Editing ONE cell flips exactly the edited key's bucket; comparing
+    the summaries (checksum_compare) marks that bucket and no other."""
+    from project_crypto_data_engineering_gcp_spark.operators.checksum import (
+        checksum_compare,
+        md5_long,
+        table_checksum,
+    )
+
+    pdf = _cksum_frame(400)
+    edited = pdf.copy()
+    edited.loc[123, "v"] = edited.loc[123, "v"] + 1
+    a, b = spark.createDataFrame(pdf), spark.createDataFrame(edited)
+    cmp_df = checksum_compare(
+        table_checksum(a, keys=["k"], cols=["v", "s"]),
+        table_checksum(b, keys=["k"], cols=["v", "s"]),
+    ).toPandas()
+    bad = cmp_df[~cmp_df["bucket_match"]]
+    assert len(bad) == 1
+    expected_bucket = (
+        spark.range(1)
+        .select(
+            F.pmod(
+                md5_long(F.lit(str(pdf.loc[123, "k"])), "cksum-v1:bk:"),
+                F.lit(16),
+            ).alias("b")
+        )
+        .collect()[0]["b"]
+    )
+    assert int(bad.iloc[0]["bucket"]) == int(expected_bucket)
+    # counts agree everywhere (an edit, not an add/remove)
+    assert (cmp_df["n_a"] == cmp_df["n_b"]).all()
+
+
+def test_table_checksum_null_vs_empty_string_differ(spark):
+    """NULL renders as \\N, not '': the two frames must NOT checksum equal."""
+    from project_crypto_data_engineering_gcp_spark.operators.checksum import (
+        checksum_compare,
+        table_checksum,
+    )
+
+    a = spark.createDataFrame([(1, None)], "k bigint, s string")
+    b = spark.createDataFrame([(1, "")], "k bigint, s string")
+    cmp_df = checksum_compare(
+        table_checksum(a, keys=["k"], cols=["s"]),
+        table_checksum(b, keys=["k"], cols=["s"]),
+    ).toPandas()
+    assert not cmp_df["bucket_match"].all()

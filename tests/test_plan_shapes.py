@@ -799,3 +799,29 @@ def test_table_diff_is_single_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_table_checksum_never_joins_the_snapshots(spark):
+    """dq_table_checksum: each snapshot reduces independently to 16 rows
+    (map-combinable partial aggs); the only join in the plan is
+    summary-vs-summary ON bucket. The snapshots themselves are never
+    joined — that is the whole point of the checksum gate."""
+    plan = plan_of(QUERIES["dq_table_checksum"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan  # partial/final checksum reduction
+    join_lines = [
+        l for l in plan.splitlines() if "Join" in l and "FullOuter" in l
+    ]
+    assert len(join_lines) == 1, join_lines
+    assert "bucket" in join_lines[0]  # joined on bucket, not on the key
+
+
+def test_bpe_encode_report_is_equi_join_no_cartesian(spark):
+    """text_bpe_encode_stats: the report stage is two map-combinable
+    per-doc counts + ONE equi-join on doc_id over the (checkpointed)
+    token frames; no window, no cartesian in the final plan."""
+    plan = plan_of(QUERIES["text_bpe_encode_stats"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "doc_id" in plan and "HashAggregate" in plan
