@@ -3025,3 +3025,141 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=_CKSUM_BUCKETS, salt=_CKSUM_SALT,
     )
     return checksum_compare(sa, sb)
+
+
+# ------------------------------------- bootstrap / half-sample replication
+
+_BOOT_SALT = "boot-v1:"
+_BOOT_REPLICAS = 48  # bits 0..47 of one 60-bit row hash
+_BOOT_LO_RANK = 2   # ceil(0.025 * 48)
+_BOOT_HI_RANK = 47  # ceil(0.975 * 48)
+
+
+@corpus_query(
+    "a23_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS prio,
+               CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT)
+                   AS cents,
+               ('0x' || substr(md5('{_BOOT_SALT}' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM orders
+    ),
+    cells AS (
+        SELECT prio, bs.b, cents
+        FROM base
+        CROSS JOIN (SELECT range AS b FROM range({_BOOT_REPLICAS})) bs
+        WHERE ((h >> CAST(bs.b AS INT)) & 1) = 1
+    ),
+    reps AS (
+        SELECT prio, b,
+               CAST((SUM(cents) * 1000000) // COUNT(*) AS BIGINT) AS mean_e6
+        FROM cells GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT prio, mean_e6,
+               ROW_NUMBER() OVER (PARTITION BY prio ORDER BY mean_e6, b)
+                   AS rk
+        FROM reps
+    ),
+    ci AS (
+        SELECT prio,
+               MAX(CASE WHEN rk = {_BOOT_LO_RANK} THEN mean_e6 END)
+                   AS ci_lo_cents_e6,
+               MAX(CASE WHEN rk = {_BOOT_HI_RANK} THEN mean_e6 END)
+                   AS ci_hi_cents_e6
+        FROM ranked GROUP BY 1
+    ),
+    pt AS (
+        SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST((SUM(cents) * 1000000) // COUNT(*) AS BIGINT)
+                   AS point_mean_cents_e6
+        FROM base GROUP BY 1
+    )
+    SELECT pt.prio AS o_orderpriority, pt.n_orders,
+           pt.point_mean_cents_e6, ci.ci_lo_cents_e6, ci.ci_hi_cents_e6
+    FROM pt JOIN ci ON ci.prio = pt.prio
+    """,
+)
+def a23_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed uncertainty quantification: a 95% half-sample
+    replication CI for mean order value per priority — the resampling
+    family's entry in the stats toolbox (point estimates: a1/a17/a18;
+    drift: a15; this: HOW SURE the estimate is).
+
+    Classic bootstrap resampling is driver-hostile (N draws with
+    replacement per replica); the distributed form used here is
+    half-sample replication: ONE 60-bit salted-md5 per row, bit b of
+    which decides membership in replica b — {_BOOT_REPLICAS} exactly-
+    Bernoulli(1/2) replicas from a single hash, fully deterministic on
+    any cluster, no RNG state anywhere. Replica means in integer
+    cents*1e6 (_idiv decimal floor-division — zero float-tie exposure
+    per the ROUND-tie doctrine), CI endpoints = order statistics
+    {_BOOT_LO_RANK}/{_BOOT_HI_RANK} of the {_BOOT_REPLICAS} replica
+    means (ties broken by replica id — deterministic cross-engine).
+
+    Scale shape: scan -> ~{_BOOT_REPLICAS}/2-way explode of (replica,
+    cents) cells -> ONE map-combinable groupBy(prio, replica) whose
+    shuffle is bounded at n_groups x {_BOOT_REPLICAS} rows per
+    partition regardless of input volume; the window that extracts the
+    order statistics runs over {_BOOT_REPLICAS}-row partitions. The
+    fan-out costs CPU in the scan stage (embarrassingly parallel), not
+    shuffle volume — the same fixed-memory argument as the count-min
+    sketch build."""
+    from ..functions.hashing import md5_long
+    from ..operators.rank import _idiv
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("cents"),
+        md5_long(F.col("o_orderkey").cast("string"), _BOOT_SALT).alias("h"),
+    )
+    member = F.array(
+        *[
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(b).cast("bigint"),
+            )
+            for b in range(_BOOT_REPLICAS)
+        ]
+    )
+    cells = (
+        base.select("prio", "cents", F.explode(member).alias("b"))
+        .filter(F.col("b").isNotNull())
+    )
+
+    def mean_e6(sum_col: F.Column, n_col: F.Column) -> F.Column:
+        return _idiv(
+            sum_col.cast("decimal(38,0)") * F.lit(1000000), n_col
+        ).cast("bigint")
+
+    reps = cells.groupBy("prio", "b").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    ).select("prio", "b", mean_e6(F.col("s"), F.col("n")).alias("mean_e6"))
+    w = Window.partitionBy("prio").orderBy("mean_e6", "b")
+    ranked = reps.withColumn("rk", F.row_number().over(w))
+    ci = ranked.groupBy("prio").agg(
+        F.max(
+            F.when(F.col("rk") == _BOOT_LO_RANK, F.col("mean_e6"))
+        ).alias("ci_lo_cents_e6"),
+        F.max(
+            F.when(F.col("rk") == _BOOT_HI_RANK, F.col("mean_e6"))
+        ).alias("ci_hi_cents_e6"),
+    )
+    pt = base.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        mean_e6(F.sum("cents"), F.count(F.lit(1))).alias(
+            "point_mean_cents_e6"
+        ),
+    )
+    return pt.join(ci, "prio").select(
+        F.col("prio").alias("o_orderpriority"),
+        "n_orders",
+        "point_mean_cents_e6",
+        "ci_lo_cents_e6",
+        "ci_hi_cents_e6",
+    )

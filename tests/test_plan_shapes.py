@@ -825,3 +825,16 @@ def test_bpe_encode_report_is_equi_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "doc_id" in plan and "HashAggregate" in plan
+
+
+def test_bootstrap_ci_shuffle_is_replica_bounded(spark):
+    """a23_bootstrap_ci: replica membership is a map-side array explode
+    feeding ONE map-combinable groupBy — partial HashAggregate before
+    the exchange bounds the shuffle at n_groups x 48 rows per partition;
+    the order-statistic window runs over 48-row partitions. No cartesian
+    anywhere."""
+    plan = plan_of(QUERIES["a23_bootstrap_ci"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan and "Generate explode" in plan
+    assert "Window" in plan

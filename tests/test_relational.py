@@ -151,3 +151,19 @@ def test_minhash_recall_vs_exact_ngram(spark):
     assert lsh <= exact
     recall = len(lsh) / len(exact)
     assert recall >= 0.8, f"LSH recall too low: {recall:.2f}"
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    """The 95% half-sample CI must contain the full-sample point
+    estimate and be properly ordered for every priority group."""
+    from project_crypto_data_engineering_gcp_spark.plans import all_queries
+
+    rows = (
+        all_queries()["a23_bootstrap_ci"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert len(rows) == 5
+    for r in rows:
+        assert r["ci_lo_cents_e6"] < r["point_mean_cents_e6"] < r["ci_hi_cents_e6"], r
+        assert r["n_orders"] > 0
