@@ -3163,3 +3163,115 @@ def a23_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo_cents_e6",
         "ci_hi_cents_e6",
     )
+
+
+# ------------------------------------ leakage-free target encoding (ML prep)
+
+_TE_SALT = "tefold-v1:"
+_TE_FOLDS = 5
+_TE_SMOOTH = 100  # Bayesian smoothing weight toward the global mean
+
+
+@corpus_query(
+    "feat_target_encoding",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+               ('0x' || substr(md5('{_TE_SALT}' || CAST(o.o_orderkey AS VARCHAR)), 1, 15))::BIGINT % {_TE_FOLDS} AS fold,
+               CAST(CAST(o.o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    nf AS (
+        SELECT nation, fold, CAST(COUNT(*) AS BIGINT) AS n_f,
+               SUM(cents) AS s_f
+        FROM base GROUP BY 1, 2
+    ),
+    nc AS (SELECT nation, SUM(n_f) AS n_c, SUM(s_f) AS s_c FROM nf GROUP BY 1),
+    gm AS (SELECT (SUM(s_f) * 1000000) // SUM(n_f) AS gmean_e6 FROM nf)
+    SELECT nf.nation AS c_nationkey, nf.fold,
+           CAST(nc.n_c - nf.n_f AS BIGINT) AS n_oof,
+           CAST(((nc.s_c - nf.s_f) * 1000000 + {_TE_SMOOTH} * gm.gmean_e6)
+                // (nc.n_c - nf.n_f + {_TE_SMOOTH}) AS BIGINT)
+               AS enc_cents_e6
+    FROM nf JOIN nc ON nc.nation = nf.nation CROSS JOIN gm
+    """,
+)
+def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE TARGET ENCODING — the standard way to feed a
+    high-cardinality categorical (customer nation) to a model as the
+    mean of the target (order value) WITHOUT letting any row see its
+    own label: the encoding for (category, fold) is computed from all
+    OTHER folds' rows, smoothed toward the global mean with weight
+    {_TE_SMOOTH} (so thin categories shrink to the prior instead of
+    memorizing noise). Folds are salted-md5 of the order key —
+    deterministic on any cluster, no RNG (the curate_hash_split
+    doctrine). Output is the encoding TABLE (category x fold, n_oof,
+    enc in integer cents*1e6 via decimal floor-division): the bounded
+    artifact a training job broadcast-joins onto its examples.
+
+    The out-of-fold subtraction trick makes this ONE pass: per-(cat,
+    fold) partial sums roll up to per-cat and global totals, and
+    enc(cat, f) = (s_cat - s_f) / (n_cat - n_f) needs no second scan
+    and no per-fold filtering of the fact table.
+
+    Scale shape: one fact-x-dim equi-join (AQE picks broadcast iff the
+    dim is small; at 100 TB both sides shuffle on the key — correct
+    either way), ONE map-combinable groupBy(cat, fold); everything
+    downstream operates on the n_cats x {_TE_FOLDS}-row frame (second
+    tiny agg + 1-row global broadcast). No window, no collect, no
+    second fact scan."""
+    from ..functions.hashing import md5_long
+    from ..operators.rank import _idiv
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = orders.select(
+        "o_custkey",
+        F.pmod(
+            md5_long(F.col("o_orderkey").cast("string"), _TE_SALT),
+            F.lit(_TE_FOLDS),
+        ).alias("fold"),
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("cents"),
+    ).join(
+        customer.select(
+            "c_custkey", F.col("c_nationkey").cast("bigint").alias("nation")
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    # nf feeds three consumers (itself, the per-cat rollup, the global
+    # mean); localCheckpoint materializes the fact scan+join+agg ONCE
+    # (the rank.py/kcore single-evaluation discipline) instead of
+    # letting each consumer re-derive it
+    nf = base.groupBy("nation", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.sum("cents").alias("s_f"),
+    ).localCheckpoint(eager=True)
+    nc = nf.groupBy("nation").agg(
+        F.sum("n_f").alias("n_c"), F.sum("s_f").alias("s_c")
+    )
+    gm = nf.agg(
+        _idiv(
+            F.sum("s_f").cast("decimal(38,0)") * F.lit(1000000), F.sum("n_f")
+        ).alias("gmean_e6")
+    )
+    return (
+        nf.join(nc, "nation")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            F.col("nation").alias("c_nationkey"),
+            "fold",
+            (F.col("n_c") - F.col("n_f")).cast("bigint").alias("n_oof"),
+            _idiv(
+                (F.col("s_c") - F.col("s_f")).cast("decimal(38,0)")
+                * F.lit(1000000)
+                + F.lit(_TE_SMOOTH) * F.col("gmean_e6").cast("decimal(38,0)"),
+                F.col("n_c") - F.col("n_f") + F.lit(_TE_SMOOTH),
+            )
+            .cast("bigint")
+            .alias("enc_cents_e6"),
+        )
+    )

@@ -838,3 +838,20 @@ def test_bootstrap_ci_shuffle_is_replica_bounded(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan and "Generate explode" in plan
     assert "Window" in plan
+
+
+def test_target_encoding_single_fact_pass(spark):
+    """feat_target_encoding: ONE fact-x-dim equi-join and ONE
+    map-combinable groupBy over the fact table; the out-of-fold
+    subtraction means no window, no second fact scan, no per-fold
+    filter fan-out. The (cat, fold) frame is localCheckpoint'd before
+    its three consumers (the rank.py single-evaluation discipline), so
+    the final plan contains NO fact scan at all — every consumer reads
+    the materialized n_cats x n_folds frame."""
+    plan = plan_of(QUERIES["feat_target_encoding"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # single evaluation: no consumer re-derives the fact scan+join+agg
+    scans = [l for l in plan.splitlines() if "orders.parquet" in l and "Scan" in l]
+    assert len(scans) == 0, scans
+    assert "ExistingRDD" in plan

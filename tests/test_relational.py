@@ -167,3 +167,32 @@ def test_bootstrap_ci_brackets_point_estimate(spark):
     for r in rows:
         assert r["ci_lo_cents_e6"] < r["point_mean_cents_e6"] < r["ci_hi_cents_e6"], r
         assert r["n_orders"] > 0
+
+
+def test_target_encoding_is_leakage_free(spark):
+    """Differential check of the out-of-fold property: for one
+    (nation, fold) cell, recompute the smoothed encoding from a pandas
+    groupby that EXCLUDES that fold — must match the query's table."""
+    import duckdb
+
+    from project_crypto_data_engineering_gcp_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["c_nationkey"], r["fold"]): (r["n_oof"], r["enc_cents_e6"])
+        for r in all_queries()["feat_target_encoding"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    pdf = con.execute(f"""
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+               ('0x' || substr(md5('tefold-v1:' || CAST(o.o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold,
+               CAST(CAST(o.o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) AS cents
+        FROM read_parquet('{sf}/orders.parquet') o
+        JOIN read_parquet('{sf}/customer.parquet') c ON c.c_custkey = o.o_custkey
+    """).df()
+    gmean_e6 = int(pdf["cents"].sum()) * 1000000 // len(pdf)
+    for nation, fold in [(0, 0), (7, 3), (24, 4)]:
+        oof = pdf[(pdf["nation"] == nation) & (pdf["fold"] != fold)]
+        n_oof = len(oof)
+        enc = (int(oof["cents"].sum()) * 1000000 + 100 * gmean_e6) // (n_oof + 100)
+        assert got[(nation, fold)] == (n_oof, enc), (nation, fold)
