@@ -3275,3 +3275,108 @@ def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("enc_cents_e6"),
         )
     )
+
+
+# ------------------------------------------ ROC-AUC (model eval at scale)
+
+_AUC_SALT_NOTE = "ranks are label-independent: ONE global rank serves all classes"
+
+
+@corpus_query(
+    "a24_roc_auc",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(CAST(value * 1000000 AS DECIMAL(18,0)) AS BIGINT) AS v
+        FROM events
+    ),
+    ranked AS (
+        SELECT v, event_type,
+               ROW_NUMBER() OVER (ORDER BY v, event_id) AS rk
+        FROM base
+    ),
+    per_v AS (
+        SELECT v, MIN(rk) AS mn, MAX(rk) AS mx FROM ranked GROUP BY 1
+    ),
+    per_vt AS (
+        SELECT v, event_type, COUNT(*) AS np_vt FROM ranked GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(mx - mn + 1) AS n FROM per_v),
+    per_t AS (
+        SELECT t.event_type,
+               SUM(t.np_vt) AS n_pos,
+               SUM(t.np_vt * (p.mn + p.mx)) AS r2
+        FROM per_vt t JOIN per_v p ON p.v = t.v
+        GROUP BY 1
+    )
+    SELECT per_t.event_type,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(tot.n - n_pos AS BIGINT) AS n_neg,
+           CAST(((r2 - n_pos * (n_pos + 1)) * 1000000)
+                // (2 * n_pos * (tot.n - n_pos)) AS BIGINT) AS auc_ppm
+    FROM per_t CROSS JOIN tot
+    """,
+)
+def a24_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DISTRIBUTED ROC-AUC — the model-evaluation metric, one row
+    per event type treated as the positive class, scored by `value`:
+    which event type does the value column discriminate best? AUC is
+    computed by the Mann-Whitney rank-sum identity WITH the exact tie
+    correction (tied scores get their average rank, recovered as
+    (min_rank + max_rank) / 2 per tie group — everything stays doubled
+    to remain integer), emitted in ppm via decimal floor-division.
+
+    Scale design: ranks are label-independent, so ONE global_rank
+    (range-partition + offsets, every stage parallel — the o6/a20
+    machinery, no unpartitioned window) serves ALL classes; tie groups
+    and per-(score, class) counts are two map-combinable groupBys
+    joined on the score value; the corpus size arrives as a 1-row
+    broadcast. Naive pairwise AUC is an n_pos x n_neg cross join —
+    quadratic and impossible at 100 TB; the rank-sum identity makes it
+    one sort-shaped pass. No RNG, no floats until the final ppm."""
+    from ..operators.rank import _idiv, global_rank
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "event_type",
+        (F.col("value") * 1000000)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("v"),
+    )
+    ranked = global_rank(base, ["v", "event_id"], rank_col="rk").select(
+        "v", "event_type", "rk"
+    ).localCheckpoint(eager=True)  # feeds the two groupBys below once
+    per_v = ranked.groupBy("v").agg(
+        F.min("rk").alias("mn"), F.max("rk").alias("mx")
+    )
+    per_vt = ranked.groupBy("v", "event_type").agg(
+        F.count(F.lit(1)).alias("np_vt")
+    )
+    tot = per_v.agg(
+        F.sum(F.col("mx") - F.col("mn") + 1).cast("decimal(38,0)").alias("n")
+    )
+    per_t = (
+        per_vt.join(per_v, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("np_vt").cast("decimal(38,0)").alias("n_pos"),
+            F.sum(
+                F.col("np_vt").cast("decimal(38,0)")
+                * (F.col("mn") + F.col("mx")).cast("decimal(38,0)")
+            ).alias("r2"),
+        )
+    )
+    return per_t.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        (F.col("n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        _idiv(
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            * F.lit(1000000),
+            F.lit(2) * F.col("n_pos") * (F.col("n") - F.col("n_pos")),
+        )
+        .cast("bigint")
+        .alias("auc_ppm"),
+    )

@@ -855,3 +855,21 @@ def test_target_encoding_single_fact_pass(spark):
     scans = [l for l in plan.splitlines() if "orders.parquet" in l and "Scan" in l]
     assert len(scans) == 0, scans
     assert "ExistingRDD" in plan
+
+
+def test_roc_auc_no_window_funnel_no_cartesian(spark):
+    """a24_roc_auc: the single global rank rides the range-partitioned
+    operator (no unpartitioned window anywhere — the only windowspec is
+    partitioned by the range-partition id), and the class/tie-group
+    aggregations are map-combinable groupBys joined on the score value —
+    never an n_pos x n_neg pairwise stage."""
+    import re
+
+    df = QUERIES["a24_roc_auc"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "extended")
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\([^)]*?specifiedwindowframe", plan)
+    assert not [
+        s for s in specs
+        if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
+    ]

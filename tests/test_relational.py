@@ -196,3 +196,32 @@ def test_target_encoding_is_leakage_free(spark):
         n_oof = len(oof)
         enc = (int(oof["cents"].sum()) * 1000000 + 100 * gmean_e6) // (n_oof + 100)
         assert got[(nation, fold)] == (n_oof, enc), (nation, fold)
+
+
+def test_roc_auc_matches_pandas_average_rank(spark):
+    """Differential: the tie-corrected rank-sum AUC must equal the
+    textbook formulation with pandas average ranks (floor-divided into
+    ppm the same way)."""
+    import duckdb
+
+    from project_crypto_data_engineering_gcp_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["n_pos"], r["n_neg"], r["auc_ppm"])
+        for r in all_queries()["a24_roc_auc"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    pdf = con.execute(f"""
+        SELECT event_type,
+               CAST(CAST(value * 1000000 AS DECIMAL(18,0)) AS BIGINT) AS v
+        FROM read_parquet('{sf}/events.parquet')
+    """).df()
+    ranks2 = (pdf["v"].rank(method="average") * 2).astype("int64")
+    n = len(pdf)
+    for etype, (n_pos, n_neg, auc_ppm) in got.items():
+        pos = pdf["event_type"] == etype
+        assert (int(pos.sum()), n - int(pos.sum())) == (n_pos, n_neg)
+        r2 = int(ranks2[pos].sum())
+        expect = (r2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
+        assert expect == auc_ppm, etype
