@@ -156,6 +156,70 @@ def grouped_global_rank(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Append ``{prefix}{c}`` = inclusive running SUM of each ``sum_cols``
+    under the global ``order_cols`` order — the distributed SCAN
+    primitive, built exactly like :func:`global_rank`: range-partition,
+    per-partition running sums under a pid-partitioned window (parallel),
+    plus the total of all preceding partitions from the tiny per-partition
+    sums frame (triangular join, broadcast back).
+
+    ``order_cols`` must define a STRICT total order. A plain
+    ``SUM() OVER (ORDER BY ...)`` funnels the input through one window
+    task; this keeps every stage parallel, which is what running totals,
+    CDFs, and offset/packing computations need at 100 TB.
+    """
+    _check_reserved(df, prefix + sum_cols[0], "global_prefix_sum")
+    for c in sum_cols:
+        if prefix + c in df.columns:
+            raise ValueError(
+                f"global_prefix_sum: output column {prefix + c!r} already present"
+            )
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    # single evaluation of the pid tagging — see global_rank
+    tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+
+    parts = tagged.groupBy(_PID).agg(
+        *[F.sum(c).alias(f"{_CNT}{c}") for c in sum_cols]
+    )
+    a, b = parts.alias("a"), parts.alias("b")
+    offsets = (
+        a.join(b, F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b.{_CNT}{c}"), F.lit(0)).alias(f"{_OFF}{c}")
+                for c in sum_cols
+            ]
+        )
+    )
+
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tagged.join(F.broadcast(offsets), _PID)
+    for c in sum_cols:
+        out = out.withColumn(
+            prefix + c, F.col(f"{_OFF}{c}") + F.sum(c).over(w)
+        )
+    return out.drop(_PID, *[f"{_OFF}{c}" for c in sum_cols])
+
+
 def _idiv(a: Column, b: Column) -> Column:
     """Exact floor-division of non-negative INTEGER columns of any
     magnitude: ``(a - pmod(a, b)) / b`` in DECIMAL(38,0) — the dividend

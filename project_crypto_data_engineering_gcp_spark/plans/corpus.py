@@ -62,12 +62,12 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 #   (b) queries rewritten/refactored since their last row join them,
 #   (c) remaining slots refresh oldest-first,
 # so every query's newest row stays at most ~3 rounds old.
-#   r7 plan: the 16 rollover entries below (r6 additions beyond slot
+#   r7 plan: the 17 rollover entries below (r6 additions beyond slot
 #   50, incl. the continuation batch a22/weighted_sample/table_diff/
-#   table_checksum/bpe_encode/bootstrap_ci/target_encoding/roc_auc), then the
+#   table_checksum/bpe_encode/bootstrap_ci/target_encoding/roc_auc/ks_test), then the
 #   r3-latest set (streaming family, j4-j7, a6-a9, w4-w7, o4/o5, the
-#   dedup/sim r3 batch — 34 of its ~38 entries, oldest-first);
-#   16 + 34 = 50 fills the window.
+#   dedup/sim r3 batch — 33 of its ~38 entries, oldest-first);
+#   17 + 33 = 50 fills the window.
 #
 # History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
@@ -150,6 +150,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "a23_bootstrap_ci",
     "feat_target_encoding",
     "a24_roc_auc",
+    "a25_ks_test",
 )
 
 

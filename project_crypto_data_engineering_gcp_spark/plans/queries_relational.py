@@ -3380,3 +3380,107 @@ def a24_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("auc_ppm"),
     )
+
+
+# -------------------------------- Kolmogorov-Smirnov two-sample (drift test)
+
+
+@corpus_query(
+    "a25_ks_test",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(CAST(value * 1000000 AS DECIMAL(18,0)) AS BIGINT) AS v,
+               (event_type = 'purchase') AS pos
+        FROM events
+    ),
+    per_v AS (
+        SELECT v, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n2
+        FROM base GROUP BY 1
+    ),
+    scan AS (
+        SELECT v, SUM(n1) OVER (ORDER BY v) AS c1,
+               SUM(n2) OVER (ORDER BY v) AS c2
+        FROM per_v
+    ),
+    tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM per_v),
+    d AS (
+        SELECT v, ABS(c1 * tot.t2 - c2 * tot.t1) AS diff
+        FROM scan CROSS JOIN tot
+    ),
+    m AS (SELECT MAX(diff) AS mx FROM d)
+    SELECT CAST(tot.t1 AS BIGINT) AS n_pos,
+           CAST(tot.t2 AS BIGINT) AS n_neg,
+           CAST((m.mx * 1000000) // (tot.t1 * tot.t2) AS BIGINT) AS ks_ppm,
+           CAST((SELECT MAX(v) FROM d WHERE diff = m.mx) AS BIGINT)
+               AS ks_at_v_micros
+    FROM tot CROSS JOIN m
+    """,
+)
+def a25_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample KOLMOGOROV-SMIRNOV statistic — is the `value`
+    distribution of purchases the same as everything else's? The
+    canonical nonparametric distribution-drift test, companion to the
+    parametric a15 CUSUM and the categorical events_category_drift. KS
+    = max over v of |CDF1(v) - CDF2(v)|, computed exactly in integers:
+    |c1*N2 - c2*N1| (cross-multiplied counts, no division until the
+    final ppm floor-division), with the achieving value reported (MAX v
+    among ties — deterministic cross-engine).
+
+    Scale design: CDFs are RUNNING TOTALS — the classic distributed
+    blocker. This rides the new operators/rank.py::global_prefix_sum
+    scan primitive (range-partition + per-partition window + broadcast
+    partition offsets, every stage parallel — the global_rank machinery
+    generalized from counts to sums), so no unpartitioned window exists
+    anywhere (plan-pinned). Upstream: ONE map-combinable groupBy(v);
+    downstream: 1-row broadcast totals, map-combinable max, bounded
+    argmax re-scan of the per-value frame."""
+    from ..operators.rank import _idiv, global_prefix_sum
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        (F.col("value") * 1000000)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("v"),
+        (F.col("event_type") == "purchase").alias("pos"),
+    )
+    per_v = base.groupBy("v").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("n2"),
+    )
+    scan = global_prefix_sum(per_v, ["v"], ["n1", "n2"], prefix="c_")
+    tot = per_v.agg(
+        F.sum("n1").cast("decimal(38,0)").alias("t1"),
+        F.sum("n2").cast("decimal(38,0)").alias("t2"),
+    )
+    d = scan.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "t1",
+        "t2",
+        F.abs(
+            F.col("c_n1").cast("decimal(38,0)") * F.col("t2")
+            - F.col("c_n2").cast("decimal(38,0)") * F.col("t1")
+        ).alias("diff"),
+    ).localCheckpoint(eager=True)  # feeds the max and the argmax re-scan
+    m = d.agg(F.max("diff").alias("mx"))
+    at_v = (
+        d.join(F.broadcast(m), F.col("diff") == F.col("mx"))
+        .agg(F.max("v").alias("ks_at_v_micros"))
+    )
+    return (
+        d.agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("diff").alias("mx"),
+        )
+        .crossJoin(F.broadcast(at_v))
+        .select(
+            F.col("t1").cast("bigint").alias("n_pos"),
+            F.col("t2").cast("bigint").alias("n_neg"),
+            _idiv(F.col("mx") * F.lit(1000000), F.col("t1") * F.col("t2"))
+            .cast("bigint")
+            .alias("ks_ppm"),
+            "ks_at_v_micros",
+        )
+    )

@@ -1017,3 +1017,32 @@ def test_table_checksum_null_vs_empty_string_differ(spark):
         table_checksum(b, keys=["k"], cols=["s"]),
     ).toPandas()
     assert not cmp_df["bucket_match"].all()
+
+
+def test_global_prefix_sum_matches_pandas_cumsum(spark):
+    """Inclusive running sums must equal pandas cumsum under the same
+    order, regardless of input shuffling/partitioning."""
+    from project_crypto_data_engineering_gcp_spark.operators.rank import (
+        global_prefix_sum,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(500, dtype="int64"),
+            "x": RNG.integers(-50, 50, size=500).astype("int64"),
+            "y": RNG.integers(0, 1000, size=500).astype("int64"),
+        }
+    )
+    shuffled = spark.createDataFrame(
+        pdf.sample(frac=1.0, random_state=11)
+    ).repartition(7)
+    got = (
+        global_prefix_sum(shuffled, ["k"], ["x", "y"], num_partitions=5)
+        .orderBy("k")
+        .toPandas()
+    )
+    ref = pdf.sort_values("k").reset_index(drop=True)
+    assert (got["cum_x"].to_numpy() == ref["x"].cumsum().to_numpy()).all()
+    assert (got["cum_y"].to_numpy() == ref["y"].cumsum().to_numpy()).all()
+    # pass-through columns intact
+    assert (got["x"].to_numpy() == ref["x"].to_numpy()).all()

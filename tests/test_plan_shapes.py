@@ -873,3 +873,18 @@ def test_roc_auc_no_window_funnel_no_cartesian(spark):
         s for s in specs
         if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
     ]
+
+
+def test_ks_test_no_window_funnel(spark):
+    """a25_ks_test: the CDFs ride global_prefix_sum — every windowspec in
+    the plan is partitioned by the range-partition id, never a global
+    ORDER BY funnel; no cartesian beyond the 1-row broadcast totals."""
+    import re
+
+    df = QUERIES["a25_ks_test"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "extended")
+    specs = re.findall(r"windowspecdefinition\([^)]*?specifiedwindowframe", plan)
+    assert not [
+        s for s in specs
+        if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
+    ]
