@@ -1046,3 +1046,40 @@ def test_global_prefix_sum_matches_pandas_cumsum(spark):
     assert (got["cum_y"].to_numpy() == ref["y"].cumsum().to_numpy()).all()
     # pass-through columns intact
     assert (got["x"].to_numpy() == ref["x"].to_numpy()).all()
+
+
+def test_table_checksum_localizes_many_edits_exactly(spark):
+    """20 random single-cell edits on 20 distinct keys: the mismatching
+    bucket set must be EXACTLY the set of edited keys' buckets — no
+    false alarms, no masking (the dual-hash XOR state cannot cancel)."""
+    from project_crypto_data_engineering_gcp_spark.operators.checksum import (
+        checksum_compare,
+        md5_long,
+        table_checksum,
+    )
+
+    pdf = _cksum_frame(600)
+    edited = pdf.copy()
+    edit_keys = RNG.choice(600, size=20, replace=False)
+    for k in edit_keys:
+        edited.loc[k, "v"] = int(edited.loc[k, "v"]) + 7
+    cmp_df = checksum_compare(
+        table_checksum(spark.createDataFrame(pdf), keys=["k"], cols=["v", "s"]),
+        table_checksum(
+            spark.createDataFrame(edited), keys=["k"], cols=["v", "s"]
+        ),
+    ).toPandas()
+    expected = set(
+        spark.createDataFrame(
+            pd.DataFrame({"k": sorted(int(k) for k in edit_keys)})
+        )
+        .select(
+            F.pmod(
+                md5_long(F.col("k").cast("string"), "cksum-v1:bk:"), F.lit(16)
+            ).alias("b")
+        )
+        .toPandas()["b"]
+        .astype(int)
+    )
+    got = set(cmp_df.loc[~cmp_df["bucket_match"], "bucket"].astype(int))
+    assert got == expected
