@@ -62,12 +62,12 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 #   (b) queries rewritten/refactored since their last row join them,
 #   (c) remaining slots refresh oldest-first,
 # so every query's newest row stays at most ~3 rounds old.
-#   r7 plan: the 17 rollover entries below (r6 additions beyond slot
+#   r7 plan: the 18 rollover entries below (r6 additions beyond slot
 #   50, incl. the continuation batch a22/weighted_sample/table_diff/
-#   table_checksum/bpe_encode/bootstrap_ci/target_encoding/roc_auc/ks_test), then the
+#   table_checksum/bpe_encode/bootstrap_ci/target_encoding/roc_auc/ks_test/calibration), then the
 #   r3-latest set (streaming family, j4-j7, a6-a9, w4-w7, o4/o5, the
-#   dedup/sim r3 batch — 33 of its ~38 entries, oldest-first);
-#   17 + 33 = 50 fills the window.
+#   dedup/sim r3 batch — 32 of its ~38 entries, oldest-first);
+#   18 + 32 = 50 fills the window.
 #
 # History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
@@ -151,6 +151,7 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "feat_target_encoding",
     "a24_roc_auc",
     "a25_ks_test",
+    "a26_calibration_bins",
 )
 
 

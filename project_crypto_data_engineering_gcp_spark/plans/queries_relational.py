@@ -3484,3 +3484,85 @@ def a25_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_at_v_micros",
         )
     )
+
+
+# ------------------------------------------- calibration table (model eval)
+
+_CAL_BINS = 10
+
+
+@corpus_query(
+    "a26_calibration_bins",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id,
+               CAST(CAST(value * 1000000 AS DECIMAL(18,0)) AS BIGINT) AS v,
+               (event_type = 'purchase') AS pos
+        FROM events
+    ),
+    binned AS (
+        SELECT v, pos,
+               NTILE({_CAL_BINS}) OVER (ORDER BY v, event_id) AS decile
+        FROM base
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST((SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean_v_micros
+    FROM binned GROUP BY 1
+    """,
+)
+def a26_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION TABLE — the probability-quality half of model
+    evaluation (a24_roc_auc is the ranking-quality half): scores split
+    into {_CAL_BINS} exact score deciles, each reporting its observed
+    positive rate and mean score — the reliability-diagram data. A
+    well-calibrated score has pos_rate tracking the score level; a flat
+    profile (as here, on synthetic independence) says the score carries
+    no signal despite whatever its AUC claims.
+
+    Exactness: deciles are TRUE NTILE buckets recovered arithmetically
+    from the range-partitioned global_rank + a 1-row broadcast count
+    (ntile_from_rank — bit-identical to SQL NTILE at any row count, the
+    a16 machinery), never a single-task NTILE window; rates and means
+    are integer ppm/micros via decimal floor-division.
+
+    Scale shape: one global_rank range shuffle + ONE map-combinable
+    groupBy over {_CAL_BINS} keys; output fixed at {_CAL_BINS} rows."""
+    from ..operators.rank import _idiv, global_rank, ntile_from_rank
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        (F.col("value") * 1000000)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("v"),
+        (F.col("event_type") == "purchase").alias("pos"),
+    )
+    ranked = global_rank(base, ["v", "event_id"], rank_col="rk")
+    total = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    binned = ranked.crossJoin(F.broadcast(total)).select(
+        "v",
+        "pos",
+        ntile_from_rank(F.col("rk"), F.col("n_rows"), _CAL_BINS).alias(
+            "decile"
+        ),
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias(
+            "n_pos"
+        ),
+        _idiv(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)) * F.lit(1000000),
+            F.count(F.lit(1)),
+        )
+        .cast("bigint")
+        .alias("pos_rate_ppm"),
+        _idiv(F.sum("v"), F.count(F.lit(1))).cast("bigint").alias(
+            "mean_v_micros"
+        ),
+    )

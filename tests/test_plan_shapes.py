@@ -888,3 +888,18 @@ def test_ks_test_no_window_funnel(spark):
         s for s in specs
         if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
     ]
+
+
+def test_calibration_bins_no_ntile_funnel(spark):
+    """a26_calibration_bins: deciles come from ntile_from_rank over the
+    range-partitioned global rank — no unpartitioned window (the a16
+    invariant), no cartesian beyond the 1-row count broadcast."""
+    import re
+
+    df = QUERIES["a26_calibration_bins"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "extended")
+    specs = re.findall(r"windowspecdefinition\([^)]*?specifiedwindowframe", plan)
+    assert not [
+        s for s in specs
+        if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
+    ]
