@@ -95,6 +95,16 @@ HEADLINE = (
     "a22_sales_cube",
     "curate_weighted_sample",
     "dq_table_diff",
+    # r7 (verdict r6 task 4): the heaviest r7-window queries get bench
+    # rows BEFORE the driver grades them — the ML-eval stats trio (rank/
+    # prefix-sum machinery), the BPE corpus-rewrite encoder (tracks token
+    # volume — the one linear shape expected to pace the headline), and
+    # the video frame-fingerprint inverted-index join
+    "a23_bootstrap_ci",
+    "a24_roc_auc",
+    "a25_ks_test",
+    "text_bpe_encode_stats",
+    "mm_frame_fingerprint_match",
 )
 
 

@@ -62,10 +62,15 @@ def roundfx(col: Column | str, scale: int = 6) -> Column:
     "round half toward +inf" rather than half-away-from-zero — ties on
     NEGATIVE values round up — which is fine wherever both sides use
     this helper. Domain: |x| < 2^53 / 10^scale (Spark's floor returns
-    BIGINT); scores/ratios/lifts are all << that."""
+    BIGINT); scores/ratios/lifts are all << that.
+
+    The input is cast to DOUBLE first, mirroring roundfx_sql's
+    ``CAST(expr AS DOUBLE)`` — without it a DECIMAL column would run
+    decimal arithmetic on the Spark side and break the bit-identity
+    contract (ADVICE r6)."""
     c = F.col(col) if isinstance(col, str) else col
     f = float(10**scale)
-    return F.floor(c * F.lit(f) + F.lit(0.5)) / F.lit(f)
+    return F.floor(c.cast("double") * F.lit(f) + F.lit(0.5)) / F.lit(f)
 
 
 def roundfx_sql(expr: str, scale: int = 6) -> str:

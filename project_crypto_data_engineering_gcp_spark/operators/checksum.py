@@ -60,7 +60,17 @@ def table_checksum(
     Columns are rendered with CAST(x AS STRING); callers must
     canonicalize floats/timestamps to integer or string forms first
     (the same doctrine every oracle-paired query follows). NULL renders
-    as the literal ``\\N`` so NULL and ``''`` hash differently.
+    as the literal ``\\N`` so NULL and ``''`` hash differently — in the
+    bucket key too (concat_ws silently DROPS null segments, so the key
+    columns are coalesced the same way as the row string; ADVICE r6).
+
+    Known limitation, documented rather than escaped: string values
+    containing the ``|`` separator (or a literal ``\\N``) can alias to
+    the same rendered row as a different tuple — e.g. keys
+    ``('a|b', 'c')`` and ``('a', 'b|c')``. The checksum is a
+    change-detection gate, not a cryptographic commitment; callers whose
+    key domains may contain ``|`` should pre-hash those columns (e.g.
+    ``md5_long``) into collision-free surrogates first.
     """
     if not keys or not cols:
         raise ValueError("table_checksum: keys and cols must be non-empty")
@@ -68,7 +78,9 @@ def table_checksum(
         F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in keys + cols
     ]
     row_str = F.concat_ws(SEP, *rendered)
-    key_str = F.concat_ws(SEP, *[F.col(k).cast("string") for k in keys])
+    key_str = F.concat_ws(
+        SEP, *[F.coalesce(F.col(k).cast("string"), F.lit("\\N")) for k in keys]
+    )
     return (
         df.select(
             F.pmod(md5_long(key_str, salt + "bk:"), F.lit(buckets))

@@ -40,100 +40,40 @@ class CorpusQuery:
 
 _REGISTRY: dict[str, CorpusQuery] = {}
 
-# r6 WINDOW (this round; exactly the plan declared in r5 and ratified by
-# the r5 verdict, task 2): the first 12 entries are the complete r5
-# rollover queue — the 11 late-r5 additions (never driver-checked,
-# policy (a)) plus text_token_diversity (policy (b): rewritten
-# integer-exact after its last driver row). Two r6 code changes are
-# re-verified locally and sit inside this window: mm_simhash_payload
-# (64-bit SimHash / 4x16-bit bands scale-hardening, r5 verdict task 3)
-# and sim_binary_refined's re-rank key (integer fixed-point, ADVICE r5).
-# Next come ALL 37 queries whose newest driver row is r2 (policy (c),
-# oldest-first): TPC-H q1-q22, pandas_grouped_zscore, the curation core,
-# d1/p13/p14, approx_distinct_parts, the sim_ann r2 trio, and
-# streaming_hourly_rollup. 12 + 37 = 49; slot 50 goes to the first r6
-# addition. Further r6 additions land in the rollover queue (positions
-# 51+) and lead the r7 window under policy (a).
+# r7 WINDOW (this round; exactly the plan declared in r6 and ratified by
+# the r6 verdict, task 1): the first 18 entries are the complete r6
+# rollover queue — every registered query with no driver row in ANY
+# CORRECTNESS_r1..r6 (policy (a); all pass local parity at sf0.01 AND
+# sf0.1). The remaining 32 slots refresh the r3-latest set oldest-first
+# (policy (c)): the 47 registered queries whose newest driver row is r3,
+# taken family-first in the order the r6 plan promised — streaming,
+# j4-j7, a6-a9, w1/w4-w7, o4/o5, the dedup batch, the sim r3 batch, and
+# the events trio. 18 + 32 = 50 fills the window. The 15 r3-latest
+# queries that do not fit (listed in the ROLLOVER comment below) lead
+# the r8 window together with any r7 additions; after this round's
+# check the staleness ledger reads r7x50, r6x50, r5x50, r4x50,
+# r3x15(+r7 additions never) — max staleness 4 rounds, the documented
+# floor for a 215-query corpus under a 50-slot window (README
+# "Driver-window rotation policy").
 #
-# STALENESS TRIAGE (standing, r4 verdict task 5) — with ~200 queries and
+# STALENESS TRIAGE (standing, r4 verdict task 5) — with ~215 queries and
 # a ~50-slot window, the "newest row <= 2 rounds old" invariant is
-# arithmetically unkeepable (a full rotation takes ~4 rounds); policy:
+# arithmetically unkeepable (a full rotation takes ~4.3 rounds); policy:
 #   (a) never-checked queries ALWAYS lead the next window,
 #   (b) queries rewritten/refactored since their last row join them,
 #   (c) remaining slots refresh oldest-first,
-# so every query's newest row stays at most ~3 rounds old.
-#   r7 plan: the 18 rollover entries below (r6 additions beyond slot
-#   50, incl. the continuation batch a22/weighted_sample/table_diff/
-#   table_checksum/bpe_encode/bootstrap_ci/target_encoding/roc_auc/ks_test/calibration), then the
-#   r3-latest set (streaming family, j4-j7, a6-a9, w4-w7, o4/o5, the
-#   dedup/sim r3 batch — 32 of its ~38 entries, oldest-first);
-#   18 + 32 = 50 fills the window.
+# so every query's newest row stays at most ~4 rounds old.
 #
 # History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
 # additions, r4 the 38 r1-only refreshers + r4 additions, r5 the
 # 37-entry late-r4 queue + 5 r5 additions + the 8 r2-stale
-# crypto/pandas entries (50/50 green).
+# crypto/pandas entries, r6 the 12-entry r5 rollover queue + all 37
+# r2-stale refreshers (TPC-H q1-q22 incl.) + sim_ivf_cell_stats
+# (50/50 green every round; zero red rows ever).
 CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
-    # ---- the complete r5 rollover queue (12): 11 never-driver-checked
-    # late-r5 additions + the policy-(b) rewritten text_token_diversity
-    "sim_binary_recall",
-    "graph_kcore",
-    "a19_gini_by_nation",
-    "dq_benford_leading_digit",
-    "approx_countmin_tokens",
-    "streaming_static_enrichment",
-    "graph_label_propagation",
-    "sim_ann_ivf_incremental",
-    "text_bpe_train_merges",
-    "feat_user_activity",
-    "mm_simhash_payload",  # r6 rewrite: 64-bit SimHash, 4x16-bit bands
-    "text_token_diversity",
-    # ---- the 37 r2-stale refreshers (newest driver row = r2),
-    # oldest-first policy (c): the full TPC-H menu first ----
-    "q1_pricing_summary",
-    "q2_cheapest_supplier",
-    "q3_shipping_priority",
-    "q4_priority_with_returns",
-    "q5_nation_volume",
-    "q6_forecast_revenue",
-    "q7_nation_trade_flows",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue_topk",
-    "q11_important_parts",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_by_month",
-    "q15_top_supplier",
-    "q16_suppliers_not_in",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q20_parts_with_surplus_stock",
-    "q21_sole_returning_supplier",
-    "q22_dormant_rich_customers",
-    "pandas_grouped_zscore",
-    "curate_decontaminate",
-    "curate_hash_split",
-    "curate_mix_sources",
-    "curate_pack_sequences",
-    "curate_quality_cut",
-    "curate_quota_per_lang",
-    "d1_date_functions",
-    "p13_string_functions",
-    "p14_map_json_ops",
-    "approx_distinct_parts",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_topk_neighbors",
-    "streaming_hourly_rollup",
-    # ---- slot 50: first r6 addition ----
-    "sim_ivf_cell_stats",
-    # ---- ROLLOVER QUEUE (positions 51+): r6 additions beyond slot 50,
-    # never driver-checked, local parity green (sf0.01 AND sf0.1) —
-    # lead the r7 window under policy (a) together with the r3-latest
-    # refreshers. ----
+    # ---- the complete r6 rollover queue (18): every never-driver-checked
+    # query (r6 additions beyond slot 50), policy (a) ----
     "a20_exact_percentiles",
     "curate_stratified_sample",
     "streaming_interval_join_outer",
@@ -152,6 +92,60 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "a24_roc_auc",
     "a25_ks_test",
     "a26_calibration_bins",
+    # ---- 32 r3-latest refreshers (newest driver row = r3), policy (c),
+    # family-first per the declared r6 plan ----
+    "streaming_interval_join",
+    "streaming_sessionized",
+    "j4_customers_with_orders_semi",
+    "j5_nation_activity_full_outer",
+    "j6_correlated_scalar",
+    "j7_salted_skew_join",
+    "a6_salted_skew_aggregate",
+    "a7_order_price_histogram",
+    "a8_exact_quantiles_by_priority",
+    "a9_grouping_sets_revenue",
+    "w1_latest_event_per_user",
+    "w4_event_navigation",
+    "w5_sliding_hour_total",
+    "w6_forward_fill",
+    "w7_cumulative_distinct_users",
+    "o4_topk_per_group",
+    "o5_set_ops_customers",
+    "dedup_exact",
+    "dedup_containment",
+    "dedup_clusters_transitive",
+    "dedup_minhash_lsh_capped",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_time_bucketed",
+    "sim_ann_ivf_indexed",
+    "sim_ann_ivf_kmeans",
+    "sim_dimension_stats",
+    "sim_pq_indexed",
+    "sim_pq_topk",
+    "events_sessionized",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    # ---- ROLLOVER QUEUE (positions 51+): the 15 remaining r3-latest
+    # refreshers that did not fit the 50-slot window — they lead the r8
+    # window under policy (c), joined by any r7 additions under policy
+    # (a). (These HAVE green r3 rows; listing them here documents the
+    # r8 plan and keeps the rotation auditable.) ----
+    "approx_quantiles_totalprice",
+    "asof_forward_error_tolerance",
+    "cluster_kmeans_embeddings",
+    "curate_chunk_overlap",
+    "curate_length_buckets",
+    "curate_ngram_decontaminate",
+    "curate_sample_rates",
+    "dq_constraint_violations",
+    "events_user_journey",
+    "mm_byte_histogram",
+    "profile_orders",
+    "range_join_event_pairs",
+    "text_quality_by_lang",
+    "text_repetition_ratio",
+    "text_rolling_hash",
 )
 
 

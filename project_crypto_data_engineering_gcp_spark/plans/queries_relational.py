@@ -2964,7 +2964,8 @@ _CKSUM_ROWSTR = (
 
 def _cksum_summary_sql(src: str, alias: str) -> str:
     bucket = (
-        f"(('0x' || substr(md5('{_CKSUM_SALT}bk:' || CAST(k AS VARCHAR)), 1, 15))"
+        f"(('0x' || substr(md5('{_CKSUM_SALT}bk:' || "
+        f"COALESCE(CAST(k AS VARCHAR), '\\N')), 1, 15))"
         f"::BIGINT % {_CKSUM_BUCKETS})"
     )
     h1 = f"('0x' || substr(md5('{_CKSUM_SALT}h1:' || {_CKSUM_ROWSTR}), 1, 15))::BIGINT"

@@ -1497,7 +1497,20 @@ def _ivfpq_oracle() -> str:
 
 def _ivf_index_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pooled IVF inverted file (vec_b, cell, cnv) — the same frame
-    (and the same pool entry) sim_ann_ivf_topk probes."""
+    (and the same pool entry) sim_ann_ivf_topk probes.
+
+    Residual ROUND-tie exposure, documented (ADVICE r6): the centroid
+    ASSIGNMENT inside ivf_assign_frame (and every oracle's ``cassign``
+    CTE) still orders by native ROUND(dot, 6) in both engines — an exact
+    half-boundary tie in a centroid score (~2^-46/value; zero observed
+    across all sf sweeps) could round differently per engine and flip a
+    vector's cell, diverging the whole IVF family. The re-rank keys were
+    migrated to roundfx in r5/r6; the assignment key is deliberately NOT
+    migrated mid-rotation because its ROUND is inlined across eight
+    green queries' oracles — migrate the family together (roundfx in
+    ivf_assign_frame + roundfx_sql in every cassign CTE) the next time
+    any of them is edited for output-changing reasons, and re-window
+    them under policy (b)."""
     from ..operators.similarity import ivf_assign_frame
 
     emb = load_table(spark, sf_dir, "embeddings")

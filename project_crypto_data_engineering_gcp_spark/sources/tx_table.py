@@ -2,7 +2,7 @@
 
 The reference persists Silver/Gold history as Delta tables (ACID commit
 log over parquet; reference `2-spark_processed_assats_list.py:65`,
-`3-spark_gold_zone.py:86-90`). This environment ships no delta-spark
+`3-spark_curated_analytics_full.py:86-90`). This environment ships no delta-spark
 jars (`sinks.table_format` gates on the import and falls back to plain
 parquet), which leaves the ACID/time-travel CAPABILITY untested. This
 module supplies it with the same public design Delta/Iceberg use — an
@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -179,6 +180,15 @@ def commit(
             )
             last_err.__cause__ = exc
             continue  # retry against the refreshed snapshot
+        except FileNotFoundError as exc:
+            # a concurrent vacuum swept our tmp manifest between write
+            # and link — indistinguishable from losing the race; retry
+            last_err = CommitConflict(
+                f"tmp manifest for version {version} of {table!r} was"
+                " swept concurrently (vacuum)"
+            )
+            last_err.__cause__ = exc
+            continue
         return TxSnapshot(
             version=version, mode=mode, files=tuple(manifest["files"])
         )
@@ -189,7 +199,17 @@ def vacuum(table: str, keep_last: int = 2) -> list[str]:
     """Delete data files unreferenced by the ``keep_last`` newest
     manifests (and drop the older manifests) — the only destructive
     operation; readers pinned to a vacuumed version lose it, exactly
-    like Delta's VACUUM. Returns the deleted file paths."""
+    like Delta's VACUUM. Returns the deleted parquet paths.
+
+    A staging dir whose parquet files are ALL unreferenced is removed
+    wholesale (shutil.rmtree) — Spark writes ``_SUCCESS``/``.crc``
+    sidecars alongside the parquet, so an ``os.rmdir`` after deleting
+    only ``*.parquet`` would never fire and dead dirs would accumulate
+    (ADVICE r6). Stale ``.tmp-*`` manifests abandoned by crashed
+    writers are swept from the log for the same reason; live writers
+    are safe — a commit's tmp manifest exists only inside ``commit()``
+    between write and link, and a concurrent vacuum deleting it merely
+    fails that attempt's link with ENOENT, which surfaces as a retry."""
     versions = _versions(table)
     if len(versions) <= keep_last:
         return []
@@ -201,12 +221,22 @@ def vacuum(table: str, keep_last: int = 2) -> list[str]:
     data_root = os.path.join(table, _DATA_DIR)
     for sub in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         subdir = os.path.join(data_root, sub)
-        for f in list(_parquet_files(subdir)):
+        parquet = list(_parquet_files(subdir))
+        if all(f not in live for f in parquet):
+            # no live file in this staging dir (incl. the empty-parquet
+            # abandoned-before-task-commit case): reclaim it wholesale,
+            # sidecars (_SUCCESS, .crc) and all
+            deleted.extend(parquet)
+            shutil.rmtree(subdir)
+            continue
+        for f in parquet:
             if f not in live:
                 os.unlink(f)
                 deleted.append(f)
-        if not os.listdir(subdir):
-            os.rmdir(subdir)
     for v in versions[:-keep_last]:
         os.unlink(_manifest_file(table, v))
+    log = _log_path(table)
+    for name in os.listdir(log):
+        if name.startswith(".tmp-"):
+            os.unlink(os.path.join(log, name))
     return deleted
