@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.json_source import read_raw_json
 from ..sources.ledger import filter_new_files, read_ledger, record_ingested
-from ..sources.sinks import formatted, read_table, table_format
+from ..sources.sinks import (
+    formatted,
+    read_history,
+    read_table,
+    write_history,
+)
 from .crypto_pipeline import (
     bronze_to_silver,
     dashboard,
@@ -95,10 +100,14 @@ def run_silver(
     silver.cache()
     n = silver.count()
     if n:
-        (
-            formatted(
-                silver.drop("_source_file").write.mode("append").partitionBy("dt")
-            ).save(silver_path(out_dir))
+        # ONE atomic commit per ingest batch (Delta transaction when
+        # delta-spark is present, txlog manifest otherwise): readers
+        # never observe a half-appended Silver, and every batch is a
+        # time-travelable version (reference S5, `2:65`)
+        write_history(
+            silver.drop("_source_file"),
+            silver_path(out_dir),
+            partition_by=["dt"],
         )
         counts = silver.groupBy("_source_file").agg(F.count(F.lit(1)).alias("n_rows"))
         record_ingested(out_dir, counts)
@@ -112,13 +121,15 @@ def run_gold(
     """Silver -> Gold: latest-snapshot view (cached once, reused by all
     four analyses — fixes the reference's recompute pessimization) and the
     dual history/serving sinks (quirk Q4)."""
-    silver = read_table(spark, silver_path(out_dir)).drop("dt")
+    silver = read_history(spark, silver_path(out_dir)).drop("dt")
     latest = latest_assets(silver)
     gold: dict[str, DataFrame] = {}
     for name, build in GOLD_BUILDERS.items():
         df = build(latest, analysis_at=analysis_at)
-        formatted(df.write.mode("append").option("mergeSchema", "true")).save(
-            os.path.join(out_dir, "gold", "history", name)
+        write_history(
+            df,
+            os.path.join(out_dir, "gold", "history", name),
+            merge_schema=True,
         )
         formatted(df.write.mode("overwrite")).save(
             os.path.join(out_dir, "gold", "serving", name)
@@ -128,15 +139,26 @@ def run_gold(
     return gold
 
 
-def read_gold_history(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
+def read_silver(
+    spark: SparkSession, out_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the Silver table; ``version`` time-travels to an older
+    ingest batch (Delta ``VERSION AS OF`` / txlog manifest pin)."""
+    return read_history(spark, silver_path(out_dir), version=version)
+
+
+def read_gold_history(
+    spark: SparkSession, out_dir: str, name: str, version: int | None = None
+) -> DataFrame:
     """Read a gold HISTORY table with schema merging across appends
-    (reference S7 `3:86-90`: Delta merges schema at write; for parquet
+    (reference S7 `3:86-90`: Delta merges schema at write; under txlog
     the union schema is resolved at READ — older rows surface NULL for
-    columns added later)."""
-    return (
-        spark.read.option("mergeSchema", "true")
-        .format(table_format())
-        .load(os.path.join(out_dir, "gold", "history", name))
+    columns added later). ``version`` time-travels to an older append."""
+    return read_history(
+        spark,
+        os.path.join(out_dir, "gold", "history", name),
+        version=version,
+        merge_schema=True,
     )
 
 

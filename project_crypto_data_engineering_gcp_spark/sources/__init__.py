@@ -8,7 +8,14 @@ from .json_source import (
 )
 from .http_source import default_fetcher, fixture_fetcher, ingest_snapshot
 from .ledger import filter_new_files, read_ledger, record_ingested
-from .sinks import formatted, read_table, table_format
+from .sinks import (
+    formatted,
+    history_format,
+    read_history,
+    read_table,
+    table_format,
+    write_history,
+)
 
 __all__ = [
     "load_table",
@@ -25,6 +32,9 @@ __all__ = [
     "read_ledger",
     "record_ingested",
     "formatted",
+    "history_format",
+    "read_history",
     "read_table",
     "table_format",
+    "write_history",
 ]

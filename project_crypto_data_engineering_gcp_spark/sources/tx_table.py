@@ -57,6 +57,7 @@ class TxSnapshot:
     version: int
     mode: str
     files: tuple[str, ...]
+    partition_by: tuple[str, ...] = ()
 
 
 def _log_path(table: str) -> str:
@@ -92,21 +93,75 @@ def snapshot(table: str, version: int | None = None) -> TxSnapshot:
         )
     with open(_manifest_file(table, v)) as fh:
         m = json.load(fh)
-    return TxSnapshot(version=v, mode=m["mode"], files=tuple(m["files"]))
+    return TxSnapshot(
+        version=v,
+        mode=m["mode"],
+        files=tuple(m["files"]),
+        partition_by=tuple(m.get("partition_by") or ()),
+    )
 
 
-def read(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+def _stage_of(table: str, path: str) -> str:
+    """The version-private staging directory a data file belongs to —
+    the first path component under ``data/``. Needed as the Spark
+    ``basePath`` so hive-style ``key=value`` partition directories
+    inside the stage are recovered as columns."""
+    data_root = os.path.join(table, _DATA_DIR)
+    rel = os.path.relpath(path, data_root)
+    return os.path.join(data_root, rel.split(os.sep)[0])
+
+
+def read(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    *,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Read the pinned snapshot's files (empty-file-list versions read as
     an empty frame is not supported — commits always carry >= 1 file;
-    an overwrite with an empty frame still writes parquet metadata)."""
+    an overwrite with an empty frame still writes parquet metadata).
+
+    ``merge_schema=True`` resolves the union schema across commits
+    (reference S7 semantics: Delta merges at write, parquet/txlog at
+    read — older rows surface NULL for columns added later).
+
+    Partitioned tables read as one scan PER staging directory (each
+    needs its own ``basePath`` to recover the hive-style partition
+    columns), unioned by name. Delta/Iceberg collapse this into one
+    scan via a log-backed FileIndex; this local stand-in instead bounds
+    the group count operationally — ``compact()`` rewrites the live
+    snapshot into a single stage (Delta's OPTIMIZE), and partition
+    pruning still reaches every per-stage scan (PartitionFilters,
+    pinned in tests/test_tx_table.py)."""
     snap = snapshot(table, version)
-    return spark.read.parquet(*snap.files)
+    if not snap.partition_by:
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*snap.files)
+    groups: dict[str, list[str]] = {}
+    for f in snap.files:
+        groups.setdefault(_stage_of(table, f), []).append(f)
+    out: DataFrame | None = None
+    for stage in sorted(groups):
+        part = spark.read.option("basePath", stage).parquet(*groups[stage])
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=merge_schema)
+        )
+    assert out is not None  # snapshot always has >= 1 file
+    return out
 
 
 def _parquet_files(directory: str) -> list[str]:
+    """All parquet files under ``directory``, recursively — partitioned
+    writes nest them inside ``key=value`` subdirectories."""
     return sorted(
-        os.path.join(directory, f)
-        for f in os.listdir(directory)
+        os.path.join(dirpath, f)
+        for dirpath, _, names in os.walk(directory)
+        for f in names
         if f.endswith(".parquet")
     )
 
@@ -116,6 +171,7 @@ def commit(
     table: str,
     mode: str = "append",
     *,
+    partition_by: list[str] | tuple[str, ...] | None = None,
     max_retries: int = 5,
 ) -> TxSnapshot:
     """Write ``df`` as a new atomic version of ``table``.
@@ -123,6 +179,12 @@ def commit(
     ``append`` keeps the previous snapshot's files and adds the new
     ones; ``overwrite`` replaces the active set (old files stay on disk
     for time travel until ``vacuum``). Returns the committed snapshot.
+
+    ``partition_by`` writes hive-style ``key=value`` directories inside
+    the staging dir (recovered as partition columns at read, with
+    PartitionFilters pruning — same contract as Delta's partitioned
+    tables). It must be consistent across every commit to a table; the
+    manifest records it and a mismatch raises ValueError.
 
     Protocol per attempt: stage data under a version-private directory,
     write a temp manifest, ``os.rename`` it into the log — the atomic
@@ -134,11 +196,19 @@ def commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_log_path(table), exist_ok=True)
+    pby = tuple(partition_by or ())
 
     last_err: Exception | None = None
     for attempt in range(max_retries):
         prior = _versions(table)
         version = (prior[-1] + 1) if prior else 0
+        if prior:
+            existing = snapshot(table).partition_by
+            if existing != pby:
+                raise ValueError(
+                    f"partition_by mismatch for {table!r}: table has "
+                    f"{list(existing)}, commit requested {list(pby)}"
+                )
         # staging name carries (pid, per-process seq): unique per WRITER,
         # not just per (version, attempt) — two concurrent writers racing
         # to the same version must never share a staging directory
@@ -147,7 +217,10 @@ def commit(
             _DATA_DIR,
             f"v{version:08d}-{os.getpid()}-{next(_STAGE_SEQ)}",
         )
-        df.write.mode("error").parquet(stage)
+        writer = df.write.mode("error")
+        if pby:
+            writer = writer.partitionBy(*pby)
+        writer.parquet(stage)
         files = _parquet_files(stage)
         base: tuple[str, ...] = ()
         if mode == "append" and prior:
@@ -156,6 +229,7 @@ def commit(
             "version": version,
             "mode": mode,
             "files": [*base, *files],
+            "partition_by": list(pby),
         }
         # writer-unique temp name (pid + per-process seq): two racing
         # writers must never share the pre-commit manifest path either
@@ -190,9 +264,25 @@ def commit(
             last_err.__cause__ = exc
             continue
         return TxSnapshot(
-            version=version, mode=mode, files=tuple(manifest["files"])
+            version=version,
+            mode=mode,
+            files=tuple(manifest["files"]),
+            partition_by=pby,
         )
     raise last_err if last_err else RuntimeError("commit failed")
+
+
+def compact(spark: SparkSession, table: str) -> TxSnapshot:
+    """Delta's OPTIMIZE for this stand-in: rewrite the live snapshot as
+    ONE overwrite commit, collapsing the per-commit staging groups (and
+    their small files) into a single stage. Time travel to pre-compact
+    versions keeps working until ``vacuum`` reclaims them; a reader of
+    a partitioned table goes back to a single scan afterwards."""
+    snap = snapshot(table)
+    df = read(spark, table, merge_schema=True)
+    return commit(
+        df, table, "overwrite", partition_by=list(snap.partition_by) or None
+    )
 
 
 def vacuum(table: str, keep_last: int = 2) -> list[str]:

@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.json_source import RAW_ENVELOPE_SCHEMA
-from ..sources.sinks import formatted
+from ..sources.sinks import write_history
 from ..functions.numeric import dec
 from ..plans.crypto_pipeline import bronze_to_silver
 
@@ -60,7 +60,11 @@ def stream_silver_available_now(
         silver.cache()
         n = silver.count()
         if n:
-            formatted(silver.write.mode("append").partitionBy("dt")).save(silver_out)
+            # one atomic history commit per micro-batch — exactly the
+            # Delta-streaming contract (checkpoint acks the batch only
+            # after its commit lands); same table format as the batch
+            # path, so run_gold reads either interchangeably
+            write_history(silver, silver_out, partition_by=["dt"])
             progress["rows"] += n
         silver.unpersist()
 

@@ -237,25 +237,40 @@ def test_pipeline_e2e_and_ledger_idempotency(spark, landing, tmp_path_factory):
     )
     assert dash1.count() == N_ASSETS
 
-    silver_rows = spark.read.parquet(os.path.join(out, "silver", "assets")).count()
+    from project_crypto_data_engineering_gcp_spark.plans.runner import (
+        read_gold_history,
+        read_silver,
+    )
+
+    silver_rows = read_silver(spark, out).count()
     assert silver_rows == N_ASSETS * len(SNAPSHOT_TS_MS)
 
     # re-run: ledger makes silver append a no-op (exactly-once)
     appended = run_silver(spark, f"{landing}/coincap_data_*.json", out)
     assert appended == 0
-    assert (
-        spark.read.parquet(os.path.join(out, "silver", "assets")).count()
-        == silver_rows
-    )
+    assert read_silver(spark, out).count() == silver_rows
 
-    # silver is partitioned by snapshot date (scale: partition pruning)
-    parts = [p for p in os.listdir(os.path.join(out, "silver", "assets")) if p.startswith("dt=")]
-    assert parts, "expected dt= hive partitions"
+    # silver is partitioned by snapshot date inside the txlog staging
+    # dirs (scale: partition pruning through the manifest read)
+    data_root = os.path.join(out, "silver", "assets", "data")
+    parts = {
+        p
+        for stage in os.listdir(data_root)
+        for p in os.listdir(os.path.join(data_root, stage))
+        if p.startswith("dt=")
+    }
+    assert parts, "expected dt= hive partitions inside staging dirs"
+    # ... and the append-history sinks are transactional (S5): a commit
+    # log exists for silver, NOT for the overwrite serving copies
+    assert os.path.isdir(os.path.join(out, "silver", "assets", "_txlog"))
 
     # gold dual-sink: serving overwritten, history appended (quirk Q4)
     run_gold(spark, out, analysis_at=ANALYSIS_AT)
-    hist = spark.read.parquet(os.path.join(out, "gold", "history", "daily_overview"))
+    hist = read_gold_history(spark, out, "daily_overview")
     serv = spark.read.parquet(os.path.join(out, "gold", "serving", "daily_overview"))
+    assert not os.path.isdir(
+        os.path.join(out, "gold", "serving", "daily_overview", "_txlog")
+    )
     assert hist.count() == 2 * serv.count()
     assert run_dashboard(spark, out).count() == N_ASSETS
 
@@ -322,12 +337,18 @@ def test_gold_history_schema_evolution(spark, landing, tmp_path):
     run_gold(spark, out, analysis_at=ANALYSIS_AT)
 
     # simulate evolution: append a batch carrying an extra column
+    # through the transactional history sink (reference S7: Delta's
+    # mergeSchema-at-write; txlog resolves the union schema at read)
+    from project_crypto_data_engineering_gcp_spark.sources.sinks import write_history
+
     evolved = (
         read_gold_history(spark, out, "daily_overview")
         .withColumn("risk_score", F.round(F.col("rank") * 0.1, 4))
     )
-    evolved.write.mode("append").parquet(
-        str(tmp_path / "out_evo" / "gold" / "history" / "daily_overview")
+    write_history(
+        evolved,
+        str(tmp_path / "out_evo" / "gold" / "history" / "daily_overview"),
+        merge_schema=True,
     )
 
     merged = read_gold_history(spark, out, "daily_overview")

@@ -80,8 +80,8 @@ def test_silver_scan_prunes_partitions(spark, tmp_path):
     """Date-partitioned Silver + a dt filter -> partition pruning (the
     capability the reference's readme claims but its code never builds)."""
     from project_crypto_data_engineering_gcp_spark.plans.runner import (
+        read_silver,
         run_silver,
-        silver_path,
     )
     from .fixtures_crypto import write_fixture_landing
 
@@ -89,7 +89,7 @@ def test_silver_scan_prunes_partitions(spark, tmp_path):
     out = str(tmp_path / "out")
     write_fixture_landing(landing)
     run_silver(spark, f"{landing}/coincap_data_*.json", out)
-    df = spark.read.parquet(silver_path(out)).filter("dt = '2025-05-24'")
+    df = read_silver(spark, out).filter("dt = '2025-05-24'")
     plan = plan_of(df)
     assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters", 1)[1]
 

@@ -37,7 +37,9 @@ def test_stream_silver_equals_batch_silver(spark, tmp_path):
     )
     assert n_batches >= 1
 
-    streamed = spark.read.parquet(os.path.join(out, "silver", "assets")).drop("dt")
+    from project_crypto_data_engineering_gcp_spark.plans.runner import read_silver
+
+    streamed = read_silver(spark, out).drop("dt")
     batch = bronze_to_silver(
         read_raw_json(spark, f"{landing}/coincap_data_*.json"),
         processed_at=PROCESSED_AT,
@@ -55,11 +57,13 @@ def test_stream_silver_checkpoint_no_reprocess(spark, tmp_path):
     out = str(tmp_path / "out")
     write_fixture_landing(landing)
 
+    from project_crypto_data_engineering_gcp_spark.plans.runner import read_silver
+
     stream_silver_available_now(spark, landing, out, processed_at=PROCESSED_AT)
-    first = spark.read.parquet(os.path.join(out, "silver", "assets")).count()
+    first = read_silver(spark, out).count()
     # drain again with the same checkpoint: nothing new -> no new rows
     stream_silver_available_now(spark, landing, out, processed_at=PROCESSED_AT)
-    assert spark.read.parquet(os.path.join(out, "silver", "assets")).count() == first
+    assert read_silver(spark, out).count() == first
 
 
 def test_stream_hourly_rollup_matches_batch(spark, tmp_path):

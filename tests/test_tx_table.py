@@ -147,3 +147,128 @@ def test_model_based_history(spark, tmp_path):
         assert snap.version == len(model) - 1
     for v, expected in enumerate(model):
         assert _ids(tx.read(spark, t, version=v)) == sorted(expected), v
+
+
+def test_partitioned_commit_prunes_and_time_travels(spark, tmp_path):
+    """Partitioned txlog table: hive-style key=value staging layout is
+    recovered as a partition column at read, a filter on it reaches the
+    scan as a PartitionFilter (the scale contract Delta gives
+    partitioned tables), and partition_by is pinned per table."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "2025-05-24"), (2, "2025-05-24"), (3, "2025-05-25")],
+        "id int, dt string",
+    )
+    tx.commit(df, t, "append", partition_by=["dt"])
+    tx.commit(
+        spark.createDataFrame([(4, "2025-05-26")], "id int, dt string"),
+        t,
+        "append",
+        partition_by=["dt"],
+    )
+    back = tx.read(spark, t)
+    assert set(back.columns) == {"id", "dt"}
+    assert _ids(back) == [1, 2, 3, 4]
+    assert _ids(tx.read(spark, t, version=0)) == [1, 2, 3]
+
+    plan = (
+        back.filter("dt = '2025-05-24'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "dt" in plan.split("PartitionFilters", 1)[1][:200]
+
+    with pytest.raises(ValueError, match="partition_by mismatch"):
+        tx.commit(spark.range(5), t, "append")
+
+
+def test_merge_schema_read_across_commits(spark, tmp_path):
+    """Reference S7 semantics on the txlog stand-in: a later append may
+    carry a new column; merge_schema read surfaces the union schema with
+    NULL for pre-evolution rows."""
+    t = str(tmp_path / "tbl")
+    tx.commit(spark.createDataFrame([(1, "a")], "id int, v string"), t, "append")
+    tx.commit(
+        spark.createDataFrame([(2, "b", 9.5)], "id int, v string, extra double"),
+        t,
+        "append",
+    )
+    merged = tx.read(spark, t, merge_schema=True)
+    assert "extra" in merged.columns
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_compact_collapses_stage_groups(spark, tmp_path):
+    """compact() (Delta's OPTIMIZE) rewrites the live snapshot into one
+    staging group; contents unchanged, pre-compact versions still
+    time-travel until vacuumed."""
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 6, 2):
+        tx.commit(
+            spark.createDataFrame(
+                [(i, f"2025-05-{24 + i % 2:02d}") for i in range(lo, lo + 2)],
+                "id int, dt string",
+            ),
+            t,
+            "append",
+            partition_by=["dt"],
+        )
+    before = tx.snapshot(t)
+    snap = tx.compact(spark, t)
+    assert snap.mode == "overwrite" and snap.partition_by == ("dt",)
+    stages = {tx._stage_of(t, f) for f in snap.files}
+    assert len(stages) == 1 < len({tx._stage_of(t, f) for f in before.files})
+    assert _ids(tx.read(spark, t)) == list(range(6))
+    assert _ids(tx.read(spark, t, version=before.version)) == list(range(6))
+
+
+def test_pipeline_e2e_on_txlog_version_as_of(spark, tmp_path):
+    """R6 verdict task 2, the acceptance test: the crypto pipeline runs
+    end-to-end with the txlog manifest table as its gated ACID sink —
+    each ingest batch is one atomic Silver version, Silver reads
+    VERSION AS OF (time travel), and Gold history appends land in the
+    commit log while the serving copies stay plain overwrite parquet
+    (reference 2-spark_processed_assats_list.py:65,
+    3-spark_curated_analytics_full.py:86-90)."""
+    from project_crypto_data_engineering_gcp_spark.fixtures import (
+        N_ASSETS,
+        write_fixture_landing,
+    )
+    from project_crypto_data_engineering_gcp_spark.plans.runner import (
+        read_gold_history,
+        read_silver,
+        run_gold,
+        run_silver,
+        silver_path,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+
+    # batch 1: two snapshot files -> Silver version 0
+    write_fixture_landing(landing, n_snapshots=2)
+    assert run_silver(spark, f"{landing}/coincap_data_*.json", out) == 2 * N_ASSETS
+    # batch 2: one NEW file (replay-stable names; ledger skips the rest)
+    write_fixture_landing(landing, n_snapshots=3)
+    assert run_silver(spark, f"{landing}/coincap_data_*.json", out) == N_ASSETS
+
+    assert tx.snapshot(silver_path(out)).version == 1
+    assert read_silver(spark, out).count() == 3 * N_ASSETS
+    assert read_silver(spark, out, version=0).count() == 2 * N_ASSETS  # VERSION AS OF
+
+    # gold: two runs -> history has 2 versions, serving stays overwrite
+    run_gold(spark, out)
+    run_gold(spark, out)
+    hist_path = os.path.join(out, "gold", "history", "daily_overview")
+    assert tx.snapshot(hist_path).version == 1
+    assert read_gold_history(spark, out, "daily_overview").count() == 2 * N_ASSETS
+    assert (
+        read_gold_history(spark, out, "daily_overview", version=0).count()
+        == N_ASSETS
+    )
+    serving = os.path.join(out, "gold", "serving", "daily_overview")
+    assert not os.path.isdir(os.path.join(serving, tx._LOG_DIR))
+    assert spark.read.parquet(serving).count() == N_ASSETS
