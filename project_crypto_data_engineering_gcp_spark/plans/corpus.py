@@ -146,6 +146,14 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_quality_by_lang",
     "text_repetition_ratio",
     "text_rolling_hash",
+    # ---- r7 additions (never driver-checked; policy (a) puts them
+    # ahead of the 15 refreshers above when the r8 window is cut) ----
+    "a27_pr_auc",
+    "a28_chi_square",
+    "a29_welch_ttest",
+    "dq_histogram_drift",
+    "feat_hashing_trick",
+    "text_distinctive_terms",
 )
 
 

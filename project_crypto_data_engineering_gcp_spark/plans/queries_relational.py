@@ -3567,3 +3567,386 @@ def a26_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_v_micros"
         ),
     )
+
+
+# -------------------------------- precision-recall AUC (average precision)
+
+
+@corpus_query(
+    "a27_pr_auc",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(CAST(value * 1000000 AS DECIMAL(18,0)) AS BIGINT) AS v,
+               (event_type = 'purchase') AS pos
+        FROM events
+    ),
+    per_v AS (
+        SELECT v, COUNT(*) AS n_v,
+               SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np_v
+        FROM base GROUP BY 1
+    ),
+    scan AS (
+        SELECT v, n_v, np_v,
+               SUM(np_v) OVER (ORDER BY v DESC) AS tp,
+               SUM(n_v) OVER (ORDER BY v DESC) AS cum
+        FROM per_v
+    ),
+    tot AS (
+        SELECT CAST(SUM(np_v) AS BIGINT) AS n_pos,
+               CAST(SUM(n_v) AS BIGINT) AS n
+        FROM per_v
+    )
+    SELECT tot.n_pos, tot.n,
+           CAST((SELECT COALESCE(SUM(
+                     np_v * ((tp * 1000000 - (tp * 1000000) % cum) // cum)
+                 ), 0) FROM scan WHERE np_v > 0) // tot.n_pos
+                AS BIGINT) AS ap_ppm
+    FROM tot
+    """,
+)
+def a27_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DISTRIBUTED PR-AUC (average precision) for the 'purchase'
+    class scored by `value` — the ML-evaluation companion to
+    a24_roc_auc for imbalanced positives. Tie-robust definition (the
+    only well-defined one on tied scores): group by DISTINCT descending
+    score threshold; AP = sum over thresholds of
+    (recall gained) x (precision at threshold), all in integer
+    fixed-point — precision per threshold is floored to ppm
+    (micro-units doctrine), so both engines compute the identical
+    integer.
+
+    Scale design: per-score counts are ONE map-combinable groupBy; the
+    cumulative TP/total curves ride `global_prefix_sum` (range
+    partition + per-partition windows + broadcast offsets — no
+    unpartitioned window); the final AP is a 1-row aggregate. The
+    naive per-positive precision@rank formulation would be a second
+    data-sized window; the threshold-group form shrinks the scan to
+    |distinct scores|."""
+    from ..operators.rank import _idiv, global_prefix_sum
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        (F.col("value") * 1000000)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("v"),
+        (F.col("event_type") == "purchase").alias("pos"),
+    )
+    per_v = base.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np_v"),
+    )
+    # descending-score running totals: order by -v (strict total order)
+    scan = global_prefix_sum(
+        per_v.withColumn("neg_v", -F.col("v")),
+        ["neg_v"],
+        ["np_v", "n_v"],
+    ).select(
+        "np_v",
+        F.col("cum_np_v").alias("tp"),
+        F.col("cum_n_v").alias("cum"),
+    )
+    tot = per_v.agg(
+        F.sum("np_v").cast("bigint").alias("n_pos"),
+        F.sum("n_v").cast("bigint").alias("n"),
+    )
+    contrib = (
+        scan.filter(F.col("np_v") > 0)
+        .select(
+            (
+                F.col("np_v").cast("decimal(38,0)")
+                * _idiv(F.col("tp").cast("decimal(38,0)") * F.lit(1000000), F.col("cum"))
+            ).alias("c")
+        )
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("decimal(38,0)").alias("s"))
+    )
+    return tot.crossJoin(F.broadcast(contrib)).select(
+        "n_pos",
+        "n",
+        _idiv(F.col("s"), F.col("n_pos")).alias("ap_ppm"),
+    )
+
+
+# -------------------------------- chi-square test of independence
+
+
+@corpus_query(
+    "a28_chi_square",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(hour(ts) // 6 AS BIGINT) AS quadrant,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(o) AS row_tot FROM cells GROUP BY 1),
+    ct AS (SELECT quadrant, SUM(o) AS col_tot FROM cells GROUP BY 1),
+    n AS (SELECT SUM(o) AS n FROM cells),
+    per_cell AS (
+        SELECT c.event_type, c.quadrant, c.o,
+               CAST(FLOOR(
+                   (CAST(c.o AS DOUBLE) * CAST(n.n AS DOUBLE)
+                    - CAST(r.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+                   * (CAST(c.o AS DOUBLE) * CAST(n.n AS DOUBLE)
+                      - CAST(r.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+                   / (CAST(r.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+                      * CAST(n.n AS DOUBLE))
+                   * 1000000.0 / CAST(n.n AS DOUBLE)
+               ) AS BIGINT) AS chi2_cell_ppm
+        FROM cells c, rt r, ct, n
+        WHERE c.event_type = r.event_type AND c.quadrant = ct.quadrant
+    )
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT quadrant) - 1) AS BIGINT) AS dof,
+           CAST(SUM(chi2_cell_ppm) AS BIGINT) AS chi2_ppm
+    FROM per_cell
+    """,
+)
+def a28_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence: is event_type independent of
+    time-of-day quadrant? The test statistic sum((O-E)^2/E), emitted in
+    ppm. Determinism doctrine: every per-cell contribution is a FIXED
+    IEEE expression tree over exactly-representable integers (counts
+    and their products stay far below 2^53 before the one squared term,
+    whose rounding is the same single IEEE multiply in both engines),
+    floored to integer ppm PER CELL — so the final figure is a SUM of
+    integers, immune to float summation order.
+
+    Scale design: the contingency table is ONE map-combinable
+    groupBy(count); row totals, column totals, and the grand total are
+    aggregates OF THE CELL FRAME (dimension-sized, not data-sized), and
+    the statistic is a sum over |event_types| x 4 cells. Nothing after
+    the first aggregation touches the fact table."""
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            "event_type",
+            (F.hour("ts") / 6).cast("bigint").alias("quadrant"),
+        )
+        .groupBy("event_type", "quadrant")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)  # tiny; feeds four consumers
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    ct = cells.groupBy("quadrant").agg(F.sum("o").alias("col_tot"))
+    n = cells.agg(F.sum("o").alias("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = d("o") * d("n") - d("row_tot") * d("col_tot")
+    per_cell = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "quadrant")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "quadrant",
+            F.floor(
+                diff * diff / (d("row_tot") * d("col_tot") * d("n"))
+                * F.lit(1000000.0) / d("n")
+            ).alias("chi2_cell_ppm"),
+        )
+    )
+    return per_cell.crossJoin(
+        F.broadcast(n.select(F.col("n").cast("bigint").alias("n_rows")))
+    ).agg(
+        F.first("n_rows").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            (F.count_distinct(F.col("event_type")) - 1)
+            * (F.count_distinct(F.col("quadrant")) - 1)
+        ).cast("bigint").alias("dof"),
+        F.sum("chi2_cell_ppm").cast("bigint").alias("chi2_ppm"),
+    )
+
+
+# -------------------------------- Welch's t-test (unequal-variance)
+
+
+@corpus_query(
+    "a29_welch_ttest",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) AS v
+        FROM orders
+    ),
+    grp AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n1, SUM(v) AS s1, SUM(v * v) AS ss1
+        FROM base GROUP BY 1
+    ),
+    tot AS (
+        SELECT COUNT(*) AS nt, SUM(v) AS st, SUM(v * v) AS sst FROM base
+    ),
+    both AS (
+        SELECT o_orderpriority, n1, s1, ss1,
+               nt - n1 AS n2, st - s1 AS s2, sst - ss1 AS ss2
+        FROM grp, tot
+    ),
+    vars AS (
+        SELECT *,
+               CAST((n1 * ss1 - s1 * s1) // (n1 * (n1 - 1)) AS BIGINT) AS var1,
+               CAST((n2 * ss2 - s2 * s2) // (n2 * (n2 - 1)) AS BIGINT) AS var2
+        FROM both
+    )
+    SELECT o_orderpriority,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(s1 // n1 AS BIGINT) AS mean1_cents,
+           CAST(s2 // n2 AS BIGINT) AS mean2_cents,
+           var1 AS var1_cents2, var2 AS var2_cents2,
+           CAST(FLOOR(
+               (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+               / sqrt(CAST(var1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      + CAST(var2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+               * 1000.0
+           ) AS BIGINT) AS t_milli
+    FROM vars
+    """,
+)
+def a29_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S t-TEST, each order priority against the rest of the
+    corpus: does this priority's mean order value differ? One row per
+    priority with group sizes, exact integer means/variances (cents /
+    cents^2 via decimal floor-division), and the Welch statistic in
+    milli-units.
+
+    Determinism doctrine: moments (n, sum, sum-of-squares) are EXACT
+    decimal aggregates; the complement group's moments are obtained by
+    subtracting from the 1-row global moments (no second fact scan).
+    The only float arithmetic is the final fixed expression tree
+    (two divides, one add, one IEEE sqrt, one divide, floor x1000) over
+    exactly-representable integer inputs — every op is correctly
+    rounded and identically ordered in both engines.
+
+    Scale design: ONE map-combinable groupBy over the fact table plus a
+    1-row global aggregate broadcast to the 5-row group frame. Nothing
+    downstream is data-sized."""
+    from ..operators.rank import _idiv
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("v"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    grp = base.groupBy("o_orderpriority").agg(
+        d38(F.count(F.lit(1))).alias("n1"),
+        d38(F.sum("v")).alias("s1"),
+        d38(F.sum(F.col("v") * F.col("v"))).alias("ss1"),
+    )
+    tot = base.agg(
+        d38(F.count(F.lit(1))).alias("nt"),
+        d38(F.sum("v")).alias("st"),
+        d38(F.sum(F.col("v") * F.col("v"))).alias("sst"),
+    )
+    both = grp.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n1",
+        "s1",
+        "ss1",
+        (F.col("nt") - F.col("n1")).alias("n2"),
+        (F.col("st") - F.col("s1")).alias("s2"),
+        (F.col("sst") - F.col("ss1")).alias("ss2"),
+    )
+    var1 = _idiv(
+        F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1"),
+        F.col("n1") * (F.col("n1") - 1),
+    )
+    var2 = _idiv(
+        F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2"),
+        F.col("n2") * (F.col("n2") - 1),
+    )
+    withv = both.withColumn("var1", var1).withColumn("var2", var2)
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return withv.select(
+        "o_orderpriority",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        _idiv(F.col("s1"), F.col("n1")).alias("mean1_cents"),
+        _idiv(F.col("s2"), F.col("n2")).alias("mean2_cents"),
+        F.col("var1").alias("var1_cents2"),
+        F.col("var2").alias("var2_cents2"),
+        F.floor(
+            (dd("s1") / dd("n1") - dd("s2") / dd("n2"))
+            / F.sqrt(dd("var1") / dd("n1") + dd("var2") / dd("n2"))
+            * F.lit(1000.0)
+        ).cast("bigint").alias("t_milli"),
+    )
+
+
+# -------------------------------- histogram drift between table snapshots
+
+
+@corpus_query(
+    "dq_histogram_drift",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT)
+               // 2500000 AS bucket,
+               (o_orderdate < TIMESTAMP '1996-01-01') AS is_old
+        FROM orders
+    ),
+    cells AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,
+               SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS c_new
+        FROM base GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c_old) AS t_old, SUM(c_new) AS t_new FROM cells)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(c_old AS BIGINT) AS c_old,
+           CAST(c_new AS BIGINT) AS c_new,
+           CAST((c_old * 1000000) // t_old AS BIGINT) AS p_old_ppm,
+           CAST((c_new * 1000000) // t_new AS BIGINT) AS p_new_ppm,
+           CAST(abs((c_old * 1000000) // t_old - (c_new * 1000000) // t_new)
+                AS BIGINT) AS drift_ppm
+    FROM cells, tot
+    """,
+)
+def dq_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CI DISTRIBUTION-DRIFT GATE: compare the order-value
+    histogram of the pre-1996 order snapshot against the newer half — the
+    check a training-data pipeline runs before accepting a refreshed
+    table version (the binned companion to dq_table_checksum's exact
+    gate and a25_ks_test's continuous one). $25k-wide integer buckets;
+    per-bucket population shares in exact ppm (decimal floor-division)
+    and the absolute share drift.
+
+    Scale design: ONE map-combinable groupBy (bucket x conditional
+    counts) over the fact table; totals are an aggregate of the
+    dimension-sized bucket frame broadcast back. The total-variation
+    distance is SUM(drift_ppm)/2 — left to the caller, keeping the
+    output per-bucket and auditable."""
+    from ..operators.rank import _idiv
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        _idiv(
+            (F.col("o_totalprice") * 100).cast("decimal(18,0)"),
+            F.lit(2500000),
+        ).alias("bucket"),
+        (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")).alias(
+            "is_old"
+        ),
+    )
+    cells = base.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("c_old"),
+        F.sum(F.when(F.col("is_old"), 0).otherwise(1)).alias("c_new"),
+    )
+    tot = cells.agg(
+        F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")
+    )
+    p_old = _idiv(F.col("c_old") * F.lit(1000000), F.col("t_old"))
+    p_new = _idiv(F.col("c_new") * F.lit(1000000), F.col("t_new"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("c_old").cast("bigint").alias("c_old"),
+        F.col("c_new").cast("bigint").alias("c_new"),
+        p_old.alias("p_old_ppm"),
+        p_new.alias("p_new_ppm"),
+        F.abs(p_old - p_new).cast("bigint").alias("drift_ppm"),
+    )

@@ -1410,3 +1410,153 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok_bpe",
         (F.col("n_tok_base") - F.col("n_tok_bpe")).alias("n_merges_applied"),
     )
+
+
+# ------------------------------------------------- feature hashing trick
+
+HASH_BUCKETS = 64  # hashed feature space (production: 2^18-2^22)
+
+
+@corpus_query(
+    "feat_hashing_trick",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tokens_sql("text")}) AS tok FROM documents
+    )
+    SELECT {md5_long_sql("tok", "feat:")} % {HASH_BUCKETS} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM toks GROUP BY 1
+    """,
+)
+def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE HASHING TRICK (Weinberger et al., ICML 2009): project an
+    unbounded token vocabulary onto a fixed feature space by hashing —
+    the standard way to featurize text at 100 TB without building (or
+    shipping) a vocabulary. This query audits the hashed space itself:
+    per bucket, total token mass, distinct terms folded in (the
+    collision load), and document reach — exactly what you check before
+    committing to a bucket width.
+
+    Scale design: explode -> ONE groupBy on the hash bucket;
+    token-count is map-combinable, the two DISTINCTs are
+    partial-aggregated per the standard two-phase distinct expansion.
+    The cross-engine md5 hash (functions/hashing.py) keeps the bucket
+    assignment bit-identical in the oracle; no vocabulary structure is
+    ever materialized — that's the point of the trick."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    return toks.groupBy(
+        (md5_long(F.col("tok"), "feat:") % HASH_BUCKETS).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count_distinct(F.col("tok")).cast("bigint").alias("n_terms"),
+        F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs"),
+    )
+
+
+# ------------------------------------------------- distinctive terms by lift
+
+LIFT_TOPK = 5       # terms reported per language
+LIFT_MIN_TF = 20    # ignore terms rarer than this in a language
+
+
+@corpus_query(
+    "text_distinctive_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest({tokens_sql("text")}) AS tok FROM documents
+    ),
+    per_lang AS (
+        SELECT lang, tok, COUNT(*) AS tf_lang FROM toks GROUP BY 1, 2
+    ),
+    glob AS (
+        SELECT tok, SUM(tf_lang) AS tf_glob FROM per_lang GROUP BY 1
+    ),
+    lang_tot AS (
+        SELECT lang, SUM(tf_lang) AS n_lang FROM per_lang GROUP BY 1
+    ),
+    all_tot AS (SELECT SUM(tf_lang) AS n_all FROM per_lang),
+    lifted AS (
+        SELECT p.lang, p.tok, p.tf_lang,
+               CAST((p.tf_lang * n_all * 1000000)
+                    // (g.tf_glob * t.n_lang) AS BIGINT) AS lift_ppm
+        FROM per_lang p
+        JOIN glob g ON g.tok = p.tok
+        JOIN lang_tot t ON t.lang = p.lang
+        CROSS JOIN all_tot
+        WHERE p.tf_lang >= {LIFT_MIN_TF}
+    )
+    SELECT lang, tok AS term, tf_lang, lift_ppm,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY lift_ppm DESC, tok) AS rk
+        FROM lifted
+    ) WHERE rk <= {LIFT_TOPK}
+    """,
+)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCTIVE TERMS PER LANGUAGE by frequency lift — tf-idf's
+    log-free cousin (integer-exact, per the no-transcendentals
+    doctrine): lift = (term share within the language) / (term share in
+    the whole corpus), in ppm via decimal floor-division; top-5 per
+    language with a deterministic term tiebreak, min-tf floor against
+    hapax noise. The corpus-curation use: spotting the vocabulary a
+    language split is actually made of (and contamination — an 'en'
+    term ranking high in 'de' is a mislabeled-document smell).
+
+    Scale design: (lang, term) tf is ONE map-combinable groupBy;
+    global term mass is a second groupBy OF THAT FRAME (vocabulary-
+    sized, not token-sized); language totals and the corpus total are
+    dimension-sized broadcasts. The per-language top-5 window is
+    partitioned by lang with the rk<=K filter directly above it, which
+    Spark's WindowGroupLimit rewrite turns into map-side k-heaps — no
+    language funnels its whole vocabulary through one task."""
+    from pyspark.sql import Window
+
+    from ..operators.rank import _idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("tf_lang"))
+    ).localCheckpoint(eager=True)  # vocabulary-sized; feeds 3 aggregates
+    glob = per_lang.groupBy("tok").agg(F.sum("tf_lang").alias("tf_glob"))
+    lang_tot = per_lang.groupBy("lang").agg(F.sum("tf_lang").alias("n_lang"))
+    all_tot = per_lang.agg(F.sum("tf_lang").alias("n_all"))
+    lifted = (
+        per_lang.filter(F.col("tf_lang") >= LIFT_MIN_TF)
+        .join(glob, "tok")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(all_tot))
+        .select(
+            "lang",
+            "tok",
+            "tf_lang",
+            _idiv(
+                F.col("tf_lang").cast("decimal(38,0)")
+                * F.col("n_all")
+                * F.lit(1000000),
+                F.col("tf_glob").cast("decimal(38,0)") * F.col("n_lang"),
+            ).alias("lift_ppm"),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy(
+        F.col("lift_ppm").desc(), F.col("tok")
+    )
+    return (
+        lifted.withColumn("rk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rk") <= LIFT_TOPK)
+        .select(
+            "lang",
+            F.col("tok").alias("term"),
+            "tf_lang",
+            "lift_ppm",
+            "rk",
+        )
+    )
