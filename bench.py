@@ -105,6 +105,10 @@ HEADLINE = (
     "a25_ks_test",
     "text_bpe_encode_stats",
     "mm_frame_fingerprint_match",
+    # r7 additions: the two heavier new shapes — the PR-AUC prefix-sum
+    # scan and the hashed-feature-space explode+distinct audit
+    "a27_pr_auc",
+    "feat_hashing_trick",
 )
 
 

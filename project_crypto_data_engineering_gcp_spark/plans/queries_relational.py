@@ -3778,7 +3778,7 @@ def a28_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
         SELECT COUNT(*) AS nt, SUM(v) AS st, SUM(v * v) AS sst FROM base
     ),
-    both AS (
+    comb AS (
         SELECT o_orderpriority, n1, s1, ss1,
                nt - n1 AS n2, st - s1 AS s2, sst - ss1 AS ss2
         FROM grp, tot
@@ -3787,7 +3787,7 @@ def a28_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *,
                CAST((n1 * ss1 - s1 * s1) // (n1 * (n1 - 1)) AS BIGINT) AS var1,
                CAST((n2 * ss2 - s2 * s2) // (n2 * (n2 - 1)) AS BIGINT) AS var2
-        FROM both
+        FROM comb
     )
     SELECT o_orderpriority,
            CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
@@ -3833,15 +3833,18 @@ def a29_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v"),
     )
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # the sum-of-squares must accumulate in decimal: v*v peaks ~4e15 and
+    # the SUM crosses 2^63 already at sf0.01 (ANSI long overflow)
+    sq = (F.col("v") * F.col("v")).cast("decimal(38,0)")
     grp = base.groupBy("o_orderpriority").agg(
         d38(F.count(F.lit(1))).alias("n1"),
         d38(F.sum("v")).alias("s1"),
-        d38(F.sum(F.col("v") * F.col("v"))).alias("ss1"),
+        d38(F.sum(sq)).alias("ss1"),
     )
     tot = base.agg(
         d38(F.count(F.lit(1))).alias("nt"),
         d38(F.sum("v")).alias("st"),
-        d38(F.sum(F.col("v") * F.col("v"))).alias("sst"),
+        d38(F.sum(sq)).alias("sst"),
     )
     both = grp.crossJoin(F.broadcast(tot)).select(
         "o_orderpriority",

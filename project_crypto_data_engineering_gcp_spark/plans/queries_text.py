@@ -1473,7 +1473,7 @@ LIFT_MIN_TF = 20    # ignore terms rarer than this in a language
     per_lang AS (
         SELECT lang, tok, COUNT(*) AS tf_lang FROM toks GROUP BY 1, 2
     ),
-    glob AS (
+    gtf AS (
         SELECT tok, SUM(tf_lang) AS tf_glob FROM per_lang GROUP BY 1
     ),
     lang_tot AS (
@@ -1485,7 +1485,7 @@ LIFT_MIN_TF = 20    # ignore terms rarer than this in a language
                CAST((p.tf_lang * n_all * 1000000)
                     // (g.tf_glob * t.n_lang) AS BIGINT) AS lift_ppm
         FROM per_lang p
-        JOIN glob g ON g.tok = p.tok
+        JOIN gtf g ON g.tok = p.tok
         JOIN lang_tot t ON t.lang = p.lang
         CROSS JOIN all_tot
         WHERE p.tf_lang >= {LIFT_MIN_TF}

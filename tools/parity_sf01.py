@@ -17,7 +17,9 @@ multithreaded DuckDB) — the "hours" estimate behind the list was never
 re-measured. Full-corpus sweep coverage means ROUND-tie and
 scale-sensitive divergence is observable for EVERY oracle-paired query.
 
-Usage: python3 tools/parity_sf01.py
+Usage: python3 tools/parity_sf01.py [query_name ...]
+With names, checks only those queries (fast re-verify of a new batch);
+with none, sweeps the full corpus.
 Prints one JSON line {"checked": N, "ok": N, "failed": [...], "skipped": N}.
 """
 
@@ -44,6 +46,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs, osql = entry.queries(), entry.oracle_sql()
+    only = set(sys.argv[1:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        qs = {n: f for n, f in qs.items() if n in only}
     failed: list[str] = []
     checked = 0
     skipped = 0
