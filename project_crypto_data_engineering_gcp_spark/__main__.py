@@ -50,6 +50,20 @@ def _build_parser() -> argparse.ArgumentParser:
     k.add_argument("--path", required=True)
     k.add_argument("--target-mb", type=int, default=256)
     k.add_argument("--sort-by", default=None, help="comma-separated clustering columns")
+    k.add_argument(
+        "--tx",
+        action="store_true",
+        help="treat --path as a txlog history table: OPTIMIZE-style"
+        " single-commit rewrite (tx_table.compact), optionally followed"
+        " by --vacuum-keep",
+    )
+    k.add_argument(
+        "--vacuum-keep",
+        type=int,
+        default=None,
+        metavar="N",
+        help="with --tx: vacuum manifests/files beyond the newest N versions",
+    )
 
     ds = sub.add_parser(
         "dedup-stream",
@@ -108,16 +122,26 @@ def main(argv: list[str] | None = None) -> int:
             for k, v in manifest.items():
                 print(f"{k}: {v}")
         elif args.cmd == "compact":
-            from .sources.maintenance import compact_table
+            if args.tx:
+                from .sources import tx_table
 
-            sort_cols = args.sort_by.split(",") if args.sort_by else None
-            n = compact_table(
-                spark,
-                args.path,
-                target_file_bytes=args.target_mb * 1024 * 1024,
-                sort_cols=sort_cols,
-            )
-            print(f"compacted to {n} files")
+                snap = tx_table.compact(spark, args.path)
+                msg = f"compacted to version {snap.version} ({len(snap.files)} files)"
+                if args.vacuum_keep is not None:
+                    swept = tx_table.vacuum(args.path, keep_last=args.vacuum_keep)
+                    msg += f"; vacuumed {len(swept)} files"
+                print(msg)
+            else:
+                from .sources.maintenance import compact_table
+
+                sort_cols = args.sort_by.split(",") if args.sort_by else None
+                n = compact_table(
+                    spark,
+                    args.path,
+                    target_file_bytes=args.target_mb * 1024 * 1024,
+                    sort_cols=sort_cols,
+                )
+                print(f"compacted to {n} files")
         elif args.cmd == "dedup-stream":
             from .streaming.dedup_stream import stream_incremental_dedup
 

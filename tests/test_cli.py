@@ -75,3 +75,23 @@ def test_cli_dedup_stream(spark, tmp_path, capsys):
     assert rc == 0
     assert "duplicate pairs emitted: 0" in capsys.readouterr().out
     assert spark.read.parquet(state + "/pairs").count() == n1
+
+
+def test_cli_tx_compact_and_vacuum(spark, tmp_path, capsys):
+    """`compact --tx` runs the OPTIMIZE-style txlog rewrite + optional
+    vacuum through the CLI — the maintenance loop a deployment would
+    cron against the pipeline's history tables."""
+    from project_crypto_data_engineering_gcp_spark.sources import tx_table as tx
+
+    t = str(tmp_path / "txtbl")
+    for lo in (0, 5, 10):
+        tx.commit(spark.range(lo, lo + 5), t, "append")
+    assert main(["compact", "--path", t, "--tx", "--vacuum-keep", "1"]) == 0
+    printed = capsys.readouterr().out
+    assert "compacted to version 3" in printed and "vacuumed" in printed
+    assert tx.read(spark, t).count() == 15
+    # pre-compact versions are vacuumed away; the compacted one remains
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        tx.read(spark, t, version=0)
