@@ -1499,18 +1499,25 @@ def _ivf_index_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pooled IVF inverted file (vec_b, cell, cnv) — the same frame
     (and the same pool entry) sim_ann_ivf_topk probes.
 
-    Residual ROUND-tie exposure, documented (ADVICE r6): the centroid
-    ASSIGNMENT inside ivf_assign_frame (and every oracle's ``cassign``
-    CTE) still orders by native ROUND(dot, 6) in both engines — an exact
-    half-boundary tie in a centroid score (~2^-46/value; zero observed
-    across all sf sweeps) could round differently per engine and flip a
-    vector's cell, diverging the whole IVF family. The re-rank keys were
-    migrated to roundfx in r5/r6; the assignment key is deliberately NOT
-    migrated mid-rotation because its ROUND is inlined across eight
-    green queries' oracles — migrate the family together (roundfx in
-    ivf_assign_frame + roundfx_sql in every cassign CTE) the next time
-    any of them is edited for output-changing reasons, and re-window
-    them under policy (b)."""
+    Residual ROUND-tie exposure, documented (ADVICE r6, resolved-as-
+    analysis r7): the centroid ASSIGNMENT inside ivf_assign_frame (and
+    every oracle's ``cassign`` CTE) orders by a rounded cross-engine
+    dot product — numpy blocked matmul on one side, the SQL fold on the
+    other — whose raw doubles differ at ~1e-16 by summation order. The
+    rounding to 1e-6 is what ALIGNS them; a value within ~2^-46 of a
+    rounding boundary (zero observed across every sf sweep) could land
+    on either side IN EITHER ENGINE, and that exposure is a property of
+    the differing dot computations, NOT of the rounding function:
+    migrating ROUND -> roundfx here (the r6 advice) would swap one
+    boundary for an equally-exposed one, unlike the re-rank keys
+    migrated in r5/r6, which round an IDENTICAL integer-derived double
+    in both engines (there roundfx genuinely closes the class). The
+    honest fix would be fixed-point quantization of the embeddings
+    themselves — a semantic change to the whole similarity family that
+    the measured-zero incidence does not justify. Standing doctrine
+    stays: roundfx wherever both engines round the same double; rounded
+    cross-engine floats only ever as a tolerance-alignment, with this
+    bounded residual documented."""
     from ..operators.similarity import ivf_assign_frame
 
     emb = load_table(spark, sf_dir, "embeddings")
