@@ -154,6 +154,12 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dq_histogram_drift",
     "feat_hashing_trick",
     "text_distinctive_terms",
+    # policy (b): the BPE training loop gained a per-(app, sf_dir) memo
+    # in r7 (perf-only; bit-identical outputs re-verified at sf0.01 AND
+    # sf0.1) — its r6 row predates the refactor, so it re-windows in r8.
+    # text_bpe_encode_stats shares the refactor but already sits in the
+    # r7 window above.
+    "text_bpe_train_merges",
 )
 
 

@@ -22,7 +22,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AMP_DIR = "/tmp/spark_graft_events_amplified"
-QUERIES = ("a24_roc_auc", "a25_ks_test")
+# a27_pr_auc (r7) rides the same global_prefix_sum machinery as a25 over
+# the same events frame — same amplifier, same expected profile
+QUERIES = ("a24_roc_auc", "a25_ks_test", "a27_pr_auc")
 
 
 def amplify(src_dir: str, factor: int) -> str:
