@@ -3840,11 +3840,14 @@ def a29_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         d38(F.count(F.lit(1))).alias("n1"),
         d38(F.sum("v")).alias("s1"),
         d38(F.sum(sq)).alias("ss1"),
-    )
-    tot = base.agg(
-        d38(F.count(F.lit(1))).alias("nt"),
-        d38(F.sum("v")).alias("st"),
-        d38(F.sum(sq)).alias("sst"),
+    ).localCheckpoint(eager=True)  # 5 rows; feeds itself twice below
+    # global moments are SUMS of the group moments — derived from the
+    # 5-row frame, so the fact table is scanned exactly ONCE
+    # (plan-pinned in tests/test_plan_shapes.py)
+    tot = grp.agg(
+        d38(F.sum("n1")).alias("nt"),
+        d38(F.sum("s1")).alias("st"),
+        d38(F.sum("ss1")).alias("sst"),
     )
     both = grp.crossJoin(F.broadcast(tot)).select(
         "o_orderpriority",

@@ -903,3 +903,58 @@ def test_calibration_bins_no_ntile_funnel(spark):
         s for s in specs
         if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
     ]
+
+
+def test_pr_auc_no_window_funnel(spark):
+    """a27_pr_auc: the cumulative TP/total curves ride global_prefix_sum
+    — every windowspec is partitioned by the range-partition id, never a
+    global ORDER BY funnel (the naive per-positive precision@rank would
+    be exactly that funnel)."""
+    import re
+
+    df = QUERIES["a27_pr_auc"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "extended")
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\([^)]*?specifiedwindowframe", plan)
+    assert not [
+        s for s in specs
+        if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
+    ]
+
+
+def test_welch_single_fact_scan(spark):
+    """a29_welch_ttest: the complement-group moments come from summing
+    the 5-row group frame, NOT a second pass over orders — exactly one
+    fact scan in the plan (the localCheckpoint materializes the group
+    frame for its two consumers)."""
+    df = QUERIES["a29_welch_ttest"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    scans = [
+        l for l in plan.splitlines() if "orders.parquet" in l and "Scan" in l
+    ]
+    assert len(scans) <= 1, scans
+
+
+def test_chi_square_single_fact_scan(spark):
+    """a28_chi_square: row totals, column totals, and the grand total are
+    aggregates OF the localCheckpointed cell frame — one events scan."""
+    df = QUERIES["a28_chi_square"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    scans = [
+        l for l in plan.splitlines() if "events.parquet" in l and "Scan" in l
+    ]
+    assert len(scans) == 0, scans  # cells is an ExistingRDD checkpoint
+    assert "ExistingRDD" in plan
+
+
+def test_distinctive_terms_window_group_limit(spark):
+    """text_distinctive_terms: the per-language top-5 is a WindowGroupLimit
+    (map-side k-heaps), and the vocabulary-sized frames never re-scan
+    documents — one scan feeds the localCheckpointed (lang, term) counts."""
+    df = QUERIES["text_distinctive_terms"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+    scans = [
+        l for l in plan.splitlines() if "documents.parquet" in l and "Scan" in l
+    ]
+    assert len(scans) == 0, scans  # per_lang is an ExistingRDD checkpoint
