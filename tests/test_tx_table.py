@@ -9,6 +9,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from project_crypto_data_engineering_gcp_spark.sources import tx_table as tx
 
 
@@ -272,3 +274,38 @@ def test_pipeline_e2e_on_txlog_version_as_of(spark, tmp_path):
     serving = os.path.join(out, "gold", "serving", "daily_overview")
     assert not os.path.isdir(os.path.join(serving, tx._LOG_DIR))
     assert spark.read.parquet(serving).count() == N_ASSETS
+
+
+def test_model_based_history_partitioned(spark, tmp_path):
+    """The model-based cumulative-correctness property, partitioned
+    variant: random append/overwrite commits AGAINST A PARTITIONED
+    table must leave every version's snapshot equal to the in-memory
+    model, with the partition column surviving the per-stage basePath
+    reconstruction at every version."""
+    import random
+
+    rng = random.Random(20260815)
+    t = str(tmp_path / "tbl")
+    model: list[list[int]] = []
+    nxt = 0
+    for _ in range(6):
+        k = rng.randint(1, 4)
+        ids = list(range(nxt, nxt + k))
+        nxt += k
+        mode = rng.choice(["append", "overwrite"])
+        df = spark.createDataFrame(
+            [(i, f"2025-06-{(i % 3) + 1:02d}") for i in ids], "id int, dt string"
+        )
+        snap = tx.commit(df, t, mode, partition_by=["dt"])
+        prev = model[-1] if (model and mode == "append") else []
+        model.append([*prev, *ids])
+        assert snap.version == len(model) - 1
+        assert snap.partition_by == ("dt",)
+    for v, expected in enumerate(model):
+        back = tx.read(spark, t, version=v)
+        assert _ids(back) == sorted(expected), v
+        # partition column reconstructed correctly for every row
+        bad = back.filter(
+            back.dt != F.concat(F.lit("2025-06-0"), (back.id % 3) + 1)
+        ).count()
+        assert bad == 0, v
