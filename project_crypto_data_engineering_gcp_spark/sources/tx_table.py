@@ -239,6 +239,11 @@ def commit(
         )
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+            # durability: the manifest's BYTES must be on stable storage
+            # before the link makes it visible — otherwise a power loss
+            # can leave a visible-but-empty manifest (torn commit)
+            fh.flush()
+            os.fsync(fh.fileno())
         target = _manifest_file(table, version)
         try:
             # atomic, fails-if-exists commit point: exactly one writer
@@ -247,6 +252,15 @@ def commit(
             # link(2) semantics via os.link for strictness)
             os.link(tmp, target)
             os.unlink(tmp)
+            # durability: persist the directory entry too — rename/link
+            # is atomic in the VFS but not durable until the log dir's
+            # metadata is synced (the same two-fsync protocol journaling
+            # filesystems and Delta's LogStore both require)
+            dir_fd = os.open(_log_path(table), os.O_RDONLY)
+            try:
+                os.fsync(dir_fd)
+            finally:
+                os.close(dir_fd)
         except FileExistsError as exc:
             os.unlink(tmp)
             last_err = CommitConflict(
