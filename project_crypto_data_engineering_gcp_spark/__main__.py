@@ -48,7 +48,12 @@ def _build_parser() -> argparse.ArgumentParser:
 
     k = sub.add_parser("compact", help="compact a parquet table's small files")
     k.add_argument("--path", required=True)
-    k.add_argument("--target-mb", type=int, default=256)
+    k.add_argument(
+        "--target-mb",
+        type=int,
+        default=None,
+        help="target file size (default 256; plain-parquet mode only)",
+    )
     k.add_argument("--sort-by", default=None, help="comma-separated clustering columns")
     k.add_argument(
         "--tx",
@@ -123,6 +128,13 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{k}: {v}")
         elif args.cmd == "compact":
             if args.tx:
+                if args.sort_by is not None or args.target_mb is not None:
+                    raise SystemExit(
+                        "compact --tx rewrites the txlog snapshot whole;"
+                        " --sort-by/--target-mb apply only to plain-parquet"
+                        " mode (run them via the non-tx compact on the"
+                        " table's files, then compact --tx)"
+                    )
                 from .sources import tx_table
 
                 snap = tx_table.compact(spark, args.path)
@@ -138,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
                 n = compact_table(
                     spark,
                     args.path,
-                    target_file_bytes=args.target_mb * 1024 * 1024,
+                    target_file_bytes=(args.target_mb or 256) * 1024 * 1024,
                     sort_cols=sort_cols,
                 )
                 print(f"compacted to {n} files")

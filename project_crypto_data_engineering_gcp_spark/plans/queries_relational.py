@@ -3451,7 +3451,10 @@ def a25_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("n2"),
     )
     scan = global_prefix_sum(per_v, ["v"], ["n1", "n2"], prefix="c_")
-    tot = per_v.agg(
+    # totals from the CHECKPOINTED scan frame, not per_v's raw lineage —
+    # per_v.agg would re-run the events scan + groupBy a second time
+    # (code-review r7; plan-pinned single-scan below)
+    tot = scan.agg(
         F.sum("n1").cast("decimal(38,0)").alias("t1"),
         F.sum("n2").cast("decimal(38,0)").alias("t2"),
     )
@@ -3643,10 +3646,13 @@ def a27_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["np_v", "n_v"],
     ).select(
         "np_v",
+        "n_v",
         F.col("cum_np_v").alias("tp"),
         F.col("cum_n_v").alias("cum"),
     )
-    tot = per_v.agg(
+    # totals from the CHECKPOINTED scan frame — per_v.agg would re-run
+    # the events scan + groupBy (code-review r7; plan-pinned below)
+    tot = scan.agg(
         F.sum("np_v").cast("bigint").alias("n_pos"),
         F.sum("n_v").cast("bigint").alias("n"),
     )

@@ -60,21 +60,29 @@ def write_history(
     *,
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Append ``df`` to an ACID history table: one atomic commit per
     call (Delta transaction or txlog manifest). ``merge_schema`` allows
     schema evolution across appends (reference S7; under txlog the
     union schema is resolved at read instead of write, same observable
-    contract)."""
+    contract). ``txn=(app_id, version)`` makes the append IDEMPOTENT —
+    a replay of an already-committed (app_id, version) writes nothing
+    (Delta's txnAppId/txnVersion; required for exactly-once foreachBatch
+    sinks, whose checkpoint ack can crash after the commit)."""
     if history_format() == "delta":  # pragma: no cover - delta absent here
         writer = df.write.format("delta").mode("append")
         if merge_schema:
             writer = writer.option("mergeSchema", "true")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        if txn is not None:
+            writer = writer.option("txnAppId", txn[0]).option(
+                "txnVersion", str(txn[1])
+            )
         writer.save(path)
     else:
-        tx_table.commit(df, path, "append", partition_by=partition_by)
+        tx_table.commit(df, path, "append", partition_by=partition_by, txn=txn)
 
 
 def read_history(
@@ -92,4 +100,15 @@ def read_history(
         if version is not None:
             reader = reader.option("versionAsOf", version)
         return reader.load(path)
-    return tx_table.read(spark, path, version, merge_schema=merge_schema)
+    try:
+        return tx_table.read(spark, path, version, merge_schema=merge_schema)
+    except FileNotFoundError:
+        if version is not None:
+            raise
+        # pre-txlog layout (plain parquet written by an earlier release,
+        # never yet appended to through the log): read it as-is — the
+        # first write_history adopts it as version 0 (tx_table adoption)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(path)

@@ -36,9 +36,11 @@ delta-spark is on the classpath, ``sinks.formatted`` already prefers it.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,9 +107,13 @@ def _stage_of(table: str, path: str) -> str:
     """The version-private staging directory a data file belongs to —
     the first path component under ``data/``. Needed as the Spark
     ``basePath`` so hive-style ``key=value`` partition directories
-    inside the stage are recovered as columns."""
+    inside the stage are recovered as columns. Files OUTSIDE ``data/``
+    (a pre-txlog layout adopted as version 0) anchor at the table root,
+    which parses their partition dirs identically."""
     data_root = os.path.join(table, _DATA_DIR)
     rel = os.path.relpath(path, data_root)
+    if rel.split(os.sep)[0] == os.pardir:
+        return table
     return os.path.join(data_root, rel.split(os.sep)[0])
 
 
@@ -166,6 +172,85 @@ def _parquet_files(directory: str) -> list[str]:
     )
 
 
+def _fsync_tree(directory: str) -> None:
+    """fsync every file and directory under ``directory``: Spark writes
+    the staged parquet through the page cache, so without this a power
+    loss after commit could leave a DURABLE manifest referencing torn
+    or absent data files — the other half of the two-fsync protocol."""
+    for dirpath, _, names in os.walk(directory, topdown=False):
+        for f in names:
+            fd = os.open(os.path.join(dirpath, f), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        fd = os.open(dirpath, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+
+def _manifest_txn(table: str, version: int) -> list | None:
+    with open(_manifest_file(table, version)) as fh:
+        return json.load(fh).get("txn")
+
+
+def _find_txn(table: str, txn: tuple[str, int]) -> TxSnapshot | None:
+    """An already-committed version carrying this (app_id, txn_version)
+    marker — the idempotent-replay check (Delta's txnAppId/txnVersion).
+    Versions vacuumed away lose their markers, so the vacuum retention
+    window must exceed the longest possible replay gap (same operational
+    contract as Delta streaming)."""
+    want = [txn[0], int(txn[1])]
+    for v in _versions(table):
+        with contextlib.suppress(FileNotFoundError):
+            if _manifest_txn(table, v) == want:
+                return snapshot(table, v)
+    return None
+
+
+def _adopt_legacy(table: str, pby: tuple[str, ...]) -> None:
+    """Migrate a pre-txlog plain-parquet directory in place: if the
+    table has NO committed version but parquet files exist outside the
+    log/staging subtrees (a layout written by the parquet fallback of
+    earlier releases), commit them as version 0 ('adopt') so the first
+    txlog append COMPOSES with the existing rows instead of silently
+    shadowing them. The files stay where they are — manifests reference
+    absolute paths, and ``read`` anchors their partition parsing at the
+    table root (hive-style ``key=value`` dirs keep working)."""
+    if _versions(table):
+        return
+    legacy = [
+        os.path.join(dirpath, f)
+        for dirpath, dirnames, names in os.walk(table)
+        if _LOG_DIR not in dirpath.split(os.sep)
+        and _DATA_DIR not in os.path.relpath(dirpath, table).split(os.sep)
+        for f in names
+        if f.endswith(".parquet")
+    ]
+    if not legacy:
+        return
+    os.makedirs(_log_path(table), exist_ok=True)
+    manifest = {
+        "version": 0,
+        "mode": "adopt",
+        "files": sorted(legacy),
+        "partition_by": list(pby),
+    }
+    tmp = os.path.join(
+        _log_path(table), f".tmp-adopt-{os.getpid()}-{next(_STAGE_SEQ)}"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    with contextlib.suppress(FileExistsError):
+        os.link(tmp, _manifest_file(table, 0))
+    with contextlib.suppress(FileNotFoundError):
+        os.unlink(tmp)
+
+
 def commit(
     df: DataFrame,
     table: str,
@@ -173,6 +258,8 @@ def commit(
     *,
     partition_by: list[str] | tuple[str, ...] | None = None,
     max_retries: int = 5,
+    expected_base_version: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> TxSnapshot:
     """Write ``df`` as a new atomic version of ``table``.
 
@@ -197,11 +284,29 @@ def commit(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_log_path(table), exist_ok=True)
     pby = tuple(partition_by or ())
+    _adopt_legacy(table, pby)
 
     last_err: Exception | None = None
     for attempt in range(max_retries):
+        if txn is not None:
+            # idempotent replay (Delta's txnAppId/txnVersion): this
+            # transaction already committed — return it, write nothing
+            done = _find_txn(table, txn)
+            if done is not None:
+                return done
         prior = _versions(table)
         version = (prior[-1] + 1) if prior else 0
+        if expected_base_version is not None and (
+            (prior[-1] if prior else None) != expected_base_version
+        ):
+            # read-modify-write callers (compact) must NOT retry over a
+            # base that moved — blind retry would silently discard the
+            # concurrent commit's rows (lost update)
+            raise CommitConflict(
+                f"{table!r} moved past expected base version "
+                f"{expected_base_version} (now at "
+                f"{prior[-1] if prior else 'empty'})"
+            )
         if prior:
             existing = snapshot(table).partition_by
             if existing != pby:
@@ -221,6 +326,7 @@ def commit(
         if pby:
             writer = writer.partitionBy(*pby)
         writer.parquet(stage)
+        _fsync_tree(stage)  # data durable BEFORE the manifest can be
         files = _parquet_files(stage)
         base: tuple[str, ...] = ()
         if mode == "append" and prior:
@@ -231,6 +337,8 @@ def commit(
             "files": [*base, *files],
             "partition_by": list(pby),
         }
+        if txn is not None:
+            manifest["txn"] = [txn[0], int(txn[1])]
         # writer-unique temp name (pid + per-process seq): two racing
         # writers must never share the pre-commit manifest path either
         tmp = os.path.join(
@@ -245,24 +353,17 @@ def commit(
             fh.flush()
             os.fsync(fh.fileno())
         target = _manifest_file(table, version)
+        # atomic, fails-if-exists commit point: exactly one writer wins
+        # a version (rename with a pre-existence check has a TOCTOU
+        # window, so rely on link(2) semantics). The try covers ONLY the
+        # link — the commit is DECIDED the instant it succeeds, so no
+        # later cleanup error may re-enter the retry loop (a retry after
+        # a successful link would commit the same rows twice).
         try:
-            # atomic, fails-if-exists commit point: exactly one writer
-            # wins a version (os.link + unlink would also work; rename
-            # with a pre-existence check has a TOCTOU window, so rely on
-            # link(2) semantics via os.link for strictness)
             os.link(tmp, target)
-            os.unlink(tmp)
-            # durability: persist the directory entry too — rename/link
-            # is atomic in the VFS but not durable until the log dir's
-            # metadata is synced (the same two-fsync protocol journaling
-            # filesystems and Delta's LogStore both require)
-            dir_fd = os.open(_log_path(table), os.O_RDONLY)
-            try:
-                os.fsync(dir_fd)
-            finally:
-                os.close(dir_fd)
         except FileExistsError as exc:
-            os.unlink(tmp)
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
             last_err = CommitConflict(
                 f"version {version} of {table!r} was committed concurrently"
             )
@@ -277,6 +378,19 @@ def commit(
             )
             last_err.__cause__ = exc
             continue
+        # committed. tmp cleanup is best-effort (vacuum may have beaten
+        # us to it — the TARGET link is what the table reads).
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
+        # durability: persist the directory entry too — rename/link is
+        # atomic in the VFS but not durable until the log dir's metadata
+        # is synced (the same two-fsync protocol journaling filesystems
+        # and Delta's LogStore both require)
+        dir_fd = os.open(_log_path(table), os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
         return TxSnapshot(
             version=version,
             mode=mode,
@@ -291,32 +405,58 @@ def compact(spark: SparkSession, table: str) -> TxSnapshot:
     ONE overwrite commit, collapsing the per-commit staging groups (and
     their small files) into a single stage. Time travel to pre-compact
     versions keeps working until ``vacuum`` reclaims them; a reader of
-    a partitioned table goes back to a single scan afterwards."""
+    a partitioned table goes back to a single scan afterwards.
+
+    Read-modify-write safety: the overwrite is pinned to the snapshot
+    version it read (``expected_base_version``) — if a concurrent
+    append lands first, this raises :class:`CommitConflict` instead of
+    silently overwriting the table with pre-append data (the lost-
+    update Delta's OPTIMIZE also refuses). Callers retry the whole
+    compact (re-read + re-commit)."""
     snap = snapshot(table)
     df = read(spark, table, merge_schema=True)
     return commit(
-        df, table, "overwrite", partition_by=list(snap.partition_by) or None
+        df,
+        table,
+        "overwrite",
+        partition_by=list(snap.partition_by) or None,
+        expected_base_version=snap.version,
     )
 
 
-def vacuum(table: str, keep_last: int = 2) -> list[str]:
+def vacuum(
+    table: str, keep_last: int = 2, *, retention_seconds: float = 3600.0
+) -> list[str]:
     """Delete data files unreferenced by the ``keep_last`` newest
     manifests (and drop the older manifests) — the only destructive
     operation; readers pinned to a vacuumed version lose it, exactly
     like Delta's VACUUM. Returns the deleted parquet paths.
 
-    A staging dir whose parquet files are ALL unreferenced is removed
-    wholesale (shutil.rmtree) — Spark writes ``_SUCCESS``/``.crc``
-    sidecars alongside the parquet, so an ``os.rmdir`` after deleting
-    only ``*.parquet`` would never fire and dead dirs would accumulate
-    (ADVICE r6). Stale ``.tmp-*`` manifests abandoned by crashed
-    writers are swept from the log for the same reason; live writers
-    are safe — a commit's tmp manifest exists only inside ``commit()``
-    between write and link, and a concurrent vacuum deleting it merely
-    fails that attempt's link with ENOENT, which surfaces as a retry."""
+    ``retention_seconds`` protects IN-FLIGHT commits (Delta's retention
+    check, default 1 h here vs Delta's 7 days): a writer stages data
+    for seconds-to-minutes before its manifest appears, and during that
+    window its staging dir is indistinguishable from an abandoned one —
+    vacuum therefore never touches a staging dir or ``.tmp-*`` manifest
+    whose mtime is inside the retention window. Lower it below any
+    plausible write duration (e.g. 0 in tests) only when no writer can
+    be live. The same window bounds txn-replay safety: a streaming
+    restart older than the retention may find its txn marker vacuumed.
+
+    A dead staging dir is removed wholesale (shutil.rmtree) — Spark
+    writes ``_SUCCESS``/``.crc`` sidecars alongside the parquet, so an
+    ``os.rmdir`` after deleting only ``*.parquet`` would never fire and
+    dead dirs would accumulate (ADVICE r6)."""
+    if keep_last < 1:
+        raise ValueError(
+            f"vacuum: keep_last must be >= 1 (the live version can never"
+            f" be reclaimed), got {keep_last}"
+        )
     versions = _versions(table)
-    if len(versions) <= keep_last:
+    if not versions:
         return []
+    cutoff = time.time() - retention_seconds
+    # fewer versions than keep_last: nothing to drop from the LOG, but
+    # aged-out orphan staging dirs (crashed writers) are still reclaimed
     keep = versions[-keep_last:]
     live: set[str] = set()
     for v in keep:
@@ -327,9 +467,11 @@ def vacuum(table: str, keep_last: int = 2) -> list[str]:
         subdir = os.path.join(data_root, sub)
         parquet = list(_parquet_files(subdir))
         if all(f not in live for f in parquet):
-            # no live file in this staging dir (incl. the empty-parquet
-            # abandoned-before-task-commit case): reclaim it wholesale,
-            # sidecars (_SUCCESS, .crc) and all
+            # no live file in this staging dir — but only reclaim it if
+            # it is OLDER than the retention window (a fresh dir may be
+            # an in-flight commit that has not linked its manifest yet)
+            if os.path.getmtime(subdir) > cutoff:
+                continue
             deleted.extend(parquet)
             shutil.rmtree(subdir)
             continue
@@ -337,10 +479,11 @@ def vacuum(table: str, keep_last: int = 2) -> list[str]:
             if f not in live:
                 os.unlink(f)
                 deleted.append(f)
-    for v in versions[:-keep_last]:
+    for v in versions[:-keep_last] if len(versions) > keep_last else []:
         os.unlink(_manifest_file(table, v))
     log = _log_path(table)
     for name in os.listdir(log):
-        if name.startswith(".tmp-"):
-            os.unlink(os.path.join(log, name))
+        p = os.path.join(log, name)
+        if name.startswith(".tmp-") and os.path.getmtime(p) <= cutoff:
+            os.unlink(p)
     return deleted

@@ -60,11 +60,20 @@ def stream_silver_available_now(
         silver.cache()
         n = silver.count()
         if n:
-            # one atomic history commit per micro-batch — exactly the
-            # Delta-streaming contract (checkpoint acks the batch only
-            # after its commit lands); same table format as the batch
-            # path, so run_gold reads either interchangeably
-            write_history(silver, silver_out, partition_by=["dt"])
+            # one atomic history commit per micro-batch, made IDEMPOTENT
+            # on (stable stream identity, epoch): foreachBatch alone is
+            # at-least-once — a crash between the commit and the
+            # checkpoint ack replays the epoch — so the sink carries a
+            # txn marker the table dedups on (Delta's txnAppId/
+            # txnVersion pattern). The stream identity is the Silver
+            # path, which is as stable across restarts as the
+            # checkpoint directory that shares its out_dir.
+            write_history(
+                silver,
+                silver_out,
+                partition_by=["dt"],
+                txn=(f"stream_silver:{silver_out}", epoch_id),
+            )
             progress["rows"] += n
         silver.unpersist()
 

@@ -888,6 +888,13 @@ def test_ks_test_no_window_funnel(spark):
         s for s in specs
         if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
     ]
+    # single fact pass (code-review r7): totals from the checkpointed
+    # scan frame — no second events scan in the executed plan
+    simple = plan_of(df)
+    scans = [
+        l for l in simple.splitlines() if "events.parquet" in l and "Scan" in l
+    ]
+    assert len(scans) == 0, scans
 
 
 def test_calibration_bins_no_ntile_funnel(spark):
@@ -920,6 +927,13 @@ def test_pr_auc_no_window_funnel(spark):
         s for s in specs
         if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
     ]
+    # single fact pass: totals derive from the checkpointed prefix-sum
+    # frame, so the executed plan contains NO events scan at all
+    simple = plan_of(df)
+    scans = [
+        l for l in simple.splitlines() if "events.parquet" in l and "Scan" in l
+    ]
+    assert len(scans) == 0, scans
 
 
 def test_welch_single_fact_scan(spark):

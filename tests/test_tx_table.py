@@ -90,7 +90,7 @@ def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     tx.commit(spark.range(2, 4), t, "append")
     tx.commit(spark.range(9, 11), t, "overwrite")
     tx.commit(spark.range(11, 13), t, "append")
-    deleted = tx.vacuum(t, keep_last=2)
+    deleted = tx.vacuum(t, keep_last=2, retention_seconds=0)
     # versions 0/1's files are gone, their manifests dropped
     assert deleted, "expected v0/v1 parquet files to be reclaimed"
     with pytest.raises(FileNotFoundError):
@@ -309,3 +309,84 @@ def test_model_based_history_partitioned(spark, tmp_path):
             back.dt != F.concat(F.lit("2025-06-0"), (back.id % 3) + 1)
         ).count()
         assert bad == 0, v
+
+
+def test_vacuum_retention_protects_fresh_staging(spark, tmp_path):
+    """An unreferenced-but-FRESH staging dir may be an in-flight commit
+    that has not linked its manifest yet — vacuum must leave it alone
+    inside the retention window and reclaim it only after (code-review
+    r7: the rmtree race against a live writer)."""
+    t = str(tmp_path / "tbl")
+    tx.commit(spark.range(0, 2), t, "append")
+    tx.commit(spark.range(2, 4), t, "append")
+    tx.commit(spark.range(9, 11), t, "overwrite")
+    # simulate an in-flight writer: staged data, no manifest yet
+    orphan = os.path.join(t, "data", "v00000099-inflight")
+    spark.range(100, 102).write.parquet(orphan)
+
+    deleted = tx.vacuum(t, keep_last=1, retention_seconds=3600)
+    assert os.path.isdir(orphan), "fresh staging dir must survive vacuum"
+    assert not any("v00000099-inflight" in f for f in deleted)
+
+    deleted = tx.vacuum(t, keep_last=1, retention_seconds=0)
+    assert not os.path.isdir(orphan), "aged-out staging dir is reclaimed"
+
+    with pytest.raises(ValueError, match="keep_last"):
+        tx.vacuum(t, keep_last=0)
+
+
+def test_txn_marker_makes_commit_idempotent(spark, tmp_path):
+    """A replayed (app_id, txn_version) commit writes NOTHING and
+    returns the original snapshot — the foreachBatch exactly-once
+    contract (crash between commit and checkpoint ack replays the
+    epoch; code-review r7)."""
+    t = str(tmp_path / "tbl")
+    s0 = tx.commit(spark.range(0, 3), t, "append", txn=("streamA", 7))
+    s1 = tx.commit(spark.range(0, 3), t, "append", txn=("streamA", 7))
+    assert s1.version == s0.version == 0
+    assert _ids(tx.read(spark, t)) == [0, 1, 2]  # not duplicated
+    # a DIFFERENT epoch commits normally
+    s2 = tx.commit(spark.range(3, 5), t, "append", txn=("streamA", 8))
+    assert s2.version == 1
+    assert _ids(tx.read(spark, t)) == [0, 1, 2, 3, 4]
+
+
+def test_compact_refuses_lost_update(spark, tmp_path):
+    """compact() pins its overwrite to the snapshot version it read: a
+    concurrent append landing in between must surface as CommitConflict,
+    never be silently overwritten away (code-review r7)."""
+    t = str(tmp_path / "tbl")
+    tx.commit(spark.range(0, 3), t, "append")
+    snap = tx.snapshot(t)
+    df = tx.read(spark, t)
+    tx.commit(spark.range(10, 12), t, "append")  # concurrent appender wins
+    with pytest.raises(tx.CommitConflict, match="moved past expected base"):
+        tx.commit(
+            df, t, "overwrite", expected_base_version=snap.version
+        )
+    # the append's rows are intact
+    assert _ids(tx.read(spark, t)) == [0, 1, 2, 10, 11]
+
+
+def test_legacy_parquet_dir_adopted_as_version_zero(spark, tmp_path):
+    """A pre-txlog plain-parquet table (partitioned, written by an older
+    release) is adopted in place as version 0 on the first txlog append
+    — prior rows COMPOSE with the new batch instead of being shadowed
+    (code-review r7: the silent-data-loss upgrade path)."""
+    t = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "2025-06-01"), (2, "2025-06-02")], "id int, dt string"
+    ).write.partitionBy("dt").parquet(t)
+
+    tx.commit(
+        spark.createDataFrame([(3, "2025-06-03")], "id int, dt string"),
+        t,
+        "append",
+        partition_by=["dt"],
+    )
+    back = tx.read(spark, t)
+    assert _ids(back) == [1, 2, 3]
+    assert set(back.columns) == {"id", "dt"}
+    # the adopted layout is version 0, the append version 1
+    assert tx.read(spark, t, version=0).count() == 2
+    assert tx.snapshot(t, 0).mode == "adopt"
