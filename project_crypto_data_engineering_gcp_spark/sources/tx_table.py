@@ -13,9 +13,9 @@ part:
 - Data files are written to a fresh, version-private staging directory
   (``data/v{N}-{attempt}``) — never into a shared path, so a failed or
   abandoned write is INVISIBLE: no manifest references it.
-- A commit is ONE atomic ``os.rename`` of a temp manifest to
+- A commit is ONE atomic ``os.link`` of a temp manifest to
   ``_txlog/{N:08d}.json``. Readers either see version N fully or not at
-  all (atomicity); rename fails if the name exists (POSIX), so two
+  all (atomicity); link fails if the name exists (POSIX), so two
   concurrent writers racing to version N get exactly one winner —
   the loser retries at N+1 against the refreshed snapshot (optimistic
   concurrency, Delta's protocol).
@@ -27,7 +27,7 @@ part:
   removes files unreferenced by the kept manifests (the only
   destructive operation, explicitly invoked).
 
-Local-FS scope, documented: ``os.rename`` is atomic on POSIX
+Local-FS scope, documented: ``os.link`` is atomic on POSIX
 filesystems; object stores need a conditional-put/contended-rename
 primitive instead (the same caveat Delta's LogStore abstracts). This is
 the single-box stand-in for the Delta path, not a replacement — when
@@ -223,8 +223,8 @@ def _adopt_legacy(table: str, pby: tuple[str, ...]) -> None:
         return
     legacy = [
         os.path.join(dirpath, f)
-        for dirpath, dirnames, names in os.walk(table)
-        if _LOG_DIR not in dirpath.split(os.sep)
+        for dirpath, _, names in os.walk(table)
+        if _LOG_DIR not in os.path.relpath(dirpath, table).split(os.sep)
         and _DATA_DIR not in os.path.relpath(dirpath, table).split(os.sep)
         for f in names
         if f.endswith(".parquet")
@@ -274,8 +274,8 @@ def commit(
     manifest records it and a mismatch raises ValueError.
 
     Protocol per attempt: stage data under a version-private directory,
-    write a temp manifest, ``os.rename`` it into the log — the atomic
-    commit point. A rename conflict (concurrent winner) re-reads the
+    write a temp manifest, ``os.link`` it into the log — the atomic
+    commit point. A link conflict (concurrent winner) re-reads the
     latest snapshot and retries at the next version, so appends compose
     correctly under concurrency; the orphaned staging directory of a
     lost attempt is invisible (no manifest references it) and is
