@@ -67,7 +67,18 @@ def _build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         metavar="N",
-        help="with --tx: vacuum manifests/files beyond the newest N versions",
+        help="with --tx: vacuum manifests/files beyond the newest N versions"
+        " (manifests and data inside the retention window are kept)",
+    )
+    k.add_argument(
+        "--vacuum-retention-hours",
+        type=float,
+        default=1.0,
+        metavar="H",
+        help="with --tx --vacuum-keep: protect staging dirs, tmp manifests,"
+        " and committed versions younger than H hours (in-flight commits,"
+        " recent time travel, streaming txn markers). Lower only when no"
+        " writer can be live.",
     )
 
     ds = sub.add_parser(
@@ -140,17 +151,24 @@ def main(argv: list[str] | None = None) -> int:
                 snap = tx_table.compact(spark, args.path)
                 msg = f"compacted to version {snap.version} ({len(snap.files)} files)"
                 if args.vacuum_keep is not None:
-                    swept = tx_table.vacuum(args.path, keep_last=args.vacuum_keep)
+                    swept = tx_table.vacuum(
+                        args.path,
+                        keep_last=args.vacuum_keep,
+                        retention_seconds=args.vacuum_retention_hours * 3600.0,
+                    )
                     msg += f"; vacuumed {len(swept)} files"
                 print(msg)
             else:
                 from .sources.maintenance import compact_table
 
                 sort_cols = args.sort_by.split(",") if args.sort_by else None
+                target_mb = 256 if args.target_mb is None else args.target_mb
+                if target_mb <= 0:
+                    raise SystemExit("compact: --target-mb must be positive")
                 n = compact_table(
                     spark,
                     args.path,
-                    target_file_bytes=(args.target_mb or 256) * 1024 * 1024,
+                    target_file_bytes=target_mb * 1024 * 1024,
                     sort_cols=sort_cols,
                 )
                 print(f"compacted to {n} files")

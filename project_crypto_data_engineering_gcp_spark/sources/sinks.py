@@ -103,11 +103,13 @@ def read_history(
     try:
         return tx_table.read(spark, path, version, merge_schema=merge_schema)
     except FileNotFoundError:
-        if version is not None:
+        # fall back ONLY to a genuine pre-txlog layout (parquet outside
+        # the log/staging subtrees). A table with no committed version
+        # but staged data under data/ is an in-flight or crashed FIRST
+        # commit — reading it raw would surface uncommitted rows and
+        # break the atomicity contract (code-review r7).
+        if version is not None or not tx_table.has_legacy_files(path):
             raise
-        # pre-txlog layout (plain parquet written by an earlier release,
-        # never yet appended to through the log): read it as-is — the
-        # first write_history adopts it as version 0 (tx_table adoption)
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")

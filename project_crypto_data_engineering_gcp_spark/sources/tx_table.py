@@ -85,6 +85,7 @@ def snapshot(table: str, version: int | None = None) -> TxSnapshot:
     """Pin a manifest: the latest by default, or ``version`` for time
     travel. The returned file list is immutable — later commits cannot
     change what this snapshot reads (snapshot isolation)."""
+    table = os.path.realpath(table)
     versions = _versions(table)
     if not versions:
         raise FileNotFoundError(f"no committed version in {table!r}")
@@ -140,6 +141,7 @@ def read(
     snapshot into a single stage (Delta's OPTIMIZE), and partition
     pruning still reaches every per-stage scan (PartitionFilters,
     pinned in tests/test_tx_table.py)."""
+    table = os.path.realpath(table)
     snap = snapshot(table, version)
     if not snap.partition_by:
         reader = spark.read
@@ -199,15 +201,38 @@ def _manifest_txn(table: str, version: int) -> list | None:
 def _find_txn(table: str, txn: tuple[str, int]) -> TxSnapshot | None:
     """An already-committed version carrying this (app_id, txn_version)
     marker — the idempotent-replay check (Delta's txnAppId/txnVersion).
-    Versions vacuumed away lose their markers, so the vacuum retention
-    window must exceed the longest possible replay gap (same operational
-    contract as Delta streaming)."""
+    Vacuum retains manifests inside its retention window precisely so
+    these markers survive a replay gap (same operational contract as
+    Delta streaming). Scanned NEWEST-first: a replayed epoch is almost
+    always among the most recent commits, so hits are O(1); the no-
+    replay miss still reads the whole log — Delta's setTransactions
+    checkpoint summary is the upgrade if that ever paces a stream."""
     want = [txn[0], int(txn[1])]
-    for v in _versions(table):
+    for v in reversed(_versions(table)):
         with contextlib.suppress(FileNotFoundError):
             if _manifest_txn(table, v) == want:
                 return snapshot(table, v)
     return None
+
+
+def _legacy_files(table: str) -> list[str]:
+    """Parquet OUTSIDE the log/staging subtrees — the pre-txlog layout
+    :func:`_adopt_legacy` migrates."""
+    return sorted(
+        os.path.join(dirpath, f)
+        for dirpath, _, names in os.walk(table)
+        if _LOG_DIR not in os.path.relpath(dirpath, table).split(os.sep)
+        and _DATA_DIR not in os.path.relpath(dirpath, table).split(os.sep)
+        for f in names
+        if f.endswith(".parquet")
+    )
+
+
+def has_legacy_files(table: str) -> bool:
+    """True when the pre-txlog layout exists — the ONLY layout
+    ``sinks.read_history`` may fall back to reading raw: staged-but-
+    uncommitted data under ``data/`` must stay invisible."""
+    return bool(_legacy_files(table))
 
 
 def _adopt_legacy(table: str, pby: tuple[str, ...]) -> None:
@@ -221,14 +246,7 @@ def _adopt_legacy(table: str, pby: tuple[str, ...]) -> None:
     table root (hive-style ``key=value`` dirs keep working)."""
     if _versions(table):
         return
-    legacy = [
-        os.path.join(dirpath, f)
-        for dirpath, _, names in os.walk(table)
-        if _LOG_DIR not in os.path.relpath(dirpath, table).split(os.sep)
-        and _DATA_DIR not in os.path.relpath(dirpath, table).split(os.sep)
-        for f in names
-        if f.endswith(".parquet")
-    ]
+    legacy = _legacy_files(table)
     if not legacy:
         return
     os.makedirs(_log_path(table), exist_ok=True)
@@ -282,6 +300,11 @@ def commit(
     reclaimed by ``vacuum``."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    # canonicalize: manifests store absolute file paths derived from the
+    # table path, and vacuum compares them VERBATIM — a relative spelling
+    # here with an absolute one there would classify every live file as
+    # unreferenced (code-review r7)
+    table = os.path.realpath(table)
     os.makedirs(_log_path(table), exist_ok=True)
     pby = tuple(partition_by or ())
     _adopt_legacy(table, pby)
@@ -378,6 +401,25 @@ def commit(
             )
             last_err.__cause__ = exc
             continue
+        # linked — but guard the one remaining corruption window: a
+        # writer stalled longer than the vacuum retention between
+        # staging and linking may have had its staged DATA reclaimed
+        # (the tmp-manifest ENOENT path only catches the tmp sweep).
+        # Verify the new files still exist; if not, roll the just-linked
+        # manifest back and retry with a fresh stage — a momentarily-
+        # visible-then-retracted version beats a permanently corrupt one
+        # (and no snapshot can have been served between link and here).
+        if any(not os.path.exists(f) for f in files):
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(target)
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
+            last_err = CommitConflict(
+                f"staged data for version {version} of {table!r} was"
+                " vacuumed while the writer was stalled (exceeded the"
+                " retention window); restaging"
+            )
+            continue
         # committed. tmp cleanup is best-effort (vacuum may have beaten
         # us to it — the TARGET link is what the table reads).
         with contextlib.suppress(FileNotFoundError):
@@ -432,15 +474,20 @@ def vacuum(
     operation; readers pinned to a vacuumed version lose it, exactly
     like Delta's VACUUM. Returns the deleted parquet paths.
 
-    ``retention_seconds`` protects IN-FLIGHT commits (Delta's retention
-    check, default 1 h here vs Delta's 7 days): a writer stages data
-    for seconds-to-minutes before its manifest appears, and during that
-    window its staging dir is indistinguishable from an abandoned one —
-    vacuum therefore never touches a staging dir or ``.tmp-*`` manifest
-    whose mtime is inside the retention window. Lower it below any
-    plausible write duration (e.g. 0 in tests) only when no writer can
-    be live. The same window bounds txn-replay safety: a streaming
-    restart older than the retention may find its txn marker vacuumed.
+    ``retention_seconds`` protects everything RECENT (Delta's retention
+    check, default 1 h here vs Delta's 7 days), uniformly:
+
+    - staging dirs and ``.tmp-*`` manifests younger than the window are
+      never touched (a fresh unreferenced dir may be an in-flight
+      commit that has not linked its manifest yet);
+    - COMMITTED manifests younger than the window are RETAINED even
+      beyond ``keep_last`` — and their files count as live — so recent
+      time travel keeps working and, critically, recent txn idempotency
+      markers survive: dropping a young manifest would let a replayed
+      streaming epoch commit its rows a second time (code-review r7).
+
+    Lower it below any plausible write/replay duration (e.g. 0 in
+    tests) only when no writer can be live.
 
     A dead staging dir is removed wholesale (shutil.rmtree) — Spark
     writes ``_SUCCESS``/``.crc`` sidecars alongside the parquet, so an
@@ -451,15 +498,19 @@ def vacuum(
             f"vacuum: keep_last must be >= 1 (the live version can never"
             f" be reclaimed), got {keep_last}"
         )
+    table = os.path.realpath(table)  # same canonical form as commit()
     versions = _versions(table)
     if not versions:
         return []
     cutoff = time.time() - retention_seconds
-    # fewer versions than keep_last: nothing to drop from the LOG, but
-    # aged-out orphan staging dirs (crashed writers) are still reclaimed
-    keep = versions[-keep_last:]
+    # retained = the keep_last newest, plus EVERY version still inside
+    # the retention window (time travel + txn markers stay intact there)
+    keep = set(versions[-keep_last:])
+    for v in versions:
+        if os.path.getmtime(_manifest_file(table, v)) > cutoff:
+            keep.add(v)
     live: set[str] = set()
-    for v in keep:
+    for v in sorted(keep):
         live.update(snapshot(table, v).files)
     deleted: list[str] = []
     data_root = os.path.join(table, _DATA_DIR)
@@ -479,8 +530,9 @@ def vacuum(
             if f not in live:
                 os.unlink(f)
                 deleted.append(f)
-    for v in versions[:-keep_last] if len(versions) > keep_last else []:
-        os.unlink(_manifest_file(table, v))
+    for v in versions:
+        if v not in keep:
+            os.unlink(_manifest_file(table, v))
     log = _log_path(table)
     for name in os.listdir(log):
         p = os.path.join(log, name)

@@ -65,14 +65,16 @@ def stream_silver_available_now(
             # at-least-once — a crash between the commit and the
             # checkpoint ack replays the epoch — so the sink carries a
             # txn marker the table dedups on (Delta's txnAppId/
-            # txnVersion pattern). The stream identity is the Silver
-            # path, which is as stable across restarts as the
-            # checkpoint directory that shares its out_dir.
+            # txnVersion pattern). The stream identity is the CANONICAL
+            # Silver path — realpath'd, because a restart may spell
+            # out_dir relative where the first run spelled it absolute,
+            # and Spark canonicalizes the checkpoint (same epochs) while
+            # a raw f-string would not (code-review r7).
             write_history(
                 silver,
                 silver_out,
                 partition_by=["dt"],
-                txn=(f"stream_silver:{silver_out}", epoch_id),
+                txn=(f"stream_silver:{os.path.realpath(silver_out)}", epoch_id),
             )
             progress["rows"] += n
         silver.unpersist()

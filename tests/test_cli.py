@@ -86,7 +86,17 @@ def test_cli_tx_compact_and_vacuum(spark, tmp_path, capsys):
     t = str(tmp_path / "txtbl")
     for lo in (0, 5, 10):
         tx.commit(spark.range(lo, lo + 5), t, "append")
-    assert main(["compact", "--path", t, "--tx", "--vacuum-keep", "1"]) == 0
+    assert (
+        main(
+            [
+                "compact", "--path", t, "--tx", "--vacuum-keep", "1",
+                # retention 0: the test's versions are seconds old and the
+                # point is that they CAN be reclaimed when no writer is live
+                "--vacuum-retention-hours", "0",
+            ]
+        )
+        == 0
+    )
     printed = capsys.readouterr().out
     assert "compacted to version 3" in printed and "vacuumed" in printed
     assert tx.read(spark, t).count() == 15

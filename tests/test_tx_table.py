@@ -390,3 +390,46 @@ def test_legacy_parquet_dir_adopted_as_version_zero(spark, tmp_path):
     # the adopted layout is version 0, the append version 1
     assert tx.read(spark, t, version=0).count() == 2
     assert tx.snapshot(t, 0).mode == "adopt"
+
+
+def test_read_history_never_surfaces_uncommitted_staging(spark, tmp_path):
+    """sinks.read_history falls back to raw parquet ONLY for a genuine
+    pre-txlog layout: a table whose first commit crashed after staging
+    (data under data/, empty log) must raise, not serve the uncommitted
+    rows (code-review r7)."""
+    from project_crypto_data_engineering_gcp_spark.sources.sinks import (
+        read_history,
+    )
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "_txlog"))
+    spark.range(5).write.parquet(os.path.join(t, "data", "v00000000-dead"))
+    with pytest.raises(Exception):
+        read_history(spark, t).count()
+
+    # the genuine legacy layout still reads
+    t2 = str(tmp_path / "tbl2")
+    spark.range(3).write.parquet(t2)
+    assert read_history(spark, t2).count() == 3
+
+
+def test_vacuum_retention_preserves_txn_markers(spark, tmp_path):
+    """Manifests inside the retention window survive vacuum even beyond
+    keep_last, so a replayed streaming epoch still finds its idempotency
+    marker (code-review r7: dropping young manifests reintroduced the
+    duplicate-epoch bug the markers exist to prevent)."""
+    t = str(tmp_path / "tbl")
+    tx.commit(spark.range(0, 2), t, "append", txn=("streamZ", 1))
+    tx.commit(spark.range(2, 4), t, "append")
+    tx.commit(spark.range(4, 6), t, "append")
+
+    tx.vacuum(t, keep_last=1, retention_seconds=3600)
+    # the young v0 manifest (and its marker) survived keep_last=1
+    replay = tx.commit(spark.range(0, 2), t, "append", txn=("streamZ", 1))
+    assert replay.version == 0
+    assert _ids(tx.read(spark, t)) == [0, 1, 2, 3, 4, 5]  # no duplicates
+
+    # outside the retention window the marker is reclaimable — documented
+    tx.vacuum(t, keep_last=1, retention_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        tx.snapshot(t, 0)
