@@ -64,6 +64,14 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 #   (c) remaining slots refresh oldest-first,
 # so every query's newest row stays at most ~4 rounds old.
 #
+#   r8 plan (declared now, cut at r8 start): the 22-entry rollover
+#   below (15 r3-stale refreshers that missed the r7 window + the six
+#   r7 additions + the policy-(b) re-windowed text_bpe_train_merges)
+#   leads; the remaining ~28 slots refresh the r4-latest set
+#   oldest-first (the late-r4 rollover batch: graph_pagerank,
+#   text_bm25_topk, sim_ivfpq_*, the a1x analytics run, the w8/approx
+#   additions — see CORRECTNESS_r04). 22 + 28 = 50.
+#
 # History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
 # additions, r4 the 38 r1-only refreshers + r4 additions, r5 the

@@ -433,3 +433,49 @@ def test_vacuum_retention_preserves_txn_markers(spark, tmp_path):
     tx.vacuum(t, keep_last=1, retention_seconds=0)
     with pytest.raises(FileNotFoundError):
         tx.snapshot(t, 0)
+
+
+def test_concurrent_commit_storm(spark, tmp_path):
+    """Commit storm: 4 threads x 3 appends each race on one partitioned
+    table. Invariants: versions come out contiguous 0..11, every commit
+    wins exactly one version, and the final snapshot holds every
+    writer's rows exactly once (the optimistic-concurrency composition
+    the protocol promises, exercised end-to-end rather than via the
+    single-race monkeypatch test)."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    results: list[int] = []
+    errors: list[Exception] = []
+    lock = threading.Lock()
+
+    def writer(base: int) -> None:
+        try:
+            for j in range(3):
+                lo = base * 100 + j * 10
+                df = spark.createDataFrame(
+                    [(i, f"2025-07-{(i % 2) + 1:02d}") for i in range(lo, lo + 5)],
+                    "id int, dt string",
+                )
+                snap = tx.commit(
+                    df, t, "append", partition_by=["dt"], max_retries=20
+                )
+                with lock:
+                    results.append(snap.version)
+        except Exception as exc:  # pragma: no cover - failure reporting
+            with lock:
+                errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errors, errors
+    assert sorted(results) == list(range(12))  # one version per commit
+    expected = sorted(
+        i for b in range(4) for j in range(3)
+        for i in range(b * 100 + j * 10, b * 100 + j * 10 + 5)
+    )
+    assert _ids(tx.read(spark, t)) == expected  # all rows, exactly once
