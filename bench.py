@@ -80,7 +80,11 @@ HEADLINE = (
     "graph_kcore",
     "a19_gini_by_nation",
     # late-r5: BPE tokenizer training (3 merge rounds over the token
-    # stream) — the heaviest text shape, regression-tracked
+    # stream) — the heaviest text shape, regression-tracked. r7: the
+    # training loop is memoized per (app, sf_dir), so WARM here measures
+    # the pooled serving path (like the IVF/oriented-edge pools) and
+    # COLD carries the actual 3-round training cost — see SCALE.md
+    # "BPE training memo" for the isolated numbers.
     "text_bpe_train_merges",
     # r6: the rewritten binary near-dedup (64-bit Manku block bands —
     # the round's scale-hardening target, now regression-tracked), the
