@@ -3600,10 +3600,12 @@ def a26_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_v
     )
     SELECT tot.n_pos, tot.n,
-           CAST((SELECT COALESCE(SUM(
-                     np_v * ((tp * 1000000 - (tp * 1000000) % cum) // cum)
-                 ), 0) FROM scan WHERE np_v > 0) // tot.n_pos
-                AS BIGINT) AS ap_ppm
+           CASE WHEN tot.n_pos > 0 THEN
+               CAST((SELECT COALESCE(SUM(
+                         np_v * ((tp * 1000000 - (tp * 1000000) % cum) // cum)
+                     ), 0) FROM scan WHERE np_v > 0) // tot.n_pos
+                    AS BIGINT)
+           ELSE NULL END AS ap_ppm
     FROM tot
     """,
 )
@@ -3666,10 +3668,15 @@ def a27_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("decimal(38,0)").alias("s"))
     )
+    # n_pos = 0 guard: a slice with no positives must yield NULL in BOTH
+    # engines — unguarded, DuckDB raises division-by-zero while Spark's
+    # pmod-by-zero NULLs, an engine-divergent failure mode (ADVICE r8)
     return tot.crossJoin(F.broadcast(contrib)).select(
         "n_pos",
         "n",
-        _idiv(F.col("s"), F.col("n_pos")).alias("ap_ppm"),
+        F.when(F.col("n_pos") > 0, _idiv(F.col("s"), F.col("n_pos")))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("ap_ppm"),
     )
 
 

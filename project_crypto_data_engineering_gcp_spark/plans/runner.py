@@ -19,6 +19,7 @@ date-bounded downstream query.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -103,13 +104,26 @@ def run_silver(
         # ONE atomic commit per ingest batch (Delta transaction when
         # delta-spark is present, txlog manifest otherwise): readers
         # never observe a half-appended Silver, and every batch is a
-        # time-travelable version (reference S5, `2:65`)
+        # time-travelable version (reference S5, `2:65`). The txn
+        # marker makes the append IDEMPOTENT on the batch identity (the
+        # sorted new-source-file list): a crash between the commit and
+        # record_ingested re-runs the same batch on restart, and
+        # without the marker it would append the same rows twice
+        # (ADVICE r8; mirrors stream_silver_available_now). Residual,
+        # documented: if NEW files also land before the rerun, the
+        # batch identity changes and the crashed batch's rows duplicate
+        # — closing that needs the ledger folded into the same commit.
+        counts = silver.groupBy("_source_file").agg(F.count(F.lit(1)).alias("n_rows"))
+        batch_files = sorted(r[0] for r in counts.select("_source_file").collect())
+        batch_id = int.from_bytes(
+            hashlib.sha256("\n".join(batch_files).encode()).digest()[:8], "big"
+        ) >> 1  # 63-bit: Delta's txnVersion is a signed long
         write_history(
             silver.drop("_source_file"),
             silver_path(out_dir),
             partition_by=["dt"],
+            txn=("run_silver", batch_id),
         )
-        counts = silver.groupBy("_source_file").agg(F.count(F.lit(1)).alias("n_rows"))
         record_ingested(out_dir, counts)
     silver.unpersist()
     return n

@@ -235,6 +235,23 @@ def has_legacy_files(table: str) -> bool:
     return bool(_legacy_files(table))
 
 
+def _legacy_partition_keys(table: str, files: list[str]) -> tuple[str, ...]:
+    """The hive-style partition-key sequence a legacy layout actually
+    encodes: the ordered ``key=`` directory components of each file's
+    path relative to the table root. All files must agree — a mixed
+    layout has no single partition spec and cannot be adopted."""
+    keys: set[tuple[str, ...]] = set()
+    for f in files:
+        rel_dirs = os.path.relpath(os.path.dirname(f), table).split(os.sep)
+        keys.add(tuple(d.split("=", 1)[0] for d in rel_dirs if "=" in d))
+    if len(keys) > 1:
+        raise ValueError(
+            f"legacy layout under {table!r} mixes partition specs "
+            f"{sorted(keys)}; cannot adopt it as one txlog version"
+        )
+    return next(iter(keys)) if keys else ()
+
+
 def _adopt_legacy(table: str, pby: tuple[str, ...]) -> None:
     """Migrate a pre-txlog plain-parquet directory in place: if the
     table has NO committed version but parquet files exist outside the
@@ -243,12 +260,27 @@ def _adopt_legacy(table: str, pby: tuple[str, ...]) -> None:
     txlog append COMPOSES with the existing rows instead of silently
     shadowing them. The files stay where they are — manifests reference
     absolute paths, and ``read`` anchors their partition parsing at the
-    table root (hive-style ``key=value`` dirs keep working)."""
+    table root (hive-style ``key=value`` dirs keep working).
+
+    The manifest's ``partition_by`` is INFERRED from the legacy
+    directory structure, not trusted from the caller: stamping a
+    mismatched spec (e.g. ``None`` onto a hive-partitioned layout)
+    would make ``read`` silently drop the partition columns from the
+    adopted rows (ADVICE r8). A caller spec that disagrees with the
+    layout raises instead."""
     if _versions(table):
         return
     legacy = _legacy_files(table)
     if not legacy:
         return
+    layout_pby = _legacy_partition_keys(table, legacy)
+    if layout_pby != pby:
+        raise ValueError(
+            f"cannot adopt legacy layout under {table!r}: its directory"
+            f" structure encodes partition_by={list(layout_pby)} but the"
+            f" first txlog commit requested {list(pby)} — migrate the"
+            f" files (or match the spec) before committing"
+        )
     os.makedirs(_log_path(table), exist_ok=True)
     manifest = {
         "version": 0,
@@ -405,15 +437,37 @@ def commit(
         # writer stalled longer than the vacuum retention between
         # staging and linking may have had its staged DATA reclaimed
         # (the tmp-manifest ENOENT path only catches the tmp sweep).
-        # Verify the new files still exist; if not, roll the just-linked
-        # manifest back and retry with a fresh stage — a momentarily-
-        # visible-then-retracted version beats a permanently corrupt one
-        # (and no snapshot can have been served between link and here).
-        if any(not os.path.exists(f) for f in files):
+        # Verify EVERY file the manifest references — the new ones AND
+        # the inherited base: a concurrent appender may have pinned a
+        # soon-to-be-retracted version as its base (the version IS
+        # momentarily visible between link and rollback), and checking
+        # only its own new files would let it commit a manifest that
+        # inherits dangling paths (ADVICE r8). If anything is missing,
+        # roll the just-linked manifest back — a momentarily-visible-
+        # then-retracted version beats a permanently corrupt one; a
+        # reader or appender that pinned it in the window sees ENOENT /
+        # rolls back in turn, which is the transient failure the
+        # retention-window violation already implies.
+        missing_new = [f for f in files if not os.path.exists(f)]
+        missing_base = [f for f in base if not os.path.exists(f)]
+        if missing_new or missing_base:
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(target)
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(tmp)
+            if missing_base:
+                # inherited files gone: retrying cannot heal this (the
+                # base snapshot itself references reclaimed data) and a
+                # silent retry would propagate the dangling paths — or,
+                # worse, let a stalled writer's duplicate rows land on
+                # top of them. Hard error; the operator must repair or
+                # re-seed the table.
+                raise RuntimeError(
+                    f"base snapshot of {table!r} references missing data"
+                    f" files (retention-window violation upstream);"
+                    f" refusing to commit over a corrupt base:"
+                    f" {missing_base[:3]}"
+                )
             last_err = CommitConflict(
                 f"staged data for version {version} of {table!r} was"
                 " vacuumed while the writer was stalled (exceeded the"
@@ -466,13 +520,43 @@ def compact(spark: SparkSession, table: str) -> TxSnapshot:
     )
 
 
+_SIDECARS = ("_SUCCESS",)
+
+
+def _prune_empty_legacy_dirs(table: str) -> None:
+    """Remove legacy subdirectories (outside the log/staging subtrees)
+    whose parquet has all been vacuumed: Spark's ``_SUCCESS``/``.crc``
+    sidecars go with them, exactly like the staging-dir rmtree above.
+    The table root itself is never removed (a root-level ``_SUCCESS``
+    from the legacy write is harmless and stays)."""
+    for dirpath, dirnames, names in os.walk(table, topdown=False):
+        rel = os.path.relpath(dirpath, table)
+        if rel == os.curdir:
+            continue
+        parts = rel.split(os.sep)
+        if parts[0] in (_LOG_DIR, _DATA_DIR):
+            continue
+        # bottom-up walk: a child removed earlier this pass still sits
+        # in dirnames, so check the filesystem, not the stale listing
+        if any(os.path.isdir(os.path.join(dirpath, d)) for d in dirnames):
+            continue  # a surviving child dir means live data below
+        if all(
+            f in _SIDECARS or f.endswith(".crc") or f.startswith(".")
+            for f in names
+        ):
+            shutil.rmtree(dirpath)
+
+
 def vacuum(
     table: str, keep_last: int = 2, *, retention_seconds: float = 3600.0
 ) -> list[str]:
     """Delete data files unreferenced by the ``keep_last`` newest
     manifests (and drop the older manifests) — the only destructive
     operation; readers pinned to a vacuumed version lose it, exactly
-    like Delta's VACUUM. Returns the deleted parquet paths.
+    like Delta's VACUUM. Covers staged files under ``data/`` AND
+    adopted legacy files outside it (a migrated table fully reclaims
+    its pre-txlog layout once nothing references it). Returns the
+    deleted parquet paths.
 
     ``retention_seconds`` protects everything RECENT (Delta's retention
     check, default 1 h here vs Delta's 7 days), uniformly:
@@ -530,6 +614,15 @@ def vacuum(
             if f not in live:
                 os.unlink(f)
                 deleted.append(f)
+    # adopted legacy files live OUTSIDE data/ — without this sweep they
+    # would leak forever once every manifest referencing them is gone
+    # (overwrite + vacuum), and has_legacy_files would stay true for an
+    # already-migrated table (ADVICE r8). Same retention rule as above.
+    for f in _legacy_files(table):
+        if f not in live and os.path.getmtime(f) <= cutoff:
+            os.unlink(f)
+            deleted.append(f)
+    _prune_empty_legacy_dirs(table)
     for v in versions:
         if v not in keep:
             os.unlink(_manifest_file(table, v))

@@ -225,3 +225,38 @@ def test_roc_auc_matches_pandas_average_rank(spark):
         r2 = int(ranks2[pos].sum())
         expect = (r2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
         assert expect == auc_ppm, etype
+
+
+def test_pr_auc_zero_positives_guard(spark, tmp_path):
+    """a27_pr_auc on a slice with NO positive ('purchase') rows must
+    yield NULL ap_ppm in BOTH engines — unguarded, DuckDB raised a
+    division-by-zero while Spark NULLed, an engine-divergent failure
+    mode (ADVICE r8)."""
+    import datetime
+
+    import duckdb
+
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, datetime.datetime(2025, 1, 1, 0, 0, 0), 10, "view", 0.25, "{}"),
+            (2, datetime.datetime(2025, 1, 1, 0, 1, 0), 11, "click", 0.75, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    q = get_query("a27_pr_auc")
+    row = q.fn(spark, sf_dir).collect()[0]
+    assert row["n_pos"] == 0 and row["n"] == 2 and row["ap_ppm"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    duck = con.execute(q.oracle).df()
+    con.close()
+    assert duck["n_pos"][0] == 0 and duck["ap_ppm"].isna().all()

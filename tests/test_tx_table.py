@@ -479,3 +479,169 @@ def test_concurrent_commit_storm(spark, tmp_path):
         for i in range(b * 100 + j * 10, b * 100 + j * 10 + 5)
     )
     assert _ids(tx.read(spark, t)) == expected  # all rows, exactly once
+
+
+def test_commit_refuses_corrupt_base(spark, tmp_path):
+    """The post-link existence check covers the INHERITED base files,
+    not just the writer's own staged ones: an append over a snapshot
+    whose data was reclaimed (retention-window violation upstream) must
+    roll its just-linked manifest back and hard-error — never commit a
+    manifest propagating dangling paths, never silently retry (ADVICE
+    r8: the stalled-writer race would otherwise let a concurrent
+    appender pin the retracted version and inherit its dangling file
+    list)."""
+    t = str(tmp_path / "tbl")
+    tx.commit(spark.range(0, 3), t, "append")
+    victim = tx.snapshot(t).files[0]
+    os.unlink(victim)  # simulate the vacuumed-under-retention-violation base
+    with pytest.raises(RuntimeError, match="corrupt base"):
+        tx.commit(spark.range(3, 5), t, "append")
+    # the rolled-back version is not visible: latest is still v0
+    assert tx.snapshot(t).version == 0
+    assert not os.path.exists(os.path.join(t, "_txlog", "00000001.json"))
+
+
+def test_adopt_legacy_partition_mismatch_raises(spark, tmp_path):
+    """_adopt_legacy infers the partition spec from the legacy layout's
+    key=value directories instead of trusting the caller: a mismatched
+    first commit must raise, not silently drop the partition column
+    from the adopted rows at read time (ADVICE r8)."""
+    # hive-partitioned legacy adopted by an UNPARTITIONED first commit
+    t = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "2025-06-01"), (2, "2025-06-02")], "id int, dt string"
+    ).write.partitionBy("dt").parquet(t)
+    with pytest.raises(ValueError, match="encodes partition_by=\\['dt'\\]"):
+        tx.commit(spark.range(3, 5), t, "append")
+    assert tx._versions(t) == []  # nothing was adopted or committed
+
+    # unpartitioned legacy adopted by a PARTITIONED first commit
+    t2 = str(tmp_path / "tbl2")
+    spark.range(3).write.parquet(t2)
+    with pytest.raises(ValueError, match="encodes partition_by=\\[\\]"):
+        tx.commit(
+            spark.createDataFrame([(9, "2025-06-09")], "id int, dt string"),
+            t2,
+            "append",
+            partition_by=["dt"],
+        )
+
+
+def test_vacuum_reclaims_adopted_legacy_files(spark, tmp_path):
+    """Adopted legacy files live OUTSIDE data/ — once every retained
+    manifest stops referencing them (overwrite + vacuum) they must be
+    reclaimed like any other dead file, their key=value dirs pruned,
+    and has_legacy_files must flip false for the migrated table
+    (ADVICE r8: the indefinite on-disk leak)."""
+    t = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "2025-06-01"), (2, "2025-06-02")], "id int, dt string"
+    ).write.partitionBy("dt").parquet(t)
+
+    tx.commit(
+        spark.createDataFrame([(3, "2025-06-03")], "id int, dt string"),
+        t,
+        "append",
+        partition_by=["dt"],
+    )
+    assert _ids(tx.read(spark, t)) == [1, 2, 3]
+    tx.commit(
+        spark.createDataFrame([(9, "2025-06-09")], "id int, dt string"),
+        t,
+        "overwrite",
+        partition_by=["dt"],
+    )
+    deleted = tx.vacuum(t, keep_last=1, retention_seconds=0)
+    assert any(os.sep + "dt=2025-06-01" + os.sep in f for f in deleted)
+    assert not tx.has_legacy_files(t)
+    assert not os.path.isdir(os.path.join(t, "dt=2025-06-01"))
+    # the live snapshot is untouched
+    assert _ids(tx.read(spark, t)) == [9]
+
+
+def test_maintenance_lifecycle_ingest_compact_vacuum_time_travel(spark, tmp_path):
+    """The maintenance COMPOSITION on one table (r7 verdict task 6):
+    ingest batches -> OPTIMIZE-style compact -> retention-gated vacuum
+    -> time travel. Compact must not cost readers any version still
+    inside the retention window; only an aged-out vacuum reclaims
+    them."""
+    from project_crypto_data_engineering_gcp_spark.fixtures import (
+        N_ASSETS,
+        write_fixture_landing,
+    )
+    from project_crypto_data_engineering_gcp_spark.plans.runner import (
+        read_silver,
+        run_silver,
+        silver_path,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    write_fixture_landing(landing, n_snapshots=1)
+    run_silver(spark, f"{landing}/coincap_data_*.json", out)
+    write_fixture_landing(landing, n_snapshots=2)
+    run_silver(spark, f"{landing}/coincap_data_*.json", out)
+    t = silver_path(out)
+    assert tx.snapshot(t).version == 1
+
+    snap = tx.compact(spark, t)  # one overwrite commit, version 2
+    assert snap.version == 2 and snap.mode == "overwrite"
+    # compact costs readers nothing: both ingest versions still read
+    assert read_silver(spark, out, version=0).count() == N_ASSETS
+    assert read_silver(spark, out, version=1).count() == 2 * N_ASSETS
+
+    # retention-gated vacuum: every manifest is young, so time travel
+    # SURVIVES a keep_last=1 vacuum inside the window
+    tx.vacuum(t, keep_last=1, retention_seconds=3600)
+    assert read_silver(spark, out, version=0).count() == N_ASSETS
+    assert read_silver(spark, out, version=1).count() == 2 * N_ASSETS
+
+    # aged out, the pre-compact versions are reclaimed; the compacted
+    # snapshot (and the table's forward life) is intact
+    tx.vacuum(t, keep_last=1, retention_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        read_silver(spark, out, version=0).count()
+    assert read_silver(spark, out).count() == 2 * N_ASSETS
+    write_fixture_landing(landing, n_snapshots=3)
+    run_silver(spark, f"{landing}/coincap_data_*.json", out)
+    assert read_silver(spark, out).count() == 3 * N_ASSETS
+    assert tx.snapshot(t).version == 3
+
+
+def test_run_silver_replay_after_ledger_crash_is_idempotent(spark, tmp_path):
+    """A crash BETWEEN the atomic Silver commit and record_ingested
+    replays the same batch on restart; the txn marker derived from the
+    batch's sorted source-file list must make the replayed append a
+    no-op instead of doubling the rows (ADVICE r8)."""
+    from project_crypto_data_engineering_gcp_spark.fixtures import (
+        N_ASSETS,
+        write_fixture_landing,
+    )
+    from project_crypto_data_engineering_gcp_spark.plans import runner
+    from project_crypto_data_engineering_gcp_spark.plans.runner import (
+        read_silver,
+        run_silver,
+        silver_path,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    write_fixture_landing(landing, n_snapshots=2)
+
+    real_record = runner.record_ingested
+    def crash(*a, **k):
+        raise OSError("simulated crash after commit, before ledger")
+    runner.record_ingested = crash
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            run_silver(spark, f"{landing}/coincap_data_*.json", out)
+    finally:
+        runner.record_ingested = real_record
+
+    # restart: the ledger is empty so the SAME batch replays — the txn
+    # marker must swallow the duplicate append
+    assert run_silver(spark, f"{landing}/coincap_data_*.json", out) == 2 * N_ASSETS
+    assert read_silver(spark, out).count() == 2 * N_ASSETS  # not doubled
+    assert tx.snapshot(silver_path(out)).version == 0  # one commit total
+    # and the ledger is now recorded: a rerun is a true no-op
+    assert run_silver(spark, f"{landing}/coincap_data_*.json", out) == 0
