@@ -40,105 +40,56 @@ class CorpusQuery:
 
 _REGISTRY: dict[str, CorpusQuery] = {}
 
-# r7 WINDOW (this round; exactly the plan declared in r6 and ratified by
-# the r6 verdict, task 1): the first 18 entries are the complete r6
-# rollover queue — every registered query with no driver row in ANY
-# CORRECTNESS_r1..r6 (policy (a); all pass local parity at sf0.01 AND
-# sf0.1). The remaining 32 slots refresh the r3-latest set oldest-first
-# (policy (c)): the 47 registered queries whose newest driver row is r3,
-# taken family-first in the order the r6 plan promised — streaming,
-# j4-j7, a6-a9, w1/w4-w7, o4/o5, the dedup batch, the sim r3 batch, and
-# the events trio. 18 + 32 = 50 fills the window. The 15 r3-latest
-# queries that do not fit (listed in the ROLLOVER comment below) lead
-# the r8 window together with any r7 additions; after this round's
-# check the staleness ledger reads r7x50, r6x50, r5x50, r4x50,
-# r3x15(+r7 additions never) — max staleness 4 rounds, the documented
-# floor for a 215-query corpus under a 50-slot window (README
-# "Driver-window rotation policy").
+# r8 WINDOW (this round; exactly the plan declared in r7 — see commit
+# c531034 and the r7 VERDICT task 1): the first 22 entries are the
+# complete r7 rollover queue — the six r7 additions (policy (a), never
+# driver-checked), the policy-(b) re-windowed text_bpe_train_merges
+# (its r6 row predates the memoization refactor), and the 15 r3-stale
+# refreshers that missed the r7 window (policy (c)). The remaining 28
+# slots refresh the r4-latest set (the 50 registered queries whose
+# newest driver row is r4) in CORRECTNESS_r04 file order — a
+# deterministic, auditable cut; the 22 that do not fit are listed in
+# the ROLLOVER comment below and lead the r9 window together with any
+# r8 additions. After this round's check the staleness ledger reads
+# r8x50, r7x50, r6x50, r5x50, r4x22(+r8 additions never) — max
+# staleness 4 rounds, the documented floor for a ~230-query corpus
+# under a 50-slot window (README "Driver-window rotation policy").
 #
-# STALENESS TRIAGE (standing, r4 verdict task 5) — with ~215 queries and
-# a ~50-slot window, the "newest row <= 2 rounds old" invariant is
-# arithmetically unkeepable (a full rotation takes ~4.3 rounds); policy:
+# STALENESS TRIAGE (standing, r4 verdict task 5) — with ~220+ queries
+# and a ~50-slot window, the "newest row <= 2 rounds old" invariant is
+# arithmetically unkeepable (a full rotation takes ~4.5 rounds); policy:
 #   (a) never-checked queries ALWAYS lead the next window,
 #   (b) queries rewritten/refactored since their last row join them,
 #   (c) remaining slots refresh oldest-first,
 # so every query's newest row stays at most ~4 rounds old.
 #
-#   r8 plan (declared now, cut at r8 start): the 22-entry rollover
-#   below (15 r3-stale refreshers that missed the r7 window + the six
-#   r7 additions + the policy-(b) re-windowed text_bpe_train_merges)
-#   leads; the remaining ~28 slots refresh the r4-latest set
-#   oldest-first (the late-r4 rollover batch: graph_pagerank,
-#   text_bm25_topk, sim_ivfpq_*, the a1x analytics run, the w8/approx
-#   additions — see CORRECTNESS_r04). 22 + 28 = 50.
+#   r9 plan (declared now, cut at r9 start): any r8 additions (policy
+#   (a)) lead, then the 22-entry r4-stale rollover below, then the
+#   r5-latest set oldest-first (graph_pagerank, text_bm25_topk,
+#   sim_ivfpq_*, the TPC-H q-menu refreshers — see CORRECTNESS_r05)
+#   fills the remaining slots.
 #
 # History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
 # additions, r4 the 38 r1-only refreshers + r4 additions, r5 the
 # 37-entry late-r4 queue + 5 r5 additions + the 8 r2-stale
 # crypto/pandas entries, r6 the 12-entry r5 rollover queue + all 37
-# r2-stale refreshers (TPC-H q1-q22 incl.) + sim_ivf_cell_stats
+# r2-stale refreshers (TPC-H q1-q22 incl.) + sim_ivf_cell_stats, r7
+# the 18-entry r6 rollover + 32 r3-stale refreshers
 # (50/50 green every round; zero red rows ever).
 CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
-    # ---- the complete r6 rollover queue (18): every never-driver-checked
-    # query (r6 additions beyond slot 50), policy (a) ----
-    "a20_exact_percentiles",
-    "curate_stratified_sample",
-    "streaming_interval_join_outer",
-    "mm_frame_fingerprint_match",
-    "a21_retention_cohorts",
-    "dq_column_profile",
-    "approx_percentile_orders",
-    "graph_bfs_distances",
-    "a22_sales_cube",
-    "curate_weighted_sample",
-    "dq_table_diff",
-    "dq_table_checksum",
-    "text_bpe_encode_stats",
-    "a23_bootstrap_ci",
-    "feat_target_encoding",
-    "a24_roc_auc",
-    "a25_ks_test",
-    "a26_calibration_bins",
-    # ---- 32 r3-latest refreshers (newest driver row = r3), policy (c),
-    # family-first per the declared r6 plan ----
-    "streaming_interval_join",
-    "streaming_sessionized",
-    "j4_customers_with_orders_semi",
-    "j5_nation_activity_full_outer",
-    "j6_correlated_scalar",
-    "j7_salted_skew_join",
-    "a6_salted_skew_aggregate",
-    "a7_order_price_histogram",
-    "a8_exact_quantiles_by_priority",
-    "a9_grouping_sets_revenue",
-    "w1_latest_event_per_user",
-    "w4_event_navigation",
-    "w5_sliding_hour_total",
-    "w6_forward_fill",
-    "w7_cumulative_distinct_users",
-    "o4_topk_per_group",
-    "o5_set_ops_customers",
-    "dedup_exact",
-    "dedup_containment",
-    "dedup_clusters_transitive",
-    "dedup_minhash_lsh_capped",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_time_bucketed",
-    "sim_ann_ivf_indexed",
-    "sim_ann_ivf_kmeans",
-    "sim_dimension_stats",
-    "sim_pq_indexed",
-    "sim_pq_topk",
-    "events_sessionized",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    # ---- ROLLOVER QUEUE (positions 51+): the 15 remaining r3-latest
-    # refreshers that did not fit the 50-slot window — they lead the r8
-    # window under policy (c), joined by any r7 additions under policy
-    # (a). (These HAVE green r3 rows; listing them here documents the
-    # r8 plan and keeps the rotation auditable.) ----
+    # ---- r7 additions (6): never driver-checked, policy (a) ----
+    "a27_pr_auc",
+    "a28_chi_square",
+    "a29_welch_ttest",
+    "dq_histogram_drift",
+    "feat_hashing_trick",
+    "text_distinctive_terms",
+    # ---- policy (b): BPE training gained a per-(app, sf_dir) memo in
+    # r7 (perf-only; bit-identical outputs re-verified at sf0.01 AND
+    # sf0.1) — its r6 row predates the refactor, so it re-certifies ----
+    "text_bpe_train_merges",
+    # ---- 15 r3-stale refreshers that missed the r7 window, policy (c) ----
     "approx_quantiles_totalprice",
     "asof_forward_error_tolerance",
     "cluster_kmeans_embeddings",
@@ -154,20 +105,63 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_quality_by_lang",
     "text_repetition_ratio",
     "text_rolling_hash",
-    # ---- r7 additions (never driver-checked; policy (a) puts them
-    # ahead of the 15 refreshers above when the r8 window is cut) ----
-    "a27_pr_auc",
-    "a28_chi_square",
-    "a29_welch_ttest",
-    "dq_histogram_drift",
-    "feat_hashing_trick",
-    "text_distinctive_terms",
-    # policy (b): the BPE training loop gained a per-(app, sf_dir) memo
-    # in r7 (perf-only; bit-identical outputs re-verified at sf0.01 AND
-    # sf0.1) — its r6 row predates the refactor, so it re-windows in r8.
-    # text_bpe_encode_stats shares the refactor but already sits in the
-    # r7 window above.
-    "text_bpe_train_merges",
+    # ---- 28 r4-latest refreshers (newest driver row = r4), policy (c),
+    # in CORRECTNESS_r04 file order ----
+    "a1_global_stats",
+    "a4_customer_market_dominance",
+    "a5_rollup_revenue",
+    "asof_purchase_last_view",
+    "cube_revenue",
+    "dedup_apply_keep_first",
+    "dedup_embedding_cosine",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "events_hourly_rollup",
+    "j1_customer_dashboard",
+    "j3_customers_without_orders",
+    "mm_frame_sample",
+    "mm_media_meta_stub",
+    "mm_payload_meta",
+    "mm_resize_meta",
+    "o1_ranked_orders",
+    "o3_top_bottom_orders",
+    "p11_quantity_classification",
+    "p1_event_json_projection",
+    "p9_round_family",
+    "percentiles_acctbal_by_nation",
+    "pivot_status_by_priority",
+    "set_ops_orderkeys",
+    "sim_cosine_pairs",
+    "sim_embedding_norms",
+    "text_fingerprint",
+    "text_lang_id",
+    # ---- ROLLOVER QUEUE (positions 51+): the 22 remaining r4-latest
+    # refreshers that did not fit the 50-slot window — they follow any
+    # r8 additions (policy (a)) when the r9 window is cut. (These HAVE
+    # green r4 rows; listing them documents the r9 plan and keeps the
+    # rotation auditable.) ----
+    "text_quality_score",
+    "text_redacted",
+    "text_tfidf_topk",
+    "text_token_explode",
+    "text_token_stats",
+    "text_top_bigrams",
+    "unpivot_lineitem_amounts",
+    "w1b_latest_via_max_by",
+    "w2_acctbal_rank_in_nation",
+    "w3_running_order_total",
+    "dedup_semantic_blocked_capped",
+    "dedup_semantic_blocked_scaled_k",
+    "streaming_snapshot_datasource",
+    "text_hash_embedding",
+    "sim_ann_lsh_recall",
+    "sim_ann_ivf_recall",
+    "text_boilerplate_ngrams",
+    "sim_pq_refined",
+    "sim_sq8_topk",
+    "sim_quant_recall",
+    "dedup_minhash_lsh",
+    "crypto_silver_assets",
 )
 
 
