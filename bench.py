@@ -82,9 +82,10 @@ HEADLINE = (
     # late-r5: BPE tokenizer training (3 merge rounds over the token
     # stream) — the heaviest text shape, regression-tracked. r7: the
     # training loop is memoized per (app, sf_dir), so WARM here measures
-    # the pooled serving path (like the IVF/oriented-edge pools) and
-    # COLD carries the actual 3-round training cost — see SCALE.md
-    # "BPE training memo" for the isolated numbers.
+    # the pooled serving path (like the IVF/oriented-edge pools). r8:
+    # the authoritative training-plan tripwire is the memo-bypassed
+    # `bpe_train_isolated_sec` sidecar field measured after the loop —
+    # see SCALE.md "BPE training memo".
     "text_bpe_train_merges",
     # r6: the rewritten binary near-dedup (64-bit Manku block bands —
     # the round's scale-hardening target, now regression-tracked), the
@@ -166,6 +167,22 @@ def main() -> None:
         cold[name] = round(passes[0], 3)
         warm[name] = round(min(passes[1:]), 3)
 
+    # Isolated (memo-bypassed) BPE training time (r7 verdict task 3):
+    # the training loop is memoized per (app, sf_dir) since r7, so the
+    # warm headline row for text_bpe_train_merges measures the memo-pool
+    # hit and even the COLD row can ride a hit when an earlier headline
+    # query (text_bpe_encode_stats) already trained in-session. A
+    # training-PLAN regression could hide behind either; this field
+    # clears the memo and times one full 3-round training run — the
+    # round-over-round comparable number the 2x tripwire pins to.
+    from project_crypto_data_engineering_gcp_spark.plans import queries_text
+
+    spark.catalog.clearCache()
+    queries_text._BPE_TRAIN_MEMO.clear()
+    t0 = time.perf_counter()
+    queries["text_bpe_train_merges"].fn(spark, sf_dir).count()
+    bpe_train_isolated = round(time.perf_counter() - t0, 3)
+
     total = round(sum(warm.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -186,6 +203,7 @@ def main() -> None:
         "queries": warm,
         "cold": cold,
         "cold_total": cold_total,
+        "bpe_train_isolated_sec": bpe_train_isolated,
         "sf": sf_val,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -199,8 +217,12 @@ def main() -> None:
         "unit": "sec",
         "passes": PASSES,
         "n_queries": len(warm),
-        "queries": warm,
+        # 2-decimal per-query values keep the FINAL line safely inside
+        # the driver's ~2000-char tail capture at 48+ queries; the
+        # 3-decimal numbers live in BENCH_DETAIL.json
+        "queries": {k: round(v, 2) for k, v in warm.items()},
         "cold_total": cold_total,
+        "bpe_train_isolated_sec": bpe_train_isolated,
         "sf": sf_val,
     }
     line = json.dumps(final)
