@@ -114,6 +114,15 @@ HEADLINE = (
     # scan and the hashed-feature-space explode+distinct audit
     "a27_pr_auc",
     "feat_hashing_trick",
+    # r8 additions: the four heavier new shapes — the rank-sum effect
+    # size (ONE global_rank over customers serving all nations), the
+    # HHI decile cut (two groupBys + global_rank over users), the
+    # six-edge FK audit (incl. the fact-fact lineitem->orders shuffle
+    # anti-join), and the skyline (the new global_prefix_min primitive)
+    "a30_mann_whitney_u",
+    "a33_user_hhi_deciles",
+    "dq_referential_integrity",
+    "o7_pareto_skyline_orders",
 )
 
 
@@ -226,7 +235,11 @@ def main() -> None:
         "sf": sf_val,
     }
     line = json.dumps(final)
-    if len(line) > 1600:  # headroom under the 2000-char tail capture
+    # the final line is the LAST stdout line, so it sits entirely inside
+    # the driver's ~2000-char tail capture as long as it is shorter than
+    # the window itself; 1800 leaves margin for the trailing newline and
+    # any stray shutdown chatter
+    if len(line) > 1800:
         final.pop("queries")
         final["detail"] = "BENCH_DETAIL.json"
         line = json.dumps(final)

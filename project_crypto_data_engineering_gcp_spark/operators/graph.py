@@ -31,10 +31,22 @@ def pagerank_fixed_point(
     damp_den: int = 100,
     src: str = "src",
     dst: str = "dst",
+    edge_partitions: int | None = None,
 ) -> DataFrame:
     """(node, r) after ``n_iters`` damped rounds; ranks are BIGINTs that
     sum to ~``scale``. Duplicate edges are collapsed (set semantics, the
-    convention of the corpus query and its oracle)."""
+    convention of the corpus query and its oracle).
+
+    ``edge_partitions``: co-partitioned mode, the GraphX/100-TB-cluster
+    idiom. The loop-invariant edge frame is CACHED pre-partitioned and
+    pre-sorted on ``src`` — an ``InMemoryRelation`` preserves Catalyst
+    output partitioning/ordering where ``localCheckpoint``'s RDD scan
+    reports UnknownPartitioning (probed r8: under AQE every round was
+    re-exchanging AND re-sorting the edge-sized side). With it, each
+    round's join exchanges only the node-sized rank frame; the edge
+    side is scanned in place. Results are bit-identical either way
+    (same computation, different physical placement); measured in
+    SCALE.md "PageRank co-partitioning experiment"."""
     base_num = (scale * (damp_den - damp_num)) // damp_den
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -49,7 +61,16 @@ def pagerank_fixed_point(
     )
     n_nodes = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    if edge_partitions:
+        edges_deg = (
+            e.join(deg, "src")
+            .repartition(edge_partitions, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        edges_deg.count()  # materialize once, before the rounds
+    else:
+        edges_deg = e.join(deg, "src").localCheckpoint(eager=True)
     nodes_flag = (
         nodes.join(deg, nodes["node"] == deg["src"], "left")
         .select("node", F.col("deg").isNull().alias("dangling"))
@@ -84,6 +105,9 @@ def pagerank_fixed_point(
             )
             .localCheckpoint(eager=True)
         )
+    if edge_partitions:
+        # the final ranks are checkpoint-backed, independent of the cache
+        edges_deg.unpersist()
     return ranks.select("node", "r")
 
 

@@ -220,6 +220,57 @@ def global_prefix_sum(
     return out.drop(_PID, *[f"{_OFF}{c}" for c in sum_cols])
 
 
+def global_prefix_min(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    min_col: str,
+    out_col: str = "prefix_min",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = EXCLUSIVE running MIN of ``min_col`` over all
+    STRICTLY PRECEDING rows under the global ``order_cols`` order (NULL
+    for the first row) — the scan primitive skyline/dominance queries
+    need, built exactly like :func:`global_prefix_sum`: range-partition,
+    per-partition exclusive running min under a pid-partitioned window
+    (parallel), combined with the min over all PRECEDING partitions from
+    the tiny per-partition minima frame (triangular join, broadcast
+    back). min is commutative/idempotent, so the exclusive-within ⊕
+    preceding-partitions split is exact.
+
+    ``order_cols`` must define a STRICT total order (unique tiebreaker).
+    """
+    _check_reserved(df, out_col, "global_prefix_min")
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    # single evaluation of the pid tagging — see global_rank
+    tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+
+    parts = tagged.groupBy(_PID).agg(F.min(min_col).alias(_CNT))
+    a, b = parts.alias("a"), parts.alias("b")
+    offsets = (
+        a.join(b, F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.min(f"b.{_CNT}").alias(_OFF))  # NULL for partition 0
+    )
+
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, F.least(F.min(min_col).over(w), F.col(_OFF)))
+        .drop(_PID, _OFF)
+    )
+
+
 def _idiv(a: Column, b: Column) -> Column:
     """Exact floor-division of non-negative INTEGER columns of any
     magnitude: ``(a - pmod(a, b)) / b`` in DECIMAL(38,0) — the dividend

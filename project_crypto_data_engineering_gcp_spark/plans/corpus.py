@@ -63,11 +63,14 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 #   (c) remaining slots refresh oldest-first,
 # so every query's newest row stays at most ~4 rounds old.
 #
-#   r9 plan (declared now, cut at r9 start): any r8 additions (policy
-#   (a)) lead, then the 22-entry r4-stale rollover below, then the
-#   r5-latest set oldest-first (graph_pagerank, text_bm25_topk,
-#   sim_ivfpq_*, the TPC-H q-menu refreshers — see CORRECTNESS_r05)
-#   fills the remaining slots.
+#   r9 plan (declared now, cut at r9 start): the eight r8 additions
+#   (policy (a): a30_mann_whitney_u, a31_spearman_spend_orders,
+#   a32_cramers_v_sq, a33_user_hhi_deciles, a34_benford_first_digit,
+#   dq_referential_integrity, o7_pareto_skyline_orders,
+#   text_token_rank_curve) lead, then the 22-entry r4-stale rollover
+#   below, then the r5-latest set oldest-first (graph_pagerank,
+#   text_bm25_topk, sim_ivfpq_*, the TPC-H q-menu refreshers — see
+#   CORRECTNESS_r05) fills the remaining 20 slots. 8 + 22 + 20 = 50.
 #
 # History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3

@@ -3969,3 +3969,600 @@ def dq_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_new.alias("p_new_ppm"),
         F.abs(p_old - p_new).cast("bigint").alias("drift_ppm"),
     )
+
+
+# ======================================================================
+# r8 additions: ML-eval effect sizes, robust/maintenance shapes. All
+# never-driver-checked this round by construction (the r8 window was
+# pre-committed in r7); they lead the r9 window under policy (a).
+# ======================================================================
+
+
+# -------------------------- Mann-Whitney U / common-language effect size
+
+
+@corpus_query(
+    "a30_mann_whitney_u",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(CAST(c_acctbal * 100 AS DECIMAL(18,0)) AS BIGINT) AS v
+        FROM customer
+    ),
+    ranked AS (
+        SELECT v, c_nationkey,
+               ROW_NUMBER() OVER (ORDER BY v, c_custkey) AS rk
+        FROM base
+    ),
+    per_v AS (
+        SELECT v, MIN(rk) AS mn, MAX(rk) AS mx FROM ranked GROUP BY 1
+    ),
+    per_vn AS (
+        SELECT v, c_nationkey, COUNT(*) AS cnt FROM ranked GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(mx - mn + 1) AS n FROM per_v),
+    per_n AS (
+        SELECT t.c_nationkey,
+               SUM(t.cnt) AS n1,
+               SUM(t.cnt * (p.mn + p.mx)) AS r2
+        FROM per_vn t JOIN per_v p ON p.v = t.v
+        GROUP BY 1
+    )
+    SELECT per_n.c_nationkey,
+           CAST(n1 AS BIGINT) AS n_in,
+           CAST(tot.n - n1 AS BIGINT) AS n_out,
+           CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2x,
+           CAST(((r2 - n1 * (n1 + 1)) * 1000000)
+                // (2 * n1 * (tot.n - n1)) AS BIGINT) AS u_ppm
+    FROM per_n CROSS JOIN tot
+    """,
+)
+def a30_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Mann & Whitney 1947), each nation's customer
+    account balances against the rest: the nonparametric two-sample
+    location test, one row per nation with the exact tie-corrected U
+    statistic (doubled to stay integer: u2x = 2*R1 - n1*(n1+1)) and the
+    common-language effect size U/(n1*n2) in ppm — 500000 means "a
+    random customer of this nation outranks a random outsider half the
+    time", i.e. no location shift.
+
+    Scale design: identical machinery to a24_roc_auc (ranks are
+    group-independent, so ONE global_rank serves every nation; tie
+    groups and per-(value, nation) counts are two map-combinable
+    groupBys), because AUC IS the rescaled U statistic — implemented
+    once each, differential-tested independently."""
+    from ..operators.rank import _idiv, global_rank
+
+    customer = load_table(spark, sf_dir, "customer")
+    base = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("v"),
+    )
+    ranked = global_rank(base, ["v", "c_custkey"], rank_col="rk").select(
+        "v", "c_nationkey", "rk"
+    ).localCheckpoint(eager=True)  # feeds the two groupBys once
+    per_v = ranked.groupBy("v").agg(
+        F.min("rk").alias("mn"), F.max("rk").alias("mx")
+    )
+    per_vn = ranked.groupBy("v", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = per_v.agg(
+        F.sum(F.col("mx") - F.col("mn") + 1).cast("decimal(38,0)").alias("n")
+    )
+    per_n = (
+        per_vn.join(per_v, "v")
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("cnt").cast("decimal(38,0)").alias("n1"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * (F.col("mn") + F.col("mx")).cast("decimal(38,0)")
+            ).alias("r2"),
+        )
+    )
+    return per_n.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        F.col("n1").cast("bigint").alias("n_in"),
+        (F.col("n") - F.col("n1")).cast("bigint").alias("n_out"),
+        (F.col("r2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("bigint")
+        .alias("u2x"),
+        _idiv(
+            (F.col("r2") - F.col("n1") * (F.col("n1") + 1)) * F.lit(1000000),
+            F.lit(2) * F.col("n1") * (F.col("n") - F.col("n1")),
+        )
+        .cast("bigint")
+        .alias("u_ppm"),
+    )
+
+
+# ------------------------------------ Spearman rank correlation (exact)
+
+
+@corpus_query(
+    "a31_spearman_spend_orders",
+    oracle="""
+    WITH per_c AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0)))
+                    AS BIGINT) AS spend,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    rs AS (
+        SELECT o_custkey,
+               ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS rk_s,
+               ROW_NUMBER() OVER (ORDER BY cnt, o_custkey) AS rk_c
+        FROM per_c
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n,
+               SUM((rk_s - rk_c) * (rk_s - rk_c)) AS sum_d2
+        FROM rs
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(sum_d2 AS BIGINT) AS sum_d2,
+           CASE WHEN n > 1 THEN
+               CAST(1000000 - (6000000 * sum_d2) // (n * (n * n - 1))
+                    AS BIGINT)
+           ELSE NULL END AS rho_ppm
+    FROM agg
+    """,
+)
+def a31_spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION (Spearman 1904) between a customer's
+    total spend and their order count, exact in integers via the
+    d-squared identity rho = 1 - 6*sum(d^2)/(n(n^2-1)) — no Pearson
+    moments, no sqrt. Ranks use a strict total order ((metric,
+    custkey) ROW_NUMBER) so both engines rank ties identically; the
+    d^2 form is then exact rational arithmetic, floored to ppm.
+
+    Scale design: the per-customer frame is ONE map-combinable groupBy
+    of the fact table; the two rankings are two global_rank passes
+    (range-partition + offsets, no unpartitioned window) over the
+    customer-sized frame joined back on custkey; the statistic is a
+    1-row aggregate. sum_d2 is accumulated in decimal(38,0) (n*d^2 can
+    pass int64 at cluster scale) and emitted as bigint."""
+    from ..operators.rank import _idiv, global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("spend"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    rk_s = global_rank(per_c, ["spend", "o_custkey"], rank_col="rk_s").select(
+        "o_custkey", "rk_s"
+    )
+    rk_c = global_rank(per_c, ["cnt", "o_custkey"], rank_col="rk_c").select(
+        "o_custkey", "rk_c"
+    )
+    d2 = (
+        (F.col("rk_s") - F.col("rk_c")).cast("decimal(38,0)")
+        * (F.col("rk_s") - F.col("rk_c")).cast("decimal(38,0)")
+    )
+    agg = rk_s.join(rk_c, "o_custkey").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d2).alias("sum_d2"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.cast("bigint").alias("n"),
+        F.col("sum_d2").cast("bigint").alias("sum_d2"),
+        F.when(
+            n > 1,
+            F.lit(1000000).cast("bigint")
+            - _idiv(F.lit(6000000) * F.col("sum_d2"), n * (n * n - 1)),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("rho_ppm"),
+    )
+
+
+# -------------------------------- Cramer's V effect size (chi-square kin)
+
+
+@corpus_query(
+    "a32_cramers_v_sq",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(hour(ts) // 6 AS BIGINT) AS quadrant,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(o) AS row_tot FROM cells GROUP BY 1),
+    ct AS (SELECT quadrant, SUM(o) AS col_tot FROM cells GROUP BY 1),
+    n AS (SELECT SUM(o) AS n FROM cells),
+    per_cell AS (
+        SELECT c.event_type, c.quadrant,
+               CAST(FLOOR(
+                   (CAST(c.o AS DOUBLE) * CAST(n.n AS DOUBLE)
+                    - CAST(r.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+                   * (CAST(c.o AS DOUBLE) * CAST(n.n AS DOUBLE)
+                      - CAST(r.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+                   / (CAST(r.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+                      * CAST(n.n AS DOUBLE))
+                   * 1000000.0 / CAST(n.n AS DOUBLE)
+               ) AS BIGINT) AS chi2_cell_ppm
+        FROM cells c, rt r, ct, n
+        WHERE c.event_type = r.event_type AND c.quadrant = ct.quadrant
+    ),
+    s AS (
+        SELECT (SELECT n FROM n) AS n,
+               COUNT(DISTINCT event_type) AS r,
+               COUNT(DISTINCT quadrant) AS c,
+               SUM(chi2_cell_ppm) AS chi2_ppm
+        FROM per_cell
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(r AS BIGINT) AS n_rows_dim,
+           CAST(c AS BIGINT) AS n_cols_dim,
+           CAST(chi2_ppm AS BIGINT) AS chi2_ppm,
+           CAST(chi2_ppm // (n * LEAST(r - 1, c - 1)) AS BIGINT)
+               AS v_sq_ppm
+    FROM s
+    """,
+)
+def a32_cramers_v_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER'S V (squared; Cramer 1946) for the a28 contingency table
+    (event_type x time-of-day quadrant): the [0,1]-normalized effect
+    size chi2/(n*min(r-1, c-1)) that makes chi-square statistics
+    comparable across table sizes. Squared form only — V itself needs a
+    sqrt, which the integer doctrine forbids; V^2 in ppm is exactly as
+    informative and exactly reproducible. Per-cell contributions reuse
+    the a28 fixed-IEEE-tree-then-floor scheme, so chi2_ppm here equals
+    a28's statistic by construction.
+
+    Scale design: identical to a28 — ONE map-combinable groupBy builds
+    the contingency table; everything after is dimension-sized."""
+    from ..operators.rank import _idiv
+
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            "event_type",
+            (F.hour("ts") / 6).cast("bigint").alias("quadrant"),
+        )
+        .groupBy("event_type", "quadrant")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)  # tiny; feeds four consumers
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    ct = cells.groupBy("quadrant").agg(F.sum("o").alias("col_tot"))
+    n = cells.agg(F.sum("o").alias("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = d("o") * d("n") - d("row_tot") * d("col_tot")
+    per_cell = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "quadrant")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "quadrant",
+            F.floor(
+                diff * diff / (d("row_tot") * d("col_tot") * d("n"))
+                * F.lit(1000000.0) / d("n")
+            ).alias("chi2_cell_ppm"),
+        )
+    )
+    s = per_cell.crossJoin(
+        F.broadcast(n.select(F.col("n").cast("bigint").alias("n_rows")))
+    ).agg(
+        F.first("n_rows").alias("n"),
+        F.count_distinct(F.col("event_type")).cast("bigint").alias("r"),
+        F.count_distinct(F.col("quadrant")).cast("bigint").alias("c"),
+        F.sum("chi2_cell_ppm").cast("bigint").alias("chi2_ppm"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("r").alias("n_rows_dim"),
+        F.col("c").alias("n_cols_dim"),
+        "chi2_ppm",
+        _idiv(
+            F.col("chi2_ppm"),
+            F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1),
+        ).alias("v_sq_ppm"),
+    )
+
+
+# ----------------------- per-user concentration (HHI) decile distribution
+
+
+@corpus_query(
+    "a33_user_hhi_deciles",
+    oracle="""
+    WITH per_ut AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    per_u AS (
+        SELECT user_id,
+               CAST((SUM(cnt * cnt) * 1000000) // (SUM(cnt) * SUM(cnt))
+                    AS BIGINT) AS hhi_ppm
+        FROM per_ut GROUP BY 1
+    ),
+    binned AS (
+        SELECT hhi_ppm,
+               NTILE(10) OVER (ORDER BY hhi_ppm, user_id) AS decile
+        FROM per_u
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(hhi_ppm) AS BIGINT) AS min_hhi_ppm,
+           CAST(MAX(hhi_ppm) AS BIGINT) AS max_hhi_ppm,
+           CAST(SUM(hhi_ppm) // COUNT(*) AS BIGINT) AS mean_hhi_ppm
+    FROM binned GROUP BY 1
+    """,
+)
+def a33_user_hhi_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-concentration profile: each user's event-type mix
+    scored by the HERFINDAHL-HIRSCHMAN INDEX (sum of squared shares —
+    1e6 ppm = every event the same type, 1/k = uniform over k types),
+    exact in integers as sum(cnt^2)*1e6 // total^2, then the user
+    population split into exact HHI deciles (reporting n / min / max /
+    floored mean per decile) — the distribution a curation pipeline
+    reads to decide whether engagement diversity is drifting.
+
+    Scale design: two map-combinable groupBys (user x type, then user);
+    the decile cut rides global_rank + ntile_from_rank (range-partition
+    + broadcast offsets, exact NTILE arithmetic — no unpartitioned
+    window); the final aggregate is 10 rows."""
+    from ..operators.rank import _idiv, global_rank, ntile_from_rank
+
+    events = load_table(spark, sf_dir, "events")
+    per_ut = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_u = per_ut.groupBy("user_id").agg(
+        _idiv(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("decimal(38,0)")
+            * F.lit(1000000),
+            F.sum("cnt").cast("decimal(38,0)")
+            * F.sum("cnt").cast("decimal(38,0)"),
+        ).alias("hhi_ppm")
+    )
+    ranked = global_rank(per_u, ["hhi_ppm", "user_id"], rank_col="rk")
+    n_rows = ranked.agg(F.count(F.lit(1)).alias("n_rows"))
+    binned = ranked.crossJoin(F.broadcast(n_rows)).select(
+        "hhi_ppm",
+        ntile_from_rank(F.col("rk"), F.col("n_rows"), 10).alias("decile"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("hhi_ppm").alias("min_hhi_ppm"),
+        F.max("hhi_ppm").alias("max_hhi_ppm"),
+        _idiv(F.sum("hhi_ppm"), F.count(F.lit(1))).alias("mean_hhi_ppm"),
+    )
+
+
+# ------------------------------------- Benford first-digit audit (data CI)
+
+# floor(log10(1 + 1/d) * 1e6): Benford's law expected first-digit shares
+# in ppm — public constants (Newcomb 1881 / Benford 1938), precomputed so
+# no engine evaluates a log anywhere (integer doctrine).
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+@corpus_query(
+    "a34_benford_first_digit",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(CAST(o_totalprice * 100
+                   AS DECIMAL(18,0)) AS BIGINT) AS VARCHAR), 1, 1)
+                   AS BIGINT) AS digit
+        FROM orders
+    ),
+    obs AS (SELECT digit, COUNT(*) AS n FROM base GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t FROM obs),
+    exp AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))}
+        ) AS e(digit, exp_ppm)
+    )
+    SELECT obs.digit,
+           CAST(obs.n AS BIGINT) AS n,
+           CAST((obs.n * 1000000) // tot.t AS BIGINT) AS obs_ppm,
+           CAST(exp.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(ABS((obs.n * 1000000) // tot.t - exp.exp_ppm) AS BIGINT)
+               AS dev_ppm
+    FROM obs JOIN exp ON exp.digit = obs.digit CROSS JOIN tot
+    """,
+)
+def a34_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD FIRST-DIGIT AUDIT over order totals — the classic
+    forensic/data-CI check: naturally-occurring monetary amounts follow
+    log10(1 + 1/d) first-digit frequencies, and a synthetic or tampered
+    feed deviates. One row per observed leading digit of the cents
+    amount with observed vs expected share (ppm) and absolute deviation;
+    the expected shares are precomputed floored-ppm constants, so no
+    engine evaluates a transcendental (integer doctrine). TPC-H's
+    uniform price generator fails Benford spectacularly — the point:
+    this is the detector, and the corpus proves it fires.
+
+    Scale design: ONE map-combinable groupBy on a scan-stage projection
+    (leading digit via decimal-string prefix — collation-free, both
+    engines print integers identically); the expected table is a 9-row
+    literal broadcast."""
+    from ..operators.rank import _idiv
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.substring(
+            (F.col("o_totalprice") * 100)
+            .cast("decimal(18,0)")
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    exp = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "digit bigint, exp_ppm bigint"
+    )
+    obs_ppm = _idiv(F.col("n") * F.lit(1000000), F.col("t"))
+    return (
+        obs.join(F.broadcast(exp), "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            obs_ppm.alias("obs_ppm"),
+            F.col("exp_ppm"),
+            F.abs(obs_ppm - F.col("exp_ppm")).cast("bigint").alias("dev_ppm"),
+        )
+    )
+
+
+# --------------------------------- referential-integrity audit (data CI)
+
+# (child table, fk column, parent table, pk column) — the testdata
+# schema's FK graph, audited edge by edge
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+@corpus_query(
+    "dq_referential_integrity",
+    oracle="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{child}.{fk}->{parent}' AS edge,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           CAST((SUM(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
+           ) THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+               AS orphan_ppm
+    FROM {child} c
+    """
+        for child, fk, parent, pk in _FK_EDGES
+    ),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY AUDIT — the data-CI gate a warehouse runs
+    after every load: one row per foreign-key edge of the schema with
+    the child row count, the orphan count (children whose FK matches no
+    parent key; NULL FKs count as orphans, matching anti-join/NOT
+    EXISTS semantics in both engines), and the orphan rate in ppm. A
+    companion to dq_table_checksum (content drift) and
+    dq_constraint_violations (row-local rules): this one is the
+    CROSS-TABLE rule class.
+
+    Scale design: each edge is one LEFT ANTI join on the key (the
+    parent side is distinct-projected first — dimension-sized parents
+    broadcast; the lineitem->orders edge is a data-sized shuffle
+    anti-join, the honest cost of auditing a fact-fact edge) plus a
+    map-combinable count; the result is |edges| rows unioned."""
+    from ..operators.rank import _idiv
+
+    rows = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = (
+            c.select(F.col(fk).alias("k"))
+            .join(
+                p.select(F.col(pk).alias("k")).distinct(), "k", "left_anti"
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        rows.append(
+            n_child.crossJoin(F.broadcast(orphans)).select(
+                F.lit(f"{child}.{fk}->{parent}").alias("edge"),
+                F.col("n_child").cast("bigint").alias("n_child"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                _idiv(
+                    F.col("n_orphans") * F.lit(1000000), F.col("n_child")
+                ).alias("orphan_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ------------------------------------ Pareto skyline (dominance frontier)
+
+
+@corpus_query(
+    "o7_pareto_skyline_orders",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT)
+                   AS price_cents,
+               o_orderdate
+        FROM orders
+    ),
+    scan AS (
+        SELECT o_orderkey, price_cents, o_orderdate,
+               MIN(o_orderdate) OVER (
+                   ORDER BY price_cents, o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pm
+        FROM base
+    )
+    SELECT o_orderkey, price_cents, o_orderdate
+    FROM scan WHERE pm IS NULL OR o_orderdate < pm
+    """,
+)
+def o7_pareto_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO SKYLINE (dominance frontier) of orders on (low price,
+    early date): the orders no other order beats on both axes — the
+    classic multi-criteria SKYLINE operator (Borzsony/Kossmann/Stocker
+    2001), realized by the sort-filter identity: under the strict order
+    (price, date, key), a row is on the frontier iff its date is
+    strictly below the minimum date of every preceding row. Equal
+    (price, date) duplicates keep only the first key — the standard
+    distinct-skyline convention, deterministic in both engines.
+
+    Scale design: the whole operator is ONE exclusive global prefix-min
+    (operators/rank.py::global_prefix_min — range-partition +
+    per-partition window + broadcast per-partition minima, the
+    global_rank machinery with min instead of sum; no unpartitioned
+    window) plus a scan-stage filter. Output is the frontier — O(log n)
+    expected rows on independent axes."""
+    from ..operators.rank import global_prefix_min
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("price_cents"),
+        "o_orderdate",
+    )
+    scan = global_prefix_min(
+        base,
+        ["price_cents", "o_orderdate", "o_orderkey"],
+        "o_orderdate",
+        out_col="pm",
+    )
+    return scan.filter(
+        F.col("pm").isNull() | (F.col("o_orderdate") < F.col("pm"))
+    ).select("o_orderkey", "price_cents", "o_orderdate")

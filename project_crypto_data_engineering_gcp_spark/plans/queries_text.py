@@ -1579,3 +1579,74 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# ------------------------- token rank-frequency curve (Zipf audit, r8)
+
+RANK_CURVE_TOPK = 20
+
+
+@corpus_query(
+    "text_token_rank_curve",
+    oracle=f"""
+    WITH counts AS (
+        SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({tokens_sql("text")}) AS tok FROM documents) t
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cnt) AS t FROM counts),
+    ranked AS (
+        SELECT token, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+        FROM counts
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= {RANK_CURVE_TOPK}),
+    scan AS (
+        SELECT rk, token, cnt, SUM(cnt) OVER (ORDER BY rk) AS cum
+        FROM top
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, token, cnt,
+           CAST((cnt * 1000000) // tot.t AS BIGINT) AS share_ppm,
+           CAST((cum * 1000000) // tot.t AS BIGINT) AS cum_share_ppm
+    FROM scan CROSS JOIN tot
+    """,
+)
+def text_token_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN RANK-FREQUENCY CURVE — the top-{RANK_CURVE_TOPK} corpus
+    tokens with rank, count, corpus share, and CUMULATIVE share (ppm):
+    the Zipf head a curation pipeline watches for boilerplate takeover
+    (a healthy natural corpus puts a bounded share in the head; a
+    scrape gone wrong concentrates it). Exact integer shares — no
+    log-log fit, just the head-of-distribution data the fit would
+    summarize (integer doctrine: no transcendentals).
+
+    Scale design: token counts are ONE map-combinable explode+groupBy;
+    the head selection rides global_rank on (-count, token) (range
+    partition + offsets, no unpartitioned window) and the cumulative
+    share a global_prefix_sum over the {RANK_CURVE_TOPK}-row head —
+    machinery-uniform even where a plain window would do, keeping the
+    corpus-wide no-unpartitioned-window invariant unconditional."""
+    from ..operators.rank import _idiv, global_prefix_sum, global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds the total AND the ranking
+    )
+    tot = counts.agg(F.sum("cnt").cast("decimal(38,0)").alias("t"))
+    ranked = global_rank(
+        counts.withColumn("neg", -F.col("cnt")), ["neg", "token"], rank_col="rk"
+    )
+    top = ranked.filter(F.col("rk") <= RANK_CURVE_TOPK).drop("neg")
+    scan = global_prefix_sum(top, ["rk"], ["cnt"], prefix="cum_")
+    return scan.crossJoin(F.broadcast(tot)).select(
+        "rk",
+        "token",
+        "cnt",
+        _idiv(F.col("cnt") * F.lit(1000000), F.col("t")).alias("share_ppm"),
+        _idiv(F.col("cum_cnt") * F.lit(1000000), F.col("t")).alias(
+            "cum_share_ppm"
+        ),
+    )

@@ -1048,6 +1048,40 @@ def test_global_prefix_sum_matches_pandas_cumsum(spark):
     assert (got["x"].to_numpy() == ref["x"].to_numpy()).all()
 
 
+def test_global_prefix_min_matches_pandas_exclusive_cummin(spark):
+    """Exclusive running min over strictly preceding rows must equal
+    pandas cummin().shift(1) under the same order (NaN/first row -> NULL),
+    regardless of input shuffling/partitioning — incl. partition
+    boundaries, where the preceding-partition minima broadcast kicks in."""
+    from project_crypto_data_engineering_gcp_spark.operators.rank import (
+        global_prefix_min,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(500, dtype="int64"),
+            "x": RNG.integers(-1000, 1000, size=500).astype("int64"),
+        }
+    )
+    shuffled = spark.createDataFrame(
+        pdf.sample(frac=1.0, random_state=13)
+    ).repartition(7)
+    got = (
+        global_prefix_min(shuffled, ["k"], "x", out_col="pm", num_partitions=5)
+        .orderBy("k")
+        .toPandas()
+    )
+    ref = pdf.sort_values("k").reset_index(drop=True)
+    expect = ref["x"].cummin().shift(1)  # exclusive: strictly preceding
+    assert got["pm"].isna().tolist() == expect.isna().tolist()
+    mask = ~expect.isna()
+    assert (
+        got["pm"][mask].to_numpy() == expect[mask].to_numpy()
+    ).all()
+    # pass-through columns intact
+    assert (got["x"].to_numpy() == ref["x"].to_numpy()).all()
+
+
 def test_table_checksum_localizes_many_edits_exactly(spark):
     """20 random single-cell edits on 20 distinct keys: the mismatching
     bucket set must be EXACTLY the set of edited keys' buckets — no
