@@ -4012,8 +4012,10 @@ def dq_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n1 AS BIGINT) AS n_in,
            CAST(tot.n - n1 AS BIGINT) AS n_out,
            CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2x,
-           CAST(((r2 - n1 * (n1 + 1)) * 1000000)
-                // (2 * n1 * (tot.n - n1)) AS BIGINT) AS u_ppm
+           CASE WHEN tot.n > n1 THEN
+               CAST(((r2 - n1 * (n1 + 1)) * 1000000)
+                    // (2 * n1 * (tot.n - n1)) AS BIGINT)
+           ELSE NULL END AS u_ppm
     FROM per_n CROSS JOIN tot
     """,
 )
@@ -4072,11 +4074,17 @@ def a30_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r2") - F.col("n1") * (F.col("n1") + 1))
         .cast("bigint")
         .alias("u2x"),
-        _idiv(
-            (F.col("r2") - F.col("n1") * (F.col("n1") + 1)) * F.lit(1000000),
-            F.lit(2) * F.col("n1") * (F.col("n") - F.col("n1")),
+        # n_out = 0 guard (one nation holds every customer): NULL in
+        # BOTH engines, the a27 divide-by-zero doctrine (code-review r8)
+        F.when(
+            F.col("n") > F.col("n1"),
+            _idiv(
+                (F.col("r2") - F.col("n1") * (F.col("n1") + 1))
+                * F.lit(1000000),
+                F.lit(2) * F.col("n1") * (F.col("n") - F.col("n1")),
+            ).cast("bigint"),
         )
-        .cast("bigint")
+        .otherwise(F.lit(None).cast("bigint"))
         .alias("u_ppm"),
     )
 
@@ -4204,8 +4212,9 @@ def a31_spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(r AS BIGINT) AS n_rows_dim,
            CAST(c AS BIGINT) AS n_cols_dim,
            CAST(chi2_ppm AS BIGINT) AS chi2_ppm,
-           CAST(chi2_ppm // (n * LEAST(r - 1, c - 1)) AS BIGINT)
-               AS v_sq_ppm
+           CASE WHEN LEAST(r - 1, c - 1) > 0 THEN
+               CAST(chi2_ppm // (n * LEAST(r - 1, c - 1)) AS BIGINT)
+           ELSE NULL END AS v_sq_ppm
     FROM s
     """,
 )
@@ -4259,15 +4268,18 @@ def a32_cramers_v_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("quadrant")).cast("bigint").alias("c"),
         F.sum("chi2_cell_ppm").cast("bigint").alias("chi2_ppm"),
     )
+    # degenerate-table guard (single event_type or single quadrant →
+    # min(r-1, c-1) = 0): NULL in BOTH engines, the a27 divide-by-zero
+    # doctrine (code-review r8)
+    mindim = F.least(F.col("r") - 1, F.col("c") - 1)
     return s.select(
         F.col("n").cast("bigint").alias("n"),
         F.col("r").alias("n_rows_dim"),
         F.col("c").alias("n_cols_dim"),
         "chi2_ppm",
-        _idiv(
-            F.col("chi2_ppm"),
-            F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1),
-        ).alias("v_sq_ppm"),
+        F.when(mindim > 0, _idiv(F.col("chi2_ppm"), F.col("n") * mindim))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("v_sq_ppm"),
     )
 
 
@@ -4477,11 +4489,19 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combinable count; the result is |edges| rows unioned."""
     from ..operators.rank import _idiv
 
+    # one count aggregate per DISTINCT child table — lineitem is the
+    # child of three edges and must not pay three identical full-scan
+    # counts (code-review r8)
+    child_counts = {
+        t: load_table(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n_child"))
+        .localCheckpoint(eager=True)
+        for t in {e[0] for e in _FK_EDGES}
+    }
     rows = []
     for child, fk, parent, pk in _FK_EDGES:
         c = load_table(spark, sf_dir, child)
         p = load_table(spark, sf_dir, parent)
-        n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
         orphans = (
             c.select(F.col(fk).alias("k"))
             .join(
@@ -4490,7 +4510,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orphans"))
         )
         rows.append(
-            n_child.crossJoin(F.broadcast(orphans)).select(
+            child_counts[child].crossJoin(F.broadcast(orphans)).select(
                 F.lit(f"{child}.{fk}->{parent}").alias("edge"),
                 F.col("n_child").cast("bigint").alias("n_child"),
                 F.col("n_orphans").cast("bigint").alias("n_orphans"),

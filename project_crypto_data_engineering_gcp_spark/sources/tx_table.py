@@ -215,14 +215,26 @@ def _find_txn(table: str, txn: tuple[str, int]) -> TxSnapshot | None:
     return None
 
 
+def _walk_legacy(table: str):
+    """os.walk over the table EXCLUDING the log/staging subtrees —
+    pruned at the walk level (``dirnames`` edit on a topdown walk), so
+    a vacuum of a table with thousands of staging dirs never stats them
+    here (code-review r8; the old relpath filter still descended into
+    and listed every pruned directory)."""
+    for dirpath, dirnames, names in os.walk(table, topdown=True):
+        if dirpath == table:
+            dirnames[:] = [
+                d for d in dirnames if d not in (_LOG_DIR, _DATA_DIR)
+            ]
+        yield dirpath, dirnames, names
+
+
 def _legacy_files(table: str) -> list[str]:
     """Parquet OUTSIDE the log/staging subtrees — the pre-txlog layout
     :func:`_adopt_legacy` migrates."""
     return sorted(
         os.path.join(dirpath, f)
-        for dirpath, _, names in os.walk(table)
-        if _LOG_DIR not in os.path.relpath(dirpath, table).split(os.sep)
-        and _DATA_DIR not in os.path.relpath(dirpath, table).split(os.sep)
+        for dirpath, _, names in _walk_legacy(table)
         for f in names
         if f.endswith(".parquet")
     )
@@ -528,17 +540,18 @@ def _prune_empty_legacy_dirs(table: str) -> None:
     whose parquet has all been vacuumed: Spark's ``_SUCCESS``/``.crc``
     sidecars go with them, exactly like the staging-dir rmtree above.
     The table root itself is never removed (a root-level ``_SUCCESS``
-    from the legacy write is harmless and stays)."""
-    for dirpath, dirnames, names in os.walk(table, topdown=False):
-        rel = os.path.relpath(dirpath, table)
-        if rel == os.curdir:
-            continue
-        parts = rel.split(os.sep)
-        if parts[0] in (_LOG_DIR, _DATA_DIR):
-            continue
-        # bottom-up walk: a child removed earlier this pass still sits
-        # in dirnames, so check the filesystem, not the stale listing
-        if any(os.path.isdir(os.path.join(dirpath, d)) for d in dirnames):
+    from the legacy write is harmless and stays). One pruned topdown
+    walk, processed in reverse (children before parents) so emptied
+    parents cascade — a live re-list per dir, because a child removed
+    earlier in the pass still sits in the recorded walk entries."""
+    dirs = [dp for dp, _, _ in _walk_legacy(table) if dp != table]
+    for dirpath in reversed(dirs):
+        try:
+            names = os.listdir(dirpath)
+        except FileNotFoundError:
+            continue  # removed with an ancestor? (defensive; reversed
+            # order deletes children first, so normally unreachable)
+        if any(os.path.isdir(os.path.join(dirpath, d)) for d in names):
             continue  # a surviving child dir means live data below
         if all(
             f in _SIDECARS or f.endswith(".crc") or f.startswith(".")

@@ -260,3 +260,65 @@ def test_pr_auc_zero_positives_guard(spark, tmp_path):
     duck = con.execute(q.oracle).df()
     con.close()
     assert duck["n_pos"][0] == 0 and duck["ap_ppm"].isna().all()
+
+
+def test_mann_whitney_single_nation_guard(spark, tmp_path):
+    """a30_mann_whitney_u on a slice where ONE nation holds every
+    customer (n_out = 0) must yield NULL u_ppm in BOTH engines instead
+    of a DuckDB division-by-zero (code-review r8; a27 doctrine)."""
+    import duckdb
+
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 7, 100.50), (2, 7, -3.25), (3, 7, 8.00)],
+        "c_custkey long, c_nationkey long, c_acctbal double",
+    ).write.parquet(f"{sf_dir}/customer.parquet")
+
+    q = get_query("a30_mann_whitney_u")
+    row = q.fn(spark, sf_dir).collect()[0]
+    assert row["n_in"] == 3 and row["n_out"] == 0 and row["u_ppm"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/customer.parquet/*.parquet')"
+    )
+    duck = con.execute(q.oracle).df()
+    con.close()
+    assert duck["n_out"][0] == 0 and duck["u_ppm"].isna().all()
+
+
+def test_cramers_v_degenerate_table_guard(spark, tmp_path):
+    """a32_cramers_v_sq on a slice with a SINGLE event_type
+    (min(r-1, c-1) = 0) must yield NULL v_sq_ppm in BOTH engines
+    (code-review r8; a27 doctrine)."""
+    import datetime
+
+    import duckdb
+
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, datetime.datetime(2025, 1, 1, 2, 0, 0), 10, "view", 0.25, "{}"),
+            (2, datetime.datetime(2025, 1, 1, 14, 0, 0), 11, "view", 0.75, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    q = get_query("a32_cramers_v_sq")
+    row = q.fn(spark, sf_dir).collect()[0]
+    assert row["n_rows_dim"] == 1 and row["v_sq_ppm"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    duck = con.execute(q.oracle).df()
+    con.close()
+    assert duck["n_rows_dim"][0] == 1 and duck["v_sq_ppm"].isna().all()
