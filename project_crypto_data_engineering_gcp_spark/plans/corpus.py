@@ -138,11 +138,20 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_embedding_norms",
     "text_fingerprint",
     "text_lang_id",
-    # ---- ROLLOVER QUEUE (positions 51+): the 22 remaining r4-latest
-    # refreshers that did not fit the 50-slot window — they follow any
-    # r8 additions (policy (a)) when the r9 window is cut. (These HAVE
-    # green r4 rows; listing them documents the r9 plan and keeps the
-    # rotation auditable.) ----
+    # ---- ROLLOVER QUEUE (positions 51+), in r9-window order ----
+    # r8 additions (policy (a): never driver-checked — they LEAD the r9
+    # window; all pass local parity at sf0.01 AND sf0.1) ----
+    "a30_mann_whitney_u",
+    "a31_spearman_spend_orders",
+    "a32_cramers_v_sq",
+    "a33_user_hhi_deciles",
+    "a34_benford_first_digit",
+    "dq_referential_integrity",
+    "o7_pareto_skyline_orders",
+    "text_token_rank_curve",
+    # ...then the 22 remaining r4-latest refreshers that did not fit the
+    # 50-slot window (policy (c); these HAVE green r4 rows — listing
+    # them documents the r9 plan and keeps the rotation auditable) ----
     "text_quality_score",
     "text_redacted",
     "text_tfidf_topk",
