@@ -4460,13 +4460,14 @@ _FK_EDGES = (
         f"""
     SELECT '{child}.{fk}->{parent}' AS edge,
            CAST(COUNT(*) AS BIGINT) AS n_child,
-           CAST(SUM(CASE WHEN NOT EXISTS (
+           CAST(COALESCE(SUM(CASE WHEN NOT EXISTS (
                SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
-           ) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-           CAST((SUM(CASE WHEN NOT EXISTS (
-               SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
-           ) THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
-               AS orphan_ppm
+           ) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans,
+           CASE WHEN COUNT(*) > 0 THEN
+               CAST((COALESCE(SUM(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
+               ) THEN 1 ELSE 0 END), 0) * 1000000) // COUNT(*) AS BIGINT)
+           ELSE NULL END AS orphan_ppm
     FROM {child} c
     """
         for child, fk, parent, pk in _FK_EDGES
@@ -4514,9 +4515,17 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"{child}.{fk}->{parent}").alias("edge"),
                 F.col("n_child").cast("bigint").alias("n_child"),
                 F.col("n_orphans").cast("bigint").alias("n_orphans"),
-                _idiv(
-                    F.col("n_orphans") * F.lit(1000000), F.col("n_child")
-                ).alias("orphan_ppm"),
+                # empty-child guard: NULL ppm in BOTH engines (the a27
+                # divide-by-zero doctrine; code-review r8, second pass)
+                F.when(
+                    F.col("n_child") > 0,
+                    _idiv(
+                        F.col("n_orphans") * F.lit(1000000),
+                        F.col("n_child"),
+                    ),
+                )
+                .otherwise(F.lit(None).cast("bigint"))
+                .alias("orphan_ppm"),
             )
         )
     out = rows[0]

@@ -220,12 +220,14 @@ def _walk_legacy(table: str):
     pruned at the walk level (``dirnames`` edit on a topdown walk), so
     a vacuum of a table with thousands of staging dirs never stats them
     here (code-review r8; the old relpath filter still descended into
-    and listed every pruned directory)."""
+    and listed every pruned directory). Pruned at EVERY depth, matching
+    the original any-path-component exclusion exactly: a nested dir
+    literally named ``data`` inside a legacy layout stays invisible to
+    adoption AND to the vacuum legacy sweep — narrowing the exclusion
+    to the table root would let vacuum delete files that were never
+    adopted into any manifest (code-review r8, second pass)."""
     for dirpath, dirnames, names in os.walk(table, topdown=True):
-        if dirpath == table:
-            dirnames[:] = [
-                d for d in dirnames if d not in (_LOG_DIR, _DATA_DIR)
-            ]
+        dirnames[:] = [d for d in dirnames if d not in (_LOG_DIR, _DATA_DIR)]
         yield dirpath, dirnames, names
 
 

@@ -322,3 +322,55 @@ def test_cramers_v_degenerate_table_guard(spark, tmp_path):
     duck = con.execute(q.oracle).df()
     con.close()
     assert duck["n_rows_dim"][0] == 1 and duck["v_sq_ppm"].isna().all()
+
+
+def test_referential_integrity_empty_child_guard(spark, tmp_path):
+    """dq_referential_integrity on a slice with an EMPTY child table
+    must agree between engines: n_orphans 0 (not NULL) and NULL
+    orphan_ppm on the empty child's edges (code-review r8 second pass;
+    a27 doctrine)."""
+    import duckdb
+
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 1)], "n_nationkey long, n_regionkey long"
+    ).write.parquet(f"{sf_dir}/nation.parquet")
+    spark.createDataFrame(
+        [(10, 1, 5.0)], "c_custkey long, c_nationkey long, c_acctbal double"
+    ).write.parquet(f"{sf_dir}/customer.parquet")
+    spark.createDataFrame(
+        [(20, 1)], "s_suppkey long, s_nationkey long"
+    ).write.parquet(f"{sf_dir}/supplier.parquet")
+    spark.createDataFrame([(30,)], "p_partkey long").write.parquet(
+        f"{sf_dir}/part.parquet"
+    )
+    spark.createDataFrame(
+        [(40, 10)], "o_orderkey long, o_custkey long"
+    ).write.parquet(f"{sf_dir}/orders.parquet")
+    # EMPTY lineitem — the degenerate child
+    spark.createDataFrame(
+        [], "l_orderkey long, l_partkey long, l_suppkey long"
+    ).write.parquet(f"{sf_dir}/lineitem.parquet")
+
+    q = get_query("dq_referential_integrity")
+    rows = {r["edge"]: r for r in q.fn(spark, sf_dir).collect()}
+    li_edge = rows["lineitem.l_orderkey->orders"]
+    assert li_edge["n_child"] == 0
+    assert li_edge["n_orphans"] == 0
+    assert li_edge["orphan_ppm"] is None
+
+    con = duckdb.connect()
+    for t in ("nation", "customer", "supplier", "part", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    duck = con.execute(q.oracle).df().set_index("edge")
+    con.close()
+    d = duck.loc["lineitem.l_orderkey->orders"]
+    assert int(d["n_orphans"]) == 0
+    import pandas as pd
+
+    assert pd.isna(d["orphan_ppm"])

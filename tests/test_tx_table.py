@@ -645,3 +645,30 @@ def test_run_silver_replay_after_ledger_crash_is_idempotent(spark, tmp_path):
     assert tx.snapshot(silver_path(out)).version == 0  # one commit total
     # and the ledger is now recorded: a rerun is a true no-op
     assert run_silver(spark, f"{landing}/coincap_data_*.json", out) == 0
+
+
+def test_nested_data_dir_stays_invisible_to_legacy_machinery(spark, tmp_path):
+    """A legacy layout containing a NESTED directory literally named
+    'data' (table/foo/data/x.parquet) is excluded from adoption by the
+    any-depth component filter — so vacuum's legacy sweep must never
+    delete it either: unadopted-but-invisible files are user data, not
+    reclaimable garbage (code-review r8 second pass: narrowing the
+    exclusion to the table root would have vacuumed them)."""
+    t = str(tmp_path / "tbl")
+    nested = os.path.join(t, "foo", "data")
+    spark.range(3).write.parquet(os.path.join(t, "legacy_top"))
+    spark.range(100, 103).write.parquet(nested)
+
+    # adoption sees ONLY the top-level legacy parquet
+    tx.commit(spark.range(10, 12), t, "append")
+    assert _ids(tx.read(spark, t)) == [0, 1, 2, 10, 11]
+
+    # overwrite + aged vacuum reclaims the ADOPTED legacy files...
+    tx.commit(spark.range(50, 52), t, "overwrite")
+    deleted = tx.vacuum(t, keep_last=1, retention_seconds=0)
+    assert any("legacy_top" in f for f in deleted)
+    # ...but never the invisible nested-'data' files
+    assert not any(os.sep + "foo" + os.sep in f for f in deleted)
+    nested_files = [f for f in os.listdir(nested) if f.endswith(".parquet")]
+    assert nested_files, "nested data/ parquet must survive vacuum"
+    assert _ids(tx.read(spark, t)) == [50, 51]

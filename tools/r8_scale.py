@@ -145,51 +145,65 @@ def main() -> None:
             F.col("pm").isNull() | (F.col("o_orderdate") < F.col("pm"))
         )
 
-    out = {"levels": list(LEVELS), "passes": PASSES, "shapes": {}}
+    def fk_anti_join(child, parent):
+        return child.join(
+            parent.withColumnRenamed("o_orderkey", "l_orderkey").distinct(),
+            "l_orderkey",
+            "left_anti",
+        )
+
+    # (builder, [(base frame, offset spec), ...]): at each level the
+    # bases are amplified + cached + materialized, the builder runs over
+    # them, and the caches are unpersisted (blocking) before the next
+    # level — letting x100 frames accumulate in storage would make the
+    # later shapes measure eviction pressure, not their plan
+    # (code-review r8)
     shapes = {
-        "mann_whitney": lambda n: (
-            lambda c=amplify(
-                spark, customer, n,
-                {"c_custkey": 10_000_000, "c_nationkey": 100, "v": 0},
-            ).localCheckpoint(eager=True): (lambda: mann_whitney(c))
-        )(),
-        "hhi_deciles": lambda n: (
-            lambda e=amplify(
-                spark, events_ut, n, {"user_id": 10_000_000, "event_type": 0}
-            ).localCheckpoint(eager=True): (lambda: hhi_deciles(e))
-        )(),
-        "skyline": lambda n: (
-            lambda o=amplify(
-                spark, orders, n,
-                {"o_orderkey": 100_000_000, "price_cents": 0, "o_orderdate": 0},
-            ).localCheckpoint(eager=True): (lambda: skyline(o))
-        )(),
-        "fk_anti_join": lambda n: (
-            lambda c=amplify(
-                spark, li, n, {"l_orderkey": 100_000_000}
-            ).localCheckpoint(eager=True),
-            p=amplify(
-                spark, okeys, n, {"o_orderkey": 100_000_000}
-            ).localCheckpoint(eager=True): (
-                lambda: c.join(
-                    p.withColumnRenamed("o_orderkey", "l_orderkey").distinct(),
-                    "l_orderkey",
-                    "left_anti",
-                )
-            )
-        )(),
+        "mann_whitney": (
+            mann_whitney,
+            [(customer, {"c_custkey": 10_000_000, "c_nationkey": 100, "v": 0})],
+        ),
+        "hhi_deciles": (
+            hhi_deciles,
+            [(events_ut, {"user_id": 10_000_000, "event_type": 0})],
+        ),
+        "skyline": (
+            skyline,
+            [(orders, {"o_orderkey": 100_000_000, "price_cents": 0,
+                       "o_orderdate": 0})],
+        ),
+        "fk_anti_join": (
+            fk_anti_join,
+            [
+                (li, {"l_orderkey": 100_000_000}),
+                (okeys, {"o_orderkey": 100_000_000}),
+            ],
+        ),
     }
-    for name, mk in shapes.items():
+    out = {"levels": list(LEVELS), "passes": PASSES, "shapes": {}}
+    for name, (builder, specs) in shapes.items():
         row: dict[str, float] = {}
         secs: dict[int, float] = {}
         for lvl in LEVELS:
-            fn = mk(lvl)
-            secs[lvl] = timed(fn)
+            # persist (CacheManager), not localCheckpoint: unpersist()
+            # on a checkpointed frame does NOT release the RDD blocks —
+            # only the cache is deterministically reclaimable
+            frames = [
+                amplify(spark, base, lvl, spec).persist()
+                for base, spec in specs
+            ]
+            for f in frames:
+                f.count()  # materialize the amplification up front
+            secs[lvl] = timed(lambda: builder(*frames))
             row[f"x{lvl}_sec"] = round(secs[lvl], 3)
-            spark.catalog.clearCache()
-        base = secs[LEVELS[0]]
+            for f in frames:
+                f.unpersist(True)
+        base_lvl = LEVELS[0]
         for lvl in LEVELS[1:]:
-            row[f"r{lvl}"] = round(secs[lvl] / base, 2)
+            # honest labels: the ratio names its own baseline, so an
+            # override like LEVELS=10,100 cannot masquerade as vs-x1
+            key = f"r{lvl}" if base_lvl == 1 else f"r{lvl}_vs_x{base_lvl}"
+            row[key] = round(secs[lvl] / secs[base_lvl], 2)
         out["shapes"][name] = row
         print(json.dumps({name: row}), flush=True)
     print(json.dumps(out))
