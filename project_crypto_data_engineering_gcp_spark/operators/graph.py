@@ -145,17 +145,36 @@ def kcore_peel(edges: DataFrame, *, k: int, rounds: int) -> DataFrame:
     )
 
 
-def label_propagation(edges: DataFrame, *, rounds: int) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, *, rounds: int, edge_partitions: int | None = None
+) -> DataFrame:
     """``(node, community)`` after ``rounds`` synchronous label-
     propagation rounds over the symmetrized edge frame ``(u, v)``:
     label = own id initially; each round every node adopts the most
     frequent label among its neighbors, ties to the SMALLEST label (a
     strict deterministic rule where textbook LPA breaks ties randomly).
     Per round: one edge-sized equi-join + a map-combinable (node,
-    label) count + a max_by aggregate — no window, no sort."""
+    label) count + a max_by aggregate — no window, no sort.
+
+    ``edge_partitions``: co-partitioned mode, same rationale as
+    :func:`pagerank_fixed_point` — the loop-invariant symmetrized edge
+    frame is cached pre-partitioned/pre-sorted on the join key ``u``
+    (localCheckpoint scans report UnknownPartitioning under AQE, so the
+    default path re-exchanges the edge-sized side every round); only
+    the node-sized label frame moves per round. Bit-identical output;
+    measured in SCALE.md "Iterative co-partitioning, LPA/BFS"."""
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    )
+    if edge_partitions:
+        sym = (
+            sym.repartition(edge_partitions, "u")
+            .sortWithinPartitions("u")
+            .persist()
+        )
+        sym.count()  # materialize once, before the rounds
+    else:
+        sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -173,21 +192,41 @@ def label_propagation(edges: DataFrame, *, rounds: int) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    if edge_partitions:
+        sym.unpersist()  # final labels are checkpoint-backed
     return labels.select("node", F.col("lbl").alias("community"))
 
 
 def bfs_distances(
-    edges: DataFrame, *, seed_mod: int, rounds: int
+    edges: DataFrame,
+    *,
+    seed_mod: int,
+    rounds: int,
+    edge_partitions: int | None = None,
 ) -> DataFrame:
     """``(node, d)`` = min hop distance (<= ``rounds``) from the seed set
     (node % seed_mod == 0) over the symmetrized edge frame ``(u, v)``;
     unreached nodes are absent. Fixed synchronous frontier rounds (the
     family's determinism technique). Per round: one equi-join of the
     node-sized distance frame against the edges + a map-combinable min
-    aggregate; lineage cut per round."""
+    aggregate; lineage cut per round.
+
+    ``edge_partitions``: co-partitioned mode — cache the loop-invariant
+    symmetrized edge frame pre-partitioned/pre-sorted on the join key
+    ``u`` so only the frontier moves per round (see
+    :func:`pagerank_fixed_point`); bit-identical output."""
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    )
+    if edge_partitions:
+        sym = (
+            sym.repartition(edge_partitions, "u")
+            .sortWithinPartitions("u")
+            .persist()
+        )
+        sym.count()  # materialize once, before the rounds
+    else:
+        sym = sym.localCheckpoint(eager=True)
     nodes = sym.select(F.col("u").alias("node")).distinct()
     dist = nodes.filter(F.col("node") % seed_mod == 0).select(
         "node", F.lit(0).cast("bigint").alias("d")
@@ -202,6 +241,8 @@ def bfs_distances(
             .agg(F.min("d").alias("d"))
             .localCheckpoint(eager=True)
         )
+    if edge_partitions:
+        sym.unpersist()  # final distances are checkpoint-backed
     return dist
 
 
