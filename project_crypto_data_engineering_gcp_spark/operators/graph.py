@@ -22,6 +22,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _pin_loop_invariant(
+    df: DataFrame, key: str, partitions: int | None
+) -> tuple[DataFrame, bool]:
+    """Prepare a LOOP-INVARIANT join frame for an iterative algorithm.
+
+    ``partitions`` set: co-partitioned mode — cache it pre-partitioned
+    and pre-sorted on ``key`` (an ``InMemoryRelation`` preserves
+    Catalyst partitioning/ordering, so every round's SortMergeJoin
+    skips the exchange AND the sort on this side; a ``localCheckpoint``
+    scan reports UnknownPartitioning under AQE and re-pays both every
+    round — probed r8, SCALE.md "PageRank co-partitioning experiment").
+    Otherwise: an eager localCheckpoint (the default; faster at
+    round-latency-floor scale where the cache build does not pay).
+
+    Returns ``(frame, persisted)``; a persisted frame must be
+    ``unpersist()``-ed by the caller once the loop's outputs no longer
+    reference it (every round's result is checkpoint-backed)."""
+    if partitions:
+        out = (
+            df.repartition(partitions, key)
+            .sortWithinPartitions(key)
+            .persist()
+        )
+        out.count()  # materialize once, before the rounds
+        return out, True
+    return df.localCheckpoint(eager=True), False
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     *,
@@ -61,16 +89,11 @@ def pagerank_fixed_point(
     )
     n_nodes = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    if edge_partitions:
-        edges_deg = (
-            e.join(deg, "src")
-            .repartition(edge_partitions, "src")
-            .sortWithinPartitions("src")
-            .persist()
-        )
-        edges_deg.count()  # materialize once, before the rounds
-    else:
-        edges_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    # co-partition only when the loop will actually run — at n_iters=0
+    # the frame is never joined and the cache build would be pure waste
+    edges_deg, pinned = _pin_loop_invariant(
+        e.join(deg, "src"), "src", edge_partitions if n_iters > 0 else None
+    )
     nodes_flag = (
         nodes.join(deg, nodes["node"] == deg["src"], "left")
         .select("node", F.col("deg").isNull().alias("dangling"))
@@ -105,7 +128,7 @@ def pagerank_fixed_point(
             )
             .localCheckpoint(eager=True)
         )
-    if edge_partitions:
+    if pinned:
         # the final ranks are checkpoint-backed, independent of the cache
         edges_deg.unpersist()
     return ranks.select("node", "r")
@@ -163,18 +186,15 @@ def label_propagation(
     default path re-exchanges the edge-sized side every round); only
     the node-sized label frame moves per round. Bit-identical output;
     measured in SCALE.md "Iterative co-partitioning, LPA/BFS"."""
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    sym, pinned = _pin_loop_invariant(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        "u",
+        # rounds=0 returns labels derived straight from sym — only pin
+        # (and later unpersist) when the loop actually runs
+        edge_partitions if rounds > 0 else None,
     )
-    if edge_partitions:
-        sym = (
-            sym.repartition(edge_partitions, "u")
-            .sortWithinPartitions("u")
-            .persist()
-        )
-        sym.count()  # materialize once, before the rounds
-    else:
-        sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -192,8 +212,8 @@ def label_propagation(
             )
             .localCheckpoint(eager=True)
         )
-    if edge_partitions:
-        sym.unpersist()  # final labels are checkpoint-backed
+    if pinned:
+        sym.unpersist()  # final labels are checkpoint-backed (rounds >= 1)
     return labels.select("node", F.col("lbl").alias("community"))
 
 
@@ -215,18 +235,15 @@ def bfs_distances(
     symmetrized edge frame pre-partitioned/pre-sorted on the join key
     ``u`` so only the frontier moves per round (see
     :func:`pagerank_fixed_point`); bit-identical output."""
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    sym, pinned = _pin_loop_invariant(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        "u",
+        # rounds=0 returns seed distances derived straight from sym —
+        # only pin (and later unpersist) when the loop actually runs
+        edge_partitions if rounds > 0 else None,
     )
-    if edge_partitions:
-        sym = (
-            sym.repartition(edge_partitions, "u")
-            .sortWithinPartitions("u")
-            .persist()
-        )
-        sym.count()  # materialize once, before the rounds
-    else:
-        sym = sym.localCheckpoint(eager=True)
     nodes = sym.select(F.col("u").alias("node")).distinct()
     dist = nodes.filter(F.col("node") % seed_mod == 0).select(
         "node", F.lit(0).cast("bigint").alias("d")
@@ -241,8 +258,8 @@ def bfs_distances(
             .agg(F.min("d").alias("d"))
             .localCheckpoint(eager=True)
         )
-    if edge_partitions:
-        sym.unpersist()  # final distances are checkpoint-backed
+    if pinned:
+        sym.unpersist()  # final distances are checkpoint-backed (rounds >= 1)
     return dist
 
 

@@ -17,37 +17,19 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
+
+from bench_common import amplify, assert_same_rows, timed
 
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "16,100").split(",")
 )
 PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
 EDGE_PARTITIONS = 64
-
-
-def amplify(spark, edges, n: int):
-    if n == 1:
-        return edges
-    offset = edges.agg(F.greatest(F.max("u"), F.max("v"))).collect()[0][0] + 1
-    copies = F.broadcast(spark.range(n).select(F.col("id").alias("_copy")))
-    return edges.crossJoin(copies).select(
-        (F.col("u") + F.col("_copy") * offset).alias("u"),
-        (F.col("v") + F.col("_copy") * offset).alias("v"),
-    )
-
-
-def timed(fn) -> float:
-    best = float("inf")
-    for _ in range(PASSES):
-        t0 = time.perf_counter()
-        fn().agg(F.count(F.lit(1))).collect()
-        best = min(best, time.perf_counter() - t0)
-    return best
 
 
 def main() -> None:
@@ -119,17 +101,21 @@ def main() -> None:
     for name, (baseline, copart, cols) in shapes.items():
         rows: dict[str, dict] = {}
         for lvl in LEVELS:
-            edges = (
-                amplify(spark, base, lvl)
-                .repartition(64, "u")
-                .localCheckpoint(eager=True)
+            # persist, not localCheckpoint: the amplified input must be
+            # deterministically reclaimable per level (code-review r8 —
+            # accumulated checkpoint blocks contaminate later timings)
+            edges = amplify(spark, base, lvl, ("u", "v")).repartition(
+                64, "u"
+            ).persist()
+            edges.count()
+            t_base = timed(lambda: baseline(edges), PASSES)
+            t_co = timed(lambda: copart(edges), PASSES)
+            # full-outer identity: missing/extra rows fail too
+            assert_same_rows(
+                baseline(edges), copart(edges), cols[0], cols[1],
+                f"{name} x{lvl}",
             )
-            t_base = timed(lambda: baseline(edges))
-            t_co = timed(lambda: copart(edges))
-            a = baseline(edges).withColumnRenamed(cols[1], "x")
-            b = copart(edges).withColumnRenamed(cols[1], "y")
-            diff = a.join(b, cols[0]).filter(F.col("x") != F.col("y")).count()
-            assert diff == 0, f"{name} x{lvl}: {diff} mismatches"
+            edges.unpersist(True)
             row = {
                 "baseline_sec": round(t_base, 3),
                 "copart_sec": round(t_co, 3),

@@ -28,11 +28,13 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
+
+from bench_common import amplify, assert_same_rows, timed
 
 LEVELS = tuple(
     int(x)
@@ -40,26 +42,6 @@ LEVELS = tuple(
 )
 PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
 EDGE_PARTITIONS = 64
-
-
-def amplify(spark, edges, n: int):
-    if n == 1:
-        return edges
-    offset = edges.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0] + 1
-    copies = F.broadcast(spark.range(n).select(F.col("id").alias("_copy")))
-    return edges.crossJoin(copies).select(
-        (F.col("src") + F.col("_copy") * offset).alias("src"),
-        (F.col("dst") + F.col("_copy") * offset).alias("dst"),
-    )
-
-
-def timed(fn) -> float:
-    best = float("inf")
-    for _ in range(PASSES):
-        t0 = time.perf_counter()
-        fn().agg(F.count(F.lit(1))).collect()
-        best = min(best, time.perf_counter() - t0)
-    return best
 
 
 def main() -> None:
@@ -90,13 +72,15 @@ def main() -> None:
     out = {"base_edges": base.count(), "edge_partitions": EDGE_PARTITIONS,
            "passes": PASSES, "levels": {}}
     for lvl in LEVELS:
-        edges = (
-            amplify(spark, base, lvl)
-            .repartition(64, "src")
-            .localCheckpoint(eager=True)
-        )
+        # persist, not localCheckpoint: deterministically reclaimable
+        # per level (code-review r8)
+        edges = amplify(spark, base, lvl, ("src", "dst")).repartition(
+            64, "src"
+        ).persist()
+        edges.count()
         t_base = timed(
-            lambda: pagerank_fixed_point(edges, n_iters=PR_ITERS, scale=PR_SCALE)
+            lambda: pagerank_fixed_point(edges, n_iters=PR_ITERS, scale=PR_SCALE),
+            PASSES,
         )
         t_co = timed(
             lambda: pagerank_fixed_point(
@@ -104,16 +88,20 @@ def main() -> None:
                 n_iters=PR_ITERS,
                 scale=PR_SCALE,
                 edge_partitions=EDGE_PARTITIONS,
-            )
+            ),
+            PASSES,
         )
-        # bit-identity: same ranks either way (one pass, order-insensitive)
-        a = pagerank_fixed_point(edges, n_iters=PR_ITERS, scale=PR_SCALE)
-        b = pagerank_fixed_point(
-            edges, n_iters=PR_ITERS, scale=PR_SCALE,
-            edge_partitions=EDGE_PARTITIONS,
+        # full-outer identity: missing/extra rows fail too, not just
+        # value mismatches on the intersection (code-review r8)
+        assert_same_rows(
+            pagerank_fixed_point(edges, n_iters=PR_ITERS, scale=PR_SCALE),
+            pagerank_fixed_point(
+                edges, n_iters=PR_ITERS, scale=PR_SCALE,
+                edge_partitions=EDGE_PARTITIONS,
+            ),
+            "node", "r", f"x{lvl}",
         )
-        diff = a.join(b, "node").filter(a["r"] != b["r"]).count()
-        assert diff == 0, f"x{lvl}: {diff} rank mismatches"
+        edges.unpersist(True)
         row = {
             "baseline_sec": round(t_base, 3),
             "copart_sec": round(t_co, 3),
