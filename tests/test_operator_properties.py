@@ -1117,3 +1117,122 @@ def test_table_checksum_localizes_many_edits_exactly(spark):
     )
     got = set(cmp_df.loc[~cmp_df["bucket_match"], "bucket"].astype(int))
     assert got == expected
+
+
+def _new_stats_fixture_dir(spark, tmp_path, n=400):
+    """Random customer/orders parquet slices (with deliberate acctbal
+    ties and duplicate (price, date) orders) for the r8 stats queries'
+    sequential-reference tests."""
+    import datetime
+
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n, dtype="int64"),
+            "c_nationkey": RNG.integers(0, 7, size=n).astype("int64"),
+            # coarse grid -> plenty of exact ties across nations
+            "c_acctbal": (RNG.integers(-40, 40, size=n) * 0.25),
+        }
+    )
+    n_ord = n * 3
+    dates = [
+        datetime.date(2025, 1, 1) + datetime.timedelta(days=int(d))
+        for d in RNG.integers(0, 90, size=n_ord)
+    ]
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_ord, dtype="int64"),
+            "o_custkey": RNG.integers(0, n, size=n_ord).astype("int64"),
+            # coarse price grid -> duplicate (price, date) pairs exist
+            "o_totalprice": (RNG.integers(10, 60, size=n_ord) * 1.5),
+            "o_orderdate": dates,
+        }
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(cust).write.parquet(f"{sf_dir}/customer.parquet")
+    spark.createDataFrame(orders).write.parquet(f"{sf_dir}/orders.parquet")
+    return sf_dir, cust, orders
+
+
+def test_mann_whitney_matches_pairwise_reference(spark, tmp_path):
+    """a30's rank-sum U must equal the O(n^2) pairwise definition
+    2U = 2*#(in > out) + #(in = out) computed directly in numpy — an
+    INDEPENDENT reference (no ranks at all), so a tie-handling or
+    offset bug in the distributed rank machinery cannot self-confirm."""
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir, cust, _ = _new_stats_fixture_dir(spark, tmp_path)
+    got = {
+        r["c_nationkey"]: r
+        for r in get_query("a30_mann_whitney_u").fn(spark, sf_dir).collect()
+    }
+    v = (cust["c_acctbal"] * 100).round().astype("int64").to_numpy()
+    for nk in sorted(cust["c_nationkey"].unique()):
+        inside = v[cust["c_nationkey"].to_numpy() == nk]
+        outside = v[cust["c_nationkey"].to_numpy() != nk]
+        gt = int((inside[:, None] > outside[None, :]).sum())
+        eq = int((inside[:, None] == outside[None, :]).sum())
+        u2x_ref = 2 * gt + eq
+        r = got[int(nk)]
+        assert r["u2x"] == u2x_ref, nk
+        assert r["n_in"] == len(inside) and r["n_out"] == len(outside)
+        assert r["u_ppm"] == (u2x_ref * 1000000) // (2 * len(inside) * len(outside))
+
+
+def test_skyline_matches_bruteforce_dominance(spark, tmp_path):
+    """o7's sort-filter skyline must equal the O(n^2) dominance
+    definition computed directly: a point survives iff no other point
+    is <= on both axes and < on at least one — with equal-(price, date)
+    duplicates keeping only the smallest key (the query's documented
+    distinct-skyline convention)."""
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir, _, orders = _new_stats_fixture_dir(spark, tmp_path)
+    got = sorted(
+        r["o_orderkey"]
+        for r in get_query("o7_pareto_skyline_orders").fn(spark, sf_dir).collect()
+    )
+    p = (orders["o_totalprice"] * 100).round().astype("int64").to_numpy()
+    d = orders["o_orderdate"].to_numpy()
+    k = orders["o_orderkey"].to_numpy()
+    expect = []
+    for i in range(len(orders)):
+        dominated = (
+            ((p <= p[i]) & (d < d[i]))
+            | ((p < p[i]) & (d <= d[i]))
+        ).any()
+        first_dup = not (
+            ((p == p[i]) & (d == d[i]) & (k < k[i])).any()
+        )
+        if not dominated and first_dup:
+            expect.append(int(k[i]))
+    assert got == sorted(expect)
+
+
+def test_spearman_matches_sequential_reference(spark, tmp_path):
+    """a31's distributed two-rank Spearman must equal the sequential
+    computation of the SAME definition (strict-order ranks with custkey
+    tiebreak, d-squared identity) done in pandas — validating the
+    global_rank machinery and the decimal arithmetic against a
+    single-threaded reference."""
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir, _, orders = _new_stats_fixture_dir(spark, tmp_path)
+    row = get_query("a31_spearman_spend_orders").fn(spark, sf_dir).collect()[0]
+
+    per_c = (
+        orders.assign(cents=(orders["o_totalprice"] * 100).round().astype("int64"))
+        .groupby("o_custkey")
+        .agg(spend=("cents", "sum"), cnt=("o_orderkey", "count"))
+        .reset_index()
+    )
+    rk_s = per_c.sort_values(["spend", "o_custkey"]).reset_index()
+    rk_s["rk_s"] = np.arange(1, len(rk_s) + 1)
+    rk_c = per_c.sort_values(["cnt", "o_custkey"]).reset_index()
+    rk_c["rk_c"] = np.arange(1, len(rk_c) + 1)
+    m = rk_s.merge(rk_c, on="o_custkey")
+    n = len(m)
+    sum_d2 = int(((m["rk_s"] - m["rk_c"]) ** 2).sum())
+    rho_ppm = 1000000 - (6000000 * sum_d2) // (n * (n * n - 1))
+    assert row["n"] == n
+    assert row["sum_d2"] == sum_d2
+    assert row["rho_ppm"] == rho_ppm
