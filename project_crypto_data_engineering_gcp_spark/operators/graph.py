@@ -134,35 +134,47 @@ def pagerank_fixed_point(
     return ranks.select("node", "r")
 
 
-def kcore_peel(edges: DataFrame, *, k: int, rounds: int) -> DataFrame:
+def kcore_peel(
+    edges: DataFrame, *, k: int, rounds: int, broadcast_survivors: bool = True
+) -> DataFrame:
     """``(node, core_degree)`` after ``rounds`` fixed peel rounds of
     "drop nodes with degree < k" over the symmetrized undirected edge
     frame ``(u, v)``. Fixed-round (not to-convergence) for the same
     determinism reason as :func:`pagerank_fixed_point`; when the peel
-    has converged the output is the true k-core. Survivor lists are
-    broadcast (support-filtered node domain; swap for shuffle joins on
-    a data-sized graph). ``localCheckpoint`` per round: the survivor
-    frame is referenced twice per round (degree count + edge filter),
-    so an uncut plan re-evaluates the base 2^rounds times."""
+    has converged the output is the true k-core. ``localCheckpoint``
+    per round: the survivor frame is referenced twice per round (degree
+    count + edge filter), so an uncut plan re-evaluates the base
+    2^rounds times.
+
+    ``broadcast_survivors``: the survivor list is a support-filtered
+    NODE domain — broadcast-joining it (default) is right while it fits
+    in executor memory, but at 100 TB a billion-node survivor set does
+    not broadcast; ``False`` switches both per-round filters to shuffle
+    SEMI-joins (identical results — the survivor key is unique by
+    construction), the honest at-scale path (r8: an actual parameter,
+    not just the docstring caveat it used to be)."""
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         # materialize the survivor list ONCE per round: it feeds TWO
-        # broadcast joins (src + dst filter), and uncut each broadcast
-        # exchange would re-run the degree aggregate over the full edge
-        # frame — doubling exactly the per-round cost this operator's
-        # scale model counts
+        # joins (src + dst filter), and uncut each join would re-run
+        # the degree aggregate over the full edge frame — doubling
+        # exactly the per-round cost this operator's scale model counts
         keep = (
             deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=True)
         )
-        sym = (
-            sym.join(F.broadcast(keep), "u")
-            .join(F.broadcast(keep.withColumnRenamed("u", "v")), "v")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
+        keep_v = keep.withColumnRenamed("u", "v")
+        if broadcast_survivors:
+            filtered = sym.join(F.broadcast(keep), "u").join(
+                F.broadcast(keep_v), "v"
+            )
+        else:
+            filtered = sym.join(keep, "u", "left_semi").join(
+                keep_v, "v", "left_semi"
+            )
+        sym = filtered.select("u", "v").localCheckpoint(eager=True)
     return sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )

@@ -298,3 +298,32 @@ def test_triangle_counts_big_ids_match_python_reference(spark):
             for r in triangle_node_counts(edges, oriented_edges(edges)).collect()
         }
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_kcore_shuffle_survivors_matches_broadcast(spark):
+    """The at-scale shuffle-semi-join survivor path must return exactly
+    the broadcast path's result (the survivor key is unique by
+    construction, so semi-join == inner-join-then-project here)."""
+    from project_crypto_data_engineering_gcp_spark.operators.graph import (
+        kcore_peel,
+    )
+    from project_crypto_data_engineering_gcp_spark.plans.queries_graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        _basket_edges,
+    )
+
+    from .conftest import SF_SMOKE
+
+    edges = _basket_edges(spark, SF_SMOKE).select("u", "v")
+    a = {
+        (r["node"], r["core_degree"])
+        for r in kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS).collect()
+    }
+    b = {
+        (r["node"], r["core_degree"])
+        for r in kcore_peel(
+            edges, k=KCORE_K, rounds=KCORE_ROUNDS, broadcast_survivors=False
+        ).collect()
+    }
+    assert a == b and a, "shuffle and broadcast survivor paths must agree"

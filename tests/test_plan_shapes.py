@@ -972,3 +972,52 @@ def test_distinctive_terms_window_group_limit(spark):
         l for l in plan.splitlines() if "documents.parquet" in l and "Scan" in l
     ]
     assert len(scans) == 0, scans  # per_lang is an ExistingRDD checkpoint
+
+
+def test_r8_rank_consumers_no_unpartitioned_window(spark):
+    """The five r8 queries riding the global rank/prefix machinery must
+    never compile an UNPARTITIONED window (the funnel the machinery
+    exists to avoid): every windowspecdefinition carries a partition
+    column before its first sort-order argument."""
+    import re
+
+    for name in (
+        "a30_mann_whitney_u",
+        "a31_spearman_spend_orders",
+        "a33_user_hhi_deciles",
+        "o7_pareto_skyline_orders",
+        "text_token_rank_curve",
+    ):
+        plan = plan_of(QUERIES[name].fn(spark, SF_ORACLE), "extended")
+        specs = re.findall(
+            r"windowspecdefinition\([^)]*?specifiedwindowframe", plan
+        )
+        if not specs:
+            # the rank stage was checkpoint-materialized at build time
+            # (a30 checkpoints its ranked frame): the window already
+            # EXECUTED inside global_rank — whose pid-partitioned spec
+            # the operator-level tests pin — and the returned plan
+            # reads the result as an RDD scan
+            assert "ExistingRDD" in plan, name
+            continue
+        unpartitioned = [
+            s
+            for s in specs
+            if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
+        ]
+        assert not unpartitioned, (name, unpartitioned)
+
+
+def test_benford_and_fk_audit_single_pass_shapes(spark):
+    """a34 must be one map-combinable aggregate over a scan-stage
+    projection (partial_count before the exchange, broadcast expected
+    table); dq_referential_integrity must gate every edge on an
+    equality key (anti joins, no nested loop)."""
+    plan = plan_of(QUERIES["a34_benford_first_digit"].fn(spark, SF_ORACLE))
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["dq_referential_integrity"].fn(spark, SF_ORACLE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
