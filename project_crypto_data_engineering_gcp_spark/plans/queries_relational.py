@@ -4574,7 +4574,14 @@ def o7_pareto_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition window + broadcast per-partition minima, the
     global_rank machinery with min instead of sum; no unpartitioned
     window) plus a scan-stage filter. Output is the frontier — O(log n)
-    expected rows on independent axes."""
+    expected rows on independent axes.
+
+    Complements skyline_pareto_parts (queries_olap_deep.py): that one
+    collapses to the DISTINCT-price aggregate first and windows the
+    dimension-sized result; this one keeps row grain (per-order
+    identity, keep-first-key duplicate semantics) and stays fully
+    partitioned, so it holds even when the distinct-key count is
+    data-sized — the two ends of the skyline cost spectrum."""
     from ..operators.rank import global_prefix_min
 
     orders = load_table(spark, sf_dir, "orders")
