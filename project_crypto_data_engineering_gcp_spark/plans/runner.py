@@ -115,14 +115,20 @@ def run_silver(
         # — closing that needs the ledger folded into the same commit.
         counts = silver.groupBy("_source_file").agg(F.count(F.lit(1)).alias("n_rows"))
         batch_files = sorted(r[0] for r in counts.select("_source_file").collect())
-        batch_id = int.from_bytes(
-            hashlib.sha256("\n".join(batch_files).encode()).digest()[:8], "big"
-        ) >> 1  # 63-bit: Delta's txnVersion is a signed long
+        # Batch identity lives in the APP ID, not the version: Delta's
+        # txnAppId/txnVersion contract skips any write whose version is
+        # <= the last recorded one per appId, so hash-derived versions
+        # under ONE appId would silently drop ~half of all legitimate
+        # new batches (ADVICE r9 high). Scoping the digest into the
+        # appId (like stream_silver's stream-identity appId) makes a
+        # replay an exact (appId, 0) repeat — skipped — while every new
+        # batch gets a fresh appId with no prior version — applied.
+        digest = hashlib.sha256("\n".join(batch_files).encode()).hexdigest()
         write_history(
             silver.drop("_source_file"),
             silver_path(out_dir),
             partition_by=["dt"],
-            txn=("run_silver", batch_id),
+            txn=(f"run_silver:{digest}", 0),
         )
         record_ingested(out_dir, counts)
     silver.unpersist()

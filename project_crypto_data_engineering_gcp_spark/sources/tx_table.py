@@ -231,6 +231,28 @@ def _walk_legacy(table: str):
         yield dirpath, dirnames, names
 
 
+def _adopted_ledger_file(table: str) -> str:
+    return os.path.join(_log_path(table), "adopted.json")
+
+
+def _adopted_files(table: str) -> set[str]:
+    """Files the table actually ADOPTED at migration (version 0) — the
+    only legacy paths vacuum may reclaim. Sources, in order: the durable
+    adoption ledger, else a still-present version-0 ``adopt`` manifest
+    (tables migrated before the ledger existed; backfills the ledger
+    shape implicitly). When neither survives, returns empty — leaking an
+    adopted file beats destroying a user one (ADVICE r9)."""
+    with contextlib.suppress(FileNotFoundError, json.JSONDecodeError):
+        with open(_adopted_ledger_file(table)) as fh:
+            return set(json.load(fh))
+    with contextlib.suppress(FileNotFoundError, json.JSONDecodeError, KeyError):
+        with open(_manifest_file(table, 0)) as fh:
+            m = json.load(fh)
+        if m.get("mode") == "adopt":
+            return set(m["files"])
+    return set()
+
+
 def _legacy_files(table: str) -> list[str]:
     """Parquet OUTSIDE the log/staging subtrees — the pre-txlog layout
     :func:`_adopt_legacy` migrates."""
@@ -313,6 +335,22 @@ def _adopt_legacy(table: str, pby: tuple[str, ...]) -> None:
         os.link(tmp, _manifest_file(table, 0))
     with contextlib.suppress(FileNotFoundError):
         os.unlink(tmp)
+    # Durable adoption ledger: vacuum's legacy sweep may only reclaim
+    # files that were ACTUALLY adopted into the table. The version-0
+    # manifest records them, but vacuum eventually deletes old
+    # manifests — this ledger (never vacuumed) preserves the record, so
+    # an unadopted parquet landing in the table directory AFTER the
+    # first commit is user data the sweep must never touch (ADVICE r9).
+    # Concurrent adopters write identical content; link-loser is a no-op.
+    tmp2 = tmp + ".ledger"
+    with open(tmp2, "w") as fh:
+        json.dump(sorted(legacy), fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    with contextlib.suppress(FileExistsError):
+        os.link(tmp2, _adopted_ledger_file(table))
+    with contextlib.suppress(FileNotFoundError):
+        os.unlink(tmp2)
 
 
 def commit(
@@ -470,18 +508,35 @@ def commit(
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(tmp)
             if missing_base:
-                # inherited files gone: retrying cannot heal this (the
-                # base snapshot itself references reclaimed data) and a
-                # silent retry would propagate the dangling paths — or,
-                # worse, let a stalled writer's duplicate rows land on
-                # top of them. Hard error; the operator must repair or
-                # re-seed the table.
-                raise RuntimeError(
-                    f"base snapshot of {table!r} references missing data"
-                    f" files (retention-window violation upstream);"
-                    f" refusing to commit over a corrupt base:"
-                    f" {missing_base[:3]}"
+                # inherited files gone — but distinguish the TRANSIENT
+                # race this very branch creates from genuine corruption:
+                # the base we pinned may have been a momentarily-visible
+                # version a stalled writer linked and then retracted
+                # (the rollback above). Re-read the now-latest snapshot;
+                # if ITS files are all present the pinned base was
+                # merely retracted and a retry composes against a
+                # healthy base. Hard-error only when the genuinely-
+                # latest snapshot references missing data — a real
+                # retention-window violation retries cannot heal, where
+                # a silent retry would propagate dangling paths or let a
+                # stalled writer's duplicate rows land (ADVICE r9).
+                latest = _versions(table)
+                base_healthy = (not latest) or all(
+                    os.path.exists(f) for f in snapshot(table).files
                 )
+                if not base_healthy:
+                    raise RuntimeError(
+                        f"base snapshot of {table!r} references missing"
+                        f" data files (retention-window violation"
+                        f" upstream); refusing to commit over a corrupt"
+                        f" base: {missing_base[:3]}"
+                    )
+                last_err = CommitConflict(
+                    f"base version pinned for {table!r} was retracted by"
+                    " a concurrent writer's rollback; retrying against"
+                    " the refreshed snapshot"
+                )
+                continue
             last_err = CommitConflict(
                 f"staged data for version {version} of {table!r} was"
                 " vacuumed while the writer was stalled (exceeded the"
@@ -632,9 +687,15 @@ def vacuum(
     # adopted legacy files live OUTSIDE data/ — without this sweep they
     # would leak forever once every manifest referencing them is gone
     # (overwrite + vacuum), and has_legacy_files would stay true for an
-    # already-migrated table (ADVICE r8). Same retention rule as above.
+    # already-migrated table (ADVICE r8). Restricted to files the table
+    # actually ADOPTED (the durable ledger _adopt_legacy writes): a
+    # parquet landing in the table dir after the first commit was never
+    # referenced by any manifest and is user data, not reclaimable
+    # garbage — the doctrine test_nested_data_dir_stays_invisible
+    # already states, now applied to every unadopted path (ADVICE r9).
+    adopted = _adopted_files(table)
     for f in _legacy_files(table):
-        if f not in live and os.path.getmtime(f) <= cutoff:
+        if f in adopted and f not in live and os.path.getmtime(f) <= cutoff:
             os.unlink(f)
             deleted.append(f)
     _prune_empty_legacy_dirs(table)

@@ -672,3 +672,132 @@ def test_nested_data_dir_stays_invisible_to_legacy_machinery(spark, tmp_path):
     nested_files = [f for f in os.listdir(nested) if f.endswith(".parquet")]
     assert nested_files, "nested data/ parquet must survive vacuum"
     assert _ids(tx.read(spark, t)) == [50, 51]
+
+
+def test_vacuum_never_reclaims_post_adoption_user_files(spark, tmp_path):
+    """Only files actually ADOPTED at migration are reclaimable by the
+    legacy sweep: a parquet landing in the table directory AFTER the
+    first commit was never referenced by any manifest and is user data
+    — an aged vacuum must leave it alone, even while reclaiming the
+    genuinely-adopted legacy files next to it (ADVICE r9: the sweep
+    used to unlink EVERY unreferenced parquet outside log/data)."""
+    t = str(tmp_path / "tbl")
+    spark.range(3).write.parquet(t)  # legacy layout, adopted below
+    tx.commit(spark.range(10, 12), t, "append")  # v0=adopt, v1=append
+    # user data lands post-adoption — no manifest ever references it
+    user_dir = os.path.join(t, "user_drop")
+    spark.range(100, 103).write.parquet(user_dir)
+
+    tx.commit(spark.range(50, 52), t, "overwrite")
+    deleted = tx.vacuum(t, keep_last=1, retention_seconds=0)
+
+    # adopted legacy reclaimed...
+    assert any(os.path.dirname(f) == t for f in deleted)
+    # ...user files untouched (not deleted, still on disk)
+    assert not any("user_drop" in f for f in deleted)
+    user_files = [f for f in os.listdir(user_dir) if f.endswith(".parquet")]
+    assert user_files, "post-adoption user parquet must survive vacuum"
+    assert _ids(tx.read(spark, t)) == [50, 51]
+
+
+def test_adoption_ledger_survives_manifest_vacuum(spark, tmp_path):
+    """The adopted-file record must outlive the version-0 manifest:
+    vacuum deletes old manifests, and a LATER vacuum still needs to
+    know which legacy files are reclaimable. The durable adoption
+    ledger (never vacuumed) carries that across (ADVICE r9)."""
+    t = str(tmp_path / "tbl")
+    spark.range(3).write.parquet(t)  # legacy, adopted at first commit
+    tx.commit(spark.range(10, 12), t, "append")  # v1
+    tx.commit(spark.range(20, 22), t, "append")  # v2
+
+    # first vacuum: drops manifests 0 and 1; adopted files are still
+    # LIVE (v2 inherits them) so they survive
+    tx.vacuum(t, keep_last=1, retention_seconds=0)
+    assert not os.path.exists(os.path.join(t, "_txlog", "00000000.json"))
+    assert _ids(tx.read(spark, t)) == [0, 1, 2, 10, 11, 20, 21]
+
+    # overwrite, then vacuum again: manifest 0 is long gone, so only
+    # the ledger knows the root-level parquet was adopted — it must
+    # still be reclaimed (not leak as presumed user data)
+    tx.commit(spark.range(50, 52), t, "overwrite")
+    deleted = tx.vacuum(t, keep_last=1, retention_seconds=0)
+    assert any(os.path.dirname(f) == t for f in deleted)
+    assert not tx.has_legacy_files(t)
+    assert _ids(tx.read(spark, t)) == [50, 51]
+
+
+def test_commit_retries_when_pinned_base_was_retracted(spark, tmp_path, monkeypatch):
+    """The post-link missing-base check distinguishes the transient
+    race from genuine corruption: an appender that pinned a
+    momentarily-visible version as its base (retracted by the stalled
+    writer's own rollback) must RETRY against the refreshed snapshot
+    and succeed — hard-erroring only when the genuinely-latest snapshot
+    references missing data (ADVICE r9)."""
+    t = str(tmp_path / "tbl")
+    tx.commit(spark.range(0, 3), t, "append")
+
+    real_snapshot = tx.snapshot
+    calls = {"n": 0}
+
+    def poisoned(table, version=None):
+        snap = real_snapshot(table, version)
+        calls["n"] += 1
+        # call #1 is the partition-spec check, call #2 pins the base:
+        # poison exactly the base pin with a retracted version's view —
+        # one extra (now-nonexistent) data file
+        if calls["n"] == 2:
+            return tx.TxSnapshot(
+                version=snap.version + 1,
+                mode="append",
+                files=snap.files
+                + (os.path.join(table, "data", "vRETRACTED", "gone.parquet"),),
+                partition_by=snap.partition_by,
+            )
+        return snap
+
+    monkeypatch.setattr(tx, "snapshot", poisoned)
+    snap = tx.commit(spark.range(3, 5), t, "append")
+    assert calls["n"] > 2  # the retry actually re-read the snapshot
+    assert _ids(tx.read(spark, t)) == [0, 1, 2, 3, 4]
+    # the poisoned attempt's manifest was rolled back, then the retry
+    # committed the SAME logical version over a healthy base
+    assert snap.version == 1
+
+
+def test_run_silver_txn_identity_lives_in_app_id(spark, tmp_path, monkeypatch):
+    """The idempotency marker scopes the batch digest into the txn
+    APP ID with a constant version — not a hash-derived version under
+    one appId. Delta's txnAppId/txnVersion contract silently skips any
+    write whose version is <= the last recorded one per appId, so
+    unordered hash versions would drop ~half of all legitimate new
+    batches under real delta-spark (ADVICE r9). Distinct batches must
+    carry distinct appIds; a replay repeats (appId, 0) exactly."""
+    from project_crypto_data_engineering_gcp_spark.fixtures import (
+        write_fixture_landing,
+    )
+    from project_crypto_data_engineering_gcp_spark.plans import runner
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    paths = write_fixture_landing(landing, n_snapshots=3)
+
+    seen = []
+    real = runner.write_history
+
+    def spy(df, path, **kw):
+        seen.append(kw.get("txn"))
+        return real(df, path, **kw)
+
+    monkeypatch.setattr(runner, "write_history", spy)
+    # batch 1: the first two snapshot files
+    os.rename(paths[2], paths[2] + ".held")
+    assert runner.run_silver(spark, f"{landing}/coincap_data_*.json", out) > 0
+    # batch 2: the third file released — a DIFFERENT batch identity
+    os.rename(paths[2] + ".held", paths[2])
+    assert runner.run_silver(spark, f"{landing}/coincap_data_*.json", out) > 0
+
+    assert len(seen) == 2
+    (app_a, ver_a), (app_b, ver_b) = seen
+    assert ver_a == 0 and ver_b == 0  # constant version: monotonic per appId
+    assert app_a.startswith("run_silver:") and app_b.startswith("run_silver:")
+    assert app_a != app_b  # new batch => fresh appId => never skipped
