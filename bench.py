@@ -220,16 +220,24 @@ def main() -> None:
         json.dump(detail, fh, indent=1)
     print(json.dumps(detail))  # early line: full detail (may scroll away)
 
+    # r9 fix (r8 verdict task 2): at 52 queries the full warm dict put
+    # the final line at 1675 of the ~1800-char budget — ~4 more headline
+    # queries away from truncation (parsed -> null). The final line now
+    # carries only the TOP-15 slowest warm queries (still a schema-valid
+    # "queries" dict, and the ones a reader triages first); the complete
+    # 3-decimal warm+cold detail lives in BENCH_DETAIL.json and the
+    # earlier full-detail stdout line. Budget: ~250 base + 15*~32 chars
+    # stays comfortably under the 1200-char done-bar however long the
+    # query names grow.
+    top = dict(sorted(warm.items(), key=lambda kv: -kv[1])[:15])
     final = {
         "metric": "headline_corpus_total_runtime",
         "value": total,
         "unit": "sec",
         "passes": PASSES,
         "n_queries": len(warm),
-        # 2-decimal per-query values keep the FINAL line safely inside
-        # the driver's ~2000-char tail capture at 48+ queries; the
-        # 3-decimal numbers live in BENCH_DETAIL.json
-        "queries": {k: round(v, 2) for k, v in warm.items()},
+        "queries": {k: round(v, 2) for k, v in top.items()},
+        "queries_note": "top-15 slowest; full set in BENCH_DETAIL.json",
         "cold_total": cold_total,
         "bpe_train_isolated_sec": bpe_train_isolated,
         "sf": sf_val,
@@ -237,9 +245,8 @@ def main() -> None:
     line = json.dumps(final)
     # the final line is the LAST stdout line, so it sits entirely inside
     # the driver's ~2000-char tail capture as long as it is shorter than
-    # the window itself; 1800 leaves margin for the trailing newline and
-    # any stray shutdown chatter
-    if len(line) > 1800:
+    # the window itself; the hard backstop drops the dict entirely
+    if len(line) > 1800:  # pragma: no cover - backstop, unreachable at 15
         final.pop("queries")
         final["detail"] = "BENCH_DETAIL.json"
         line = json.dumps(final)

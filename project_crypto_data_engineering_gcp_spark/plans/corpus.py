@@ -40,20 +40,19 @@ class CorpusQuery:
 
 _REGISTRY: dict[str, CorpusQuery] = {}
 
-# r8 WINDOW (this round; exactly the plan declared in r7 — see commit
-# c531034 and the r7 VERDICT task 1): the first 22 entries are the
-# complete r7 rollover queue — the six r7 additions (policy (a), never
-# driver-checked), the policy-(b) re-windowed text_bpe_train_merges
-# (its r6 row predates the memoization refactor), and the 15 r3-stale
-# refreshers that missed the r7 window (policy (c)). The remaining 28
-# slots refresh the r4-latest set (the 50 registered queries whose
-# newest driver row is r4) in CORRECTNESS_r04 file order — a
-# deterministic, auditable cut; the 22 that do not fit are listed in
-# the ROLLOVER comment below and lead the r9 window together with any
-# r8 additions. After this round's check the staleness ledger reads
-# r8x50, r7x50, r6x50, r5x50, r4x22(+r8 additions never) — max
-# staleness 4 rounds, the documented floor for a ~230-query corpus
-# under a 50-slot window (README "Driver-window rotation policy").
+# r9 WINDOW (this round; exactly the plan declared in r8 — see the r8
+# VERDICT task 1 and commit b09338e): the eight r8 additions lead
+# (policy (a): never driver-checked), then the complete 22-entry
+# r4-stale rollover from the r8 comment (policy (c)), then the first
+# 20 of the r5-latest set (the 50 registered queries whose newest
+# driver row is r5) in CORRECTNESS_r05 file order — a deterministic,
+# auditable cut. 8 + 22 + 20 = 50. The 30 r5-latest entries that do
+# not fit are listed in the ROLLOVER comment below and lead the r10
+# window together with any r9 additions. After this round's check the
+# staleness ledger reads r9x50, r8x50, r7x50, r6x49, r5x30(+r9
+# additions never) — max staleness 4 rounds, the documented floor for
+# a ~230-query corpus under a 50-slot window (README "Driver-window
+# rotation policy").
 #
 # STALENESS TRIAGE (standing, r4 verdict task 5) — with ~220+ queries
 # and a ~50-slot window, the "newest row <= 2 rounds old" invariant is
@@ -63,14 +62,11 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 #   (c) remaining slots refresh oldest-first,
 # so every query's newest row stays at most ~4 rounds old.
 #
-#   r9 plan (declared now, cut at r9 start): the eight r8 additions
-#   (policy (a): a30_mann_whitney_u, a31_spearman_spend_orders,
-#   a32_cramers_v_sq, a33_user_hhi_deciles, a34_benford_first_digit,
-#   dq_referential_integrity, o7_pareto_skyline_orders,
-#   text_token_rank_curve) lead, then the 22-entry r4-stale rollover
-#   below, then the r5-latest set oldest-first (graph_pagerank,
-#   text_bm25_topk, sim_ivfpq_*, the TPC-H q-menu refreshers — see
-#   CORRECTNESS_r05) fills the remaining 20 slots. 8 + 22 + 20 = 50.
+#   r10 plan (declared now, cut at r10 start): any r9 additions lead
+#   (policy (a)), then the 30-entry r5-stale rollover below
+#   (bloom_semi_revenue ... pandas_scalar_price_tier, policy (c)),
+#   then the r6-latest set oldest-first (the TPC-H q1-q22 menu and the
+#   r6 additions — see CORRECTNESS_r06) fills the remaining slots.
 #
 # History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
@@ -78,69 +74,11 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 # 37-entry late-r4 queue + 5 r5 additions + the 8 r2-stale
 # crypto/pandas entries, r6 the 12-entry r5 rollover queue + all 37
 # r2-stale refreshers (TPC-H q1-q22 incl.) + sim_ivf_cell_stats, r7
-# the 18-entry r6 rollover + 32 r3-stale refreshers
+# the 18-entry r6 rollover + 32 r3-stale refreshers, r8 the 22-entry
+# r7 rollover + 28 r4-stale refreshers
 # (50/50 green every round; zero red rows ever).
 CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
-    # ---- r7 additions (6): never driver-checked, policy (a) ----
-    "a27_pr_auc",
-    "a28_chi_square",
-    "a29_welch_ttest",
-    "dq_histogram_drift",
-    "feat_hashing_trick",
-    "text_distinctive_terms",
-    # ---- policy (b): BPE training gained a per-(app, sf_dir) memo in
-    # r7 (perf-only; bit-identical outputs re-verified at sf0.01 AND
-    # sf0.1) — its r6 row predates the refactor, so it re-certifies ----
-    "text_bpe_train_merges",
-    # ---- 15 r3-stale refreshers that missed the r7 window, policy (c) ----
-    "approx_quantiles_totalprice",
-    "asof_forward_error_tolerance",
-    "cluster_kmeans_embeddings",
-    "curate_chunk_overlap",
-    "curate_length_buckets",
-    "curate_ngram_decontaminate",
-    "curate_sample_rates",
-    "dq_constraint_violations",
-    "events_user_journey",
-    "mm_byte_histogram",
-    "profile_orders",
-    "range_join_event_pairs",
-    "text_quality_by_lang",
-    "text_repetition_ratio",
-    "text_rolling_hash",
-    # ---- 28 r4-latest refreshers (newest driver row = r4), policy (c),
-    # in CORRECTNESS_r04 file order ----
-    "a1_global_stats",
-    "a4_customer_market_dominance",
-    "a5_rollup_revenue",
-    "asof_purchase_last_view",
-    "cube_revenue",
-    "dedup_apply_keep_first",
-    "dedup_embedding_cosine",
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "events_hourly_rollup",
-    "j1_customer_dashboard",
-    "j3_customers_without_orders",
-    "mm_frame_sample",
-    "mm_media_meta_stub",
-    "mm_payload_meta",
-    "mm_resize_meta",
-    "o1_ranked_orders",
-    "o3_top_bottom_orders",
-    "p11_quantity_classification",
-    "p1_event_json_projection",
-    "p9_round_family",
-    "percentiles_acctbal_by_nation",
-    "pivot_status_by_priority",
-    "set_ops_orderkeys",
-    "sim_cosine_pairs",
-    "sim_embedding_norms",
-    "text_fingerprint",
-    "text_lang_id",
-    # ---- ROLLOVER QUEUE (positions 51+), in r9-window order ----
-    # r8 additions (policy (a): never driver-checked — they LEAD the r9
-    # window; all pass local parity at sf0.01 AND sf0.1) ----
+    # ---- r8 additions (8): never driver-checked, policy (a) ----
     "a30_mann_whitney_u",
     "a31_spearman_spend_orders",
     "a32_cramers_v_sq",
@@ -149,9 +87,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "dq_referential_integrity",
     "o7_pareto_skyline_orders",
     "text_token_rank_curve",
-    # ...then the 22 remaining r4-latest refreshers that did not fit the
-    # 50-slot window (policy (c); these HAVE green r4 rows — listing
-    # them documents the r9 plan and keeps the rotation auditable) ----
+    # ---- 22 r4-stale refreshers rolled over from the r8 window,
+    # policy (c), in the order the r8 comment declared ----
     "text_quality_score",
     "text_redacted",
     "text_tfidf_topk",
@@ -174,6 +111,62 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_quant_recall",
     "dedup_minhash_lsh",
     "crypto_silver_assets",
+    # ---- first 20 r5-latest refreshers (newest driver row = r5),
+    # policy (c), in CORRECTNESS_r05 file order ----
+    "graph_pagerank",
+    "text_bm25_topk",
+    "curate_temperature_mix",
+    "dedup_minhash_recall",
+    "sim_ivfpq_topk",
+    "sim_ivfpq_recall",
+    "events_markov_transitions",
+    "curate_shuffle_shards",
+    "w8_ema_customer_spend",
+    "approx_heavy_tokens",
+    "curate_zorder_layout",
+    "a11_revenue_trend",
+    "curate_contrastive_pairs",
+    "basket_frequent_pairs",
+    "graph_triangles",
+    "skyline_pareto_parts",
+    "a12_incremental_merge",
+    "events_rolling_anomaly",
+    "events_hourly_gapfill",
+    "dedup_fuzzy_names",
+    # ---- ROLLOVER QUEUE (positions 51+), in r10-window order:
+    # the 30 remaining r5-latest refreshers (policy (c); these HAVE
+    # green r5 rows — listing them documents the r10 plan and keeps
+    # the rotation auditable). Any r9 additions lead them. ----
+    "bloom_semi_revenue",
+    "a13_correlation_moments",
+    "sim_mmr_rerank",
+    "dedup_minhash_incremental",
+    "streaming_incremental_dedup",
+    "dedup_keep_best_quality",
+    "curate_pack_offsets",
+    "curate_corpus_report",
+    "sim_knn_classify",
+    "graph_link_prediction",
+    "a14_share_of_parent",
+    "a15_cusum_drift",
+    "a16_rfm_segments",
+    "events_category_drift",
+    "text_bpe_pair_counts",
+    "a17_mad_by_priority",
+    "events_interarrival_stats",
+    "sim_binary_hamming_topk",
+    "sim_binary_refined",
+    "o6_orders_global_rank",
+    "a18_winsorized_stats",
+    "text_trigram_novelty",
+    "crypto_daily_overview",
+    "crypto_top_gainers_losers",
+    "crypto_market_dominance",
+    "crypto_supply_dynamics",
+    "crypto_dashboard",
+    "crypto_merge_upsert",
+    "crypto_scd2_history",
+    "pandas_scalar_price_tier",
 )
 
 
