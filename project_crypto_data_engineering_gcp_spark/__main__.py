@@ -89,6 +89,44 @@ def _build_parser() -> argparse.ArgumentParser:
     ds.add_argument("--landing", required=True, help="parquet file/dir glob")
     ds.add_argument("--state", required=True, help="band-index state dir")
     ds.add_argument("--max-files-per-trigger", type=int, default=1)
+
+    g = sub.add_parser(
+        "graph",
+        help="run an iterative graph query with the at-scale switches"
+        " exposed (config.py; SCALE.md has the measurements)",
+    )
+    g.add_argument(
+        "--query",
+        required=True,
+        choices=[
+            "graph_pagerank",
+            "graph_kcore",
+            "graph_label_propagation",
+            "graph_bfs_distances",
+        ],
+    )
+    g.add_argument("--sf-dir", required=True, help="testdata dir (parquet tables)")
+    g.add_argument(
+        "--edge-partitions",
+        type=int,
+        default=None,
+        help="co-partitioned iterative mode (pagerank/LPA/BFS): cache the"
+        " loop-invariant edge frame pre-partitioned+pre-sorted so each"
+        " round exchanges only the node-sized frame. Bit-identical output."
+        " SCALE.md switch point: WINS in the data-bound regime (pagerank"
+        " 0.37x at 60M edges, LPA 0.62x at x16) and LOSES at"
+        " round-latency-floor scale (1.15x at sf0.1) — set to the"
+        " cluster's shuffle parallelism at ~10M+ edges, omit below",
+    )
+    g.add_argument(
+        "--no-broadcast-survivors",
+        action="store_true",
+        help="k-core: per-round survivor filters become shuffle SEMI-joins"
+        " instead of broadcasts — identical results; the honest path when"
+        " a billion-node survivor domain cannot fit in executor memory"
+        " (SCALE.md 'kcore shuffle-semi-join survivor path')",
+    )
+    g.add_argument("-n", type=int, default=10, help="rows to print")
     return p
 
 
@@ -182,6 +220,26 @@ def main(argv: list[str] | None = None) -> int:
                 max_files_per_trigger=args.max_files_per_trigger,
             )
             print(f"duplicate pairs emitted: {n}")
+        elif args.cmd == "graph":
+            import os
+
+            from .config import (
+                _BROADCAST_SURVIVORS_VAR,
+                _EDGE_PARTITIONS_VAR,
+            )
+
+            # the queries read the switches from config.py's env vars —
+            # the CLI flags are just a front end, so a scheduler can set
+            # the same vars directly on a submitted job
+            if args.edge_partitions is not None:
+                os.environ[_EDGE_PARTITIONS_VAR] = str(args.edge_partitions)
+            if args.no_broadcast_survivors:
+                os.environ[_BROADCAST_SURVIVORS_VAR] = "0"
+            from .plans import all_queries
+
+            df = all_queries()[args.query].fn(spark, args.sf_dir)
+            df.show(args.n, truncate=False)
+            print(f"{args.query} rows: {df.count()}")
         return 0
     finally:
         if existing is None:
