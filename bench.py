@@ -123,6 +123,15 @@ HEADLINE = (
     "a33_user_hhi_deciles",
     "dq_referential_integrity",
     "o7_pareto_skyline_orders",
+    # r9 additions: the three heavier new shapes — the two-version
+    # quantile drift (txlog rebuild + two range-partitioned rank scans),
+    # the per-half grouped-global-rank Gini drift, and the per-dim
+    # embedding-drift posexplode (rows x 64 through one map-combinable
+    # aggregate). The final JSON line stays compact regardless (top-15
+    # slowest only; full detail in BENCH_DETAIL.json).
+    "dq_version_quantile_drift",
+    "a36_gini_drift_by_nation",
+    "dq_embedding_mean_drift",
 )
 
 

@@ -60,6 +60,7 @@ def pagerank_fixed_point(
     src: str = "src",
     dst: str = "dst",
     edge_partitions: int | None = None,
+    edges_pre_bucketed: bool = False,
 ) -> DataFrame:
     """(node, r) after ``n_iters`` damped rounds; ranks are BIGINTs that
     sum to ~``scale``. Duplicate edges are collapsed (set semantics, the
@@ -74,13 +75,35 @@ def pagerank_fixed_point(
     round's join exchanges only the node-sized rank frame; the edge
     side is scanned in place. Results are bit-identical either way
     (same computation, different physical placement); measured in
-    SCALE.md "PageRank co-partitioning experiment"."""
+    SCALE.md "PageRank co-partitioning experiment".
+
+    ``edges_pre_bucketed``: STORAGE-partitioned mode — the durable twin
+    of ``edge_partitions`` for frames too big to cache. Caller contract:
+    ``edges`` was read by name from a bucketed table
+    (``sources/bucketing.py``) whose bucket key is the ``src`` column
+    and whose rows are already DISTINCT. The operator then skips its
+    own distinct+checkpoint normalization (either would destroy the
+    scan's bucket distribution) and leaves the loop-invariant frame
+    unpinned: every round re-scans the bucketed files — zero cache
+    memory — and the bucket distribution still elides the edge-side
+    exchange, because the one shuffle happened at WRITE time. Measured
+    in SCALE.md "PageRank over bucketed storage"."""
+    if edges_pre_bucketed and edge_partitions:
+        raise ValueError(
+            "edge_partitions and edges_pre_bucketed are alternative"
+            " placements of the same co-partitioning — pick one"
+        )
     base_num = (scale * (damp_den - damp_num)) // damp_den
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if edges_pre_bucketed:
+        # alias-only projection: ProjectExec preserves the scan's bucket
+        # distribution through aliases; distinct is the caller's contract
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    else:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -89,11 +112,18 @@ def pagerank_fixed_point(
     )
     n_nodes = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # co-partition only when the loop will actually run — at n_iters=0
-    # the frame is never joined and the cache build would be pure waste
-    edges_deg, pinned = _pin_loop_invariant(
-        e.join(deg, "src"), "src", edge_partitions if n_iters > 0 else None
-    )
+    if edges_pre_bucketed:
+        # both sides of e⋈deg carry the bucket distribution (the groupBy
+        # needed no exchange either) — leave the frame UNPINNED so each
+        # round re-scans the bucketed files instead of holding an
+        # edge-sized cache; the write-time shuffle is the only one
+        edges_deg, pinned = e.join(deg, "src"), False
+    else:
+        # co-partition only when the loop will actually run — at
+        # n_iters=0 the frame is never joined, the cache pure waste
+        edges_deg, pinned = _pin_loop_invariant(
+            e.join(deg, "src"), "src", edge_partitions if n_iters > 0 else None
+        )
     nodes_flag = (
         nodes.join(deg, nodes["node"] == deg["src"], "left")
         .select("node", F.col("deg").isNull().alias("dangling"))

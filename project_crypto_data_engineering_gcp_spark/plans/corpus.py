@@ -133,10 +133,20 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_rolling_anomaly",
     "events_hourly_gapfill",
     "dedup_fuzzy_names",
-    # ---- ROLLOVER QUEUE (positions 51+), in r10-window order:
-    # the 30 remaining r5-latest refreshers (policy (c); these HAVE
-    # green r5 rows — listing them documents the r10 plan and keeps
-    # the rotation auditable). Any r9 additions lead them. ----
+    # ---- ROLLOVER QUEUE (positions 51+), in r10-window order ----
+    # r9 additions (policy (a): never driver-checked — they LEAD the
+    # r10 window; all pass local parity at sf0.01 AND sf0.1 plus
+    # sequential-reference property tests) ----
+    "a36_gini_drift_by_nation",
+    "a37_hhi_supplier_by_brand",
+    "dq_version_quantile_drift",
+    "dq_embedding_mean_drift",
+    "events_time_to_convert",
+    "text_vocab_growth_curve",
+    "text_ttr_by_lang",
+    # ...then the 30 remaining r5-latest refreshers (policy (c); these
+    # HAVE green r5 rows — listing them documents the r10 plan and
+    # keeps the rotation auditable) ----
     "bloom_semi_revenue",
     "a13_correlation_moments",
     "sim_mmr_rerank",

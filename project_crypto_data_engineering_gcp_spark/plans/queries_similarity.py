@@ -2136,3 +2136,94 @@ def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         index=base.unionByName(delta),
         centroids=cent,
     )
+
+
+# ---------------------------- embedding distribution drift (data CI, r9)
+
+_DRIFT_SHIFT = 10_000_000  # >> max |floor(v * 1e6)| for unit-scale floats
+
+
+@corpus_query(
+    "dq_embedding_mean_drift",
+    oracle=f"""
+    WITH n AS (SELECT MAX(vec_id) + 1 AS n_vecs FROM embeddings),
+    expl AS (
+        SELECT e.vec_id >= n.n_vecs // 2 AS is_new,
+               generate_subscripts(e.embedding, 1) - 1 AS dim,
+               CAST(FLOOR(CAST(unnest(e.embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) + {_DRIFT_SHIFT} AS v_shift
+        FROM embeddings e CROSS JOIN n
+    ),
+    per AS (
+        SELECT dim, is_new, COUNT(*) AS cnt, SUM(v_shift) AS s
+        FROM expl GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT dim, is_new,
+               CAST(s // cnt AS BIGINT) - {_DRIFT_SHIFT} AS mean_micro
+        FROM per
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           MAX(CASE WHEN NOT is_new THEN mean_micro END) AS mean_old_micro,
+           MAX(CASE WHEN is_new THEN mean_micro END) AS mean_new_micro,
+           MAX(CASE WHEN is_new THEN mean_micro END)
+               - MAX(CASE WHEN NOT is_new THEN mean_micro END)
+               AS drift_micro
+    FROM means GROUP BY 1
+    """,
+)
+def dq_embedding_mean_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DISTRIBUTION DRIFT — data CI for the vector column:
+    per-dimension mean of the first half of the corpus (vec_id below
+    the midpoint) vs the second, in exact micro units, with the signed
+    drift. The check that catches a re-embedding run (new model
+    revision, changed normalization) silently shifting the space that
+    every ANN index and dedup threshold in the pipeline was tuned on —
+    the vector twin of dq_histogram_drift.
+
+    Exactness across engines: float32 -> double widening is exact and
+    double*1e6 + FLOOR is identical IEEE in both engines; sums then run
+    on SHIFTED non-negative BIGINTs so the single floor-division is a
+    true floor in both (Spark `div` and DuckDB `//` truncate toward
+    zero, which only agrees with floor for non-negative operands — the
+    shift buys engine agreement, then subtracts out exactly).
+
+    Scale design: one posexplode (rows x dim, the honest cost) feeding
+    ONE map-combinable (dim, half) aggregate and a dim-sized pivot —
+    no window, no collect; 100x vectors = same two-stage plan."""
+    from ..operators.rank import _idiv
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg((F.max("vec_id") + 1).alias("n_vecs"))
+    expl = emb.crossJoin(F.broadcast(n)).select(
+        (
+            F.col("vec_id") >= _idiv(F.col("n_vecs"), F.lit(2))
+        ).alias("is_new"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    per = expl.groupBy("dim", "is_new").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.floor(F.col("v").cast("double") * 1000000).cast("bigint")
+            + F.lit(_DRIFT_SHIFT)
+        ).alias("s"),
+    )
+    means = per.select(
+        "dim",
+        "is_new",
+        (_idiv(F.col("s"), F.col("cnt")) - F.lit(_DRIFT_SHIFT)).alias(
+            "mean_micro"
+        ),
+    )
+    return means.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.max(F.when(~F.col("is_new"), F.col("mean_micro"))).alias(
+            "mean_old_micro"
+        ),
+        F.max(F.when(F.col("is_new"), F.col("mean_micro"))).alias(
+            "mean_new_micro"
+        ),
+        (
+            F.max(F.when(F.col("is_new"), F.col("mean_micro")))
+            - F.max(F.when(~F.col("is_new"), F.col("mean_micro")))
+        ).alias("drift_micro"),
+    )

@@ -1,0 +1,90 @@
+"""Bucketed table storage: the durable twin of in-memory co-partitioning.
+
+The r8 co-partitioning result (SCALE.md "PageRank co-partitioning
+experiment") showed an ``InMemoryRelation`` of ``repartition(P, key) +
+sortWithinPartitions(key)`` preserves Catalyst partitioning/ordering, so
+iterative joins stop re-exchanging the loop-invariant side. That mode
+pays a cache build per RUN and holds the frame in executor memory — at
+100 TB the edge frame may not fit. ``bucketBy`` is the storage-level
+answer (the real-cluster idiom the guide's "Partitioning & shuffle"
+section names): pre-shuffle ONCE at write time, and every subsequent
+read — cold, from any job — scans hash-bucketed files whose scan
+reports the bucket distribution, letting sort-merge joins and
+aggregations on the bucket key elide the Exchange entirely.
+
+Spark constraint, documented: bucketed tables go through the session
+catalog (``saveAsTable`` — a path-only ``parquet(path)`` write cannot
+record bucket metadata), so these helpers take BOTH a table name and an
+explicit ``path`` (external table: dropping the catalog entry keeps the
+files). Readers must come back through ``spark.table(name)`` /
+:func:`read_bucketed` — a raw ``spark.read.parquet(path)`` sees plain
+files and forfeits the bucket distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    *,
+    buckets: int,
+    key: str,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as an external bucketed parquet table: hash-bucketed
+    into ``buckets`` files per partition on ``key`` and (by default)
+    sorted by it within each bucket — the one-time shuffle that every
+    later join/agg on ``key`` stops paying. Pick ``buckets`` like a
+    shuffle partition count at the table's full scale (e.g. the
+    cluster's parallelism), NOT per-increment: bucket count is fixed at
+    creation for the table's lifetime."""
+    writer = df.write.bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.option("path", path).mode(mode).format("parquet").saveAsTable(name)
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Read a bucketed table BY NAME — the catalog carries the bucket
+    spec that makes downstream joins exchange-free."""
+    return spark.table(name)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    *,
+    buckets: int,
+    key: str,
+    sort: bool = True,
+) -> DataFrame:
+    """Register an EXISTING bucketed-table directory in this session's
+    catalog and return it — the cross-session half of the contract: the
+    files written by :func:`write_bucketed` outlive the writing
+    session, but the bucket spec lives in the catalog, so a fresh job
+    (the normal case on a cluster: write once, read from every
+    subsequent job) must re-declare it. The (buckets, key, sort)
+    arguments MUST match the write — a mismatched declaration makes
+    Spark trust bucket pruning/distribution that the files do not
+    satisfy, i.e. silent wrong results. Schema is inferred from the
+    parquet files themselves."""
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+    sorted_by = f"SORTED BY (`{key}`) " if sort else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{name}` ({cols}) USING PARQUET"
+        f" CLUSTERED BY (`{key}`) {sorted_by}INTO {buckets} BUCKETS"
+        f" LOCATION '{path}'"
+    )
+    return spark.table(name)
+
+
+def drop_bucketed(spark: SparkSession, name: str) -> None:
+    """Drop the catalog entry (external table: data files stay)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -70,3 +70,73 @@ def test_bucketed_join_matches_unbucketed(spark, bucketed_tables):
     orders = load_table(spark, SF_SMOKE, "orders")
     plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
     assert bucketed == plain
+
+
+def test_pagerank_over_bucketed_edges_identity_and_no_edge_exchange(
+    spark, tmp_path
+):
+    """Storage-partitioned iterative mode (r8 verdict task 5): pagerank
+    reading a bucketed edge table cold must (a) produce bit-identical
+    ranks to the default mode, and (b) build its loop-invariant
+    edges⋈degrees frame with ZERO exchanges — the co-partitioning
+    shuffle happened once at write time and the bucketed scan's
+    distribution elides it ever after."""
+    from pyspark.sql import functions as F
+
+    from project_crypto_data_engineering_gcp_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from project_crypto_data_engineering_gcp_spark.sources.bucketing import (
+        drop_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()  # the bucketed-mode caller contract
+    )
+    write_bucketed(
+        edges, "pr_edges_b", str(tmp_path / "pr_edges_b"), buckets=8, key="src"
+    )
+    try:
+        eb = read_bucketed(spark, "pr_edges_b")
+        default = sorted(
+            map(tuple, pagerank_fixed_point(edges, n_iters=3, scale=10**12).collect())
+        )
+        bucketed = sorted(
+            map(
+                tuple,
+                pagerank_fixed_point(
+                    eb, n_iters=3, scale=10**12, edges_pre_bucketed=True
+                ).collect(),
+            )
+        )
+        assert bucketed == default and default
+
+        # plan pin: the loop-invariant e⋈deg build is exchange-free
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            e = eb.select("src", "dst")
+            deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            plan = plan_of(e.join(deg, "src"))
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange" not in plan, f"bucketed e-deg join shuffled:\n{plan}"
+
+        # the two placement modes are mutually exclusive
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="pick one"):
+            pagerank_fixed_point(
+                eb, n_iters=1, scale=10**12,
+                edge_partitions=8, edges_pre_bucketed=True,
+            )
+    finally:
+        drop_bucketed(spark, "pr_edges_b")

@@ -1236,3 +1236,305 @@ def test_spearman_matches_sequential_reference(spark, tmp_path):
     assert row["n"] == n
     assert row["sum_d2"] == sum_d2
     assert row["rho_ppm"] == rho_ppm
+
+
+# ---------------------------------------------------------------- r9 suite
+
+
+def _r9_fixture_dir(spark, tmp_path):
+    """Random fixture tables for the r9 additions' sequential-reference
+    tests: order dates STRADDLE the 1996-01-01 drift cut, one nation's
+    customers place no orders (all-zero Gini slice -> NULL guard), price
+    grids are coarse (ties), and embeddings carry negatives (the
+    floor-division sign trap)."""
+    import datetime
+
+    n_cust, n_ord = 300, 900
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype="int64"),
+            "c_nationkey": RNG.integers(0, 7, size=n_cust).astype("int64"),
+            "c_acctbal": (RNG.integers(-40, 40, size=n_cust) * 0.25),
+        }
+    )
+    # nation 6 places no orders at all: its lifetime spends are all zero
+    orderless = set(cust[cust["c_nationkey"] == 6]["c_custkey"])
+    eligible = np.array(
+        [k for k in range(n_cust) if k not in orderless], dtype="int64"
+    )
+    dates = [
+        datetime.datetime(1995, 1, 1) + datetime.timedelta(days=int(d))
+        for d in RNG.integers(0, 730, size=n_ord)  # straddles 1996-01-01
+    ]
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_ord, dtype="int64"),
+            "o_custkey": RNG.choice(eligible, size=n_ord),
+            "o_totalprice": (RNG.integers(10, 60, size=n_ord) * 1.5),
+            "o_orderdate": dates,
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(40, dtype="int64"),
+            "p_brand": [f"BR{int(b)}" for b in RNG.integers(0, 5, size=40)],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_partkey": RNG.integers(0, 40, size=600).astype("int64"),
+            "l_suppkey": RNG.integers(0, 11, size=600).astype("int64"),
+            "l_extendedprice": (RNG.integers(5, 95, size=600) * 2.5),
+        }
+    )
+    base_ts = datetime.datetime(2025, 3, 1)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(1200, dtype="int64"),
+            "ts": [
+                base_ts + datetime.timedelta(seconds=int(s))
+                for s in RNG.integers(0, 50_000, size=1200)
+            ],
+            "user_id": RNG.integers(0, 60, size=1200).astype("int64"),
+            "event_type": RNG.choice(
+                ["view", "click", "purchase", "error"], size=1200
+            ),
+            "value": RNG.normal(10, 3, size=1200),
+            "props": ["{}"] * 1200,
+        }
+    )
+    vocab = [f"w{i}" for i in range(50)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(60, dtype="int64"),
+            "text": [
+                " ".join(RNG.choice(vocab, size=int(RNG.integers(3, 30))))
+                for _ in range(60)
+            ],
+            "lang": RNG.choice(["en", "de"], size=60),
+            "source": ["s"] * 60,
+            "n_chars": np.zeros(60, dtype="int64"),
+        }
+    )
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(40, dtype="int64"),
+            "embedding": [
+                RNG.normal(0, 0.3, size=8).astype("float32").tolist()
+                for _ in range(40)
+            ],
+            "label": np.zeros(40, dtype="int32"),
+        }
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(cust).write.parquet(f"{sf_dir}/customer.parquet")
+    spark.createDataFrame(orders).write.parquet(f"{sf_dir}/orders.parquet")
+    spark.createDataFrame(part).write.parquet(f"{sf_dir}/part.parquet")
+    spark.createDataFrame(li).write.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.createDataFrame(events).write.parquet(f"{sf_dir}/events.parquet")
+    spark.createDataFrame(docs).write.parquet(f"{sf_dir}/documents.parquet")
+    spark.createDataFrame(
+        emb, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+    return sf_dir, {
+        "cust": cust, "orders": orders, "part": part, "li": li,
+        "events": events, "docs": docs, "emb": emb,
+    }
+
+
+def _gini_ppm_ref(spends: list[int], keys: list[int]) -> int | None:
+    """Sequential rank-formula Gini in floored ppm (Gini 1912), strict
+    (spend, key) order — the pure-Python reference."""
+    xs = [x for x, _ in sorted(zip(spends, keys), key=lambda t: (t[0], t[1]))]
+    n, s0 = len(xs), sum(xs)
+    if s0 == 0:
+        return None
+    s1 = sum(i * x for i, x in enumerate(xs, start=1))
+    return (2 * s1 - (n + 1) * s0) * 1_000_000 // (n * s0)
+
+
+def test_gini_drift_matches_sequential_reference(spark, tmp_path):
+    """a36's per-half Ginis and drift vs the sequential reference over
+    per-half spends (customers scored only in halves they ordered in)."""
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir, t = _r9_fixture_dir(spark, tmp_path)
+    cust, orders = t["cust"], t["orders"]
+    got = {
+        r["nationkey"]: r
+        for r in get_query("a36_gini_drift_by_nation").fn(spark, sf_dir).collect()
+    }
+    nation_of = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    cut = pd.Timestamp(1996, 1, 1)
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    for nk in sorted(set(nation_of[k] for k in orders["o_custkey"])):
+        ref = {}
+        for is_old in (True, False):
+            m = (orders["o_custkey"].map(nation_of) == nk) & (
+                (orders["o_orderdate"] < cut) == is_old
+            )
+            by_cust = cents[m].groupby(orders["o_custkey"][m]).sum()
+            ref[is_old] = _gini_ppm_ref(
+                [int(v) for v in by_cust.values], list(by_cust.index)
+            )
+        r = got[int(nk)]
+        assert r["gini_old_ppm"] == ref[True], nk
+        assert r["gini_new_ppm"] == ref[False], nk
+        if ref[True] is not None and ref[False] is not None:
+            assert r["drift_ppm"] == ref[False] - ref[True]
+
+
+def test_hhi_brand_matches_sequential_reference(spark, tmp_path):
+    """a37's revenue-weighted HHI vs the direct sum-of-squared-shares."""
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir, t = _r9_fixture_dir(spark, tmp_path)
+    part, li = t["part"], t["li"]
+    got = {
+        r["p_brand"]: r
+        for r in get_query("a37_hhi_supplier_by_brand").fn(spark, sf_dir).collect()
+    }
+    brand_of = dict(zip(part["p_partkey"], part["p_brand"]))
+    cents = (li["l_extendedprice"] * 100).round().astype("int64")
+    frame = pd.DataFrame(
+        {
+            "brand": li["l_partkey"].map(brand_of),
+            "supp": li["l_suppkey"],
+            "cents": cents,
+        }
+    )
+    for brand, g in frame.groupby("brand"):
+        rev = g.groupby("supp")["cents"].sum()
+        tot = int(rev.sum())
+        hhi = sum(int(x) ** 2 for x in rev) * 1_000_000 // (tot * tot)
+        r = got[brand]
+        assert r["n_suppliers"] == len(rev)
+        assert r["brand_rev_cents"] == tot
+        assert r["hhi_ppm"] == hhi, brand
+
+
+def test_time_to_convert_matches_sequential_reference(spark, tmp_path):
+    """events_time_to_convert vs a per-user sequential walk (first view,
+    first strictly-later purchase, delta in whole seconds) plus direct
+    list-index percentile extraction — the O(users x events) reference
+    for both the join chain and the rank-boundary convention."""
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir, t = _r9_fixture_dir(spark, tmp_path)
+    ev = t["events"]
+    got = get_query("events_time_to_convert").fn(spark, sf_dir).collect()[0]
+    deltas = []
+    for uid, g in ev.groupby("user_id"):
+        views = g[g["event_type"] == "view"]["ts"]
+        if views.empty:
+            continue
+        t1 = views.min()
+        purch = g[(g["event_type"] == "purchase") & (g["ts"] > t1)]["ts"]
+        if purch.empty:
+            continue
+        deltas.append((int((purch.min() - t1).total_seconds()), int(uid)))
+    deltas.sort()
+    n = len(deltas)
+    assert got["n_converters"] == n
+    assert got["min_sec"] == deltas[0][0]
+    assert got["p50_sec"] == deltas[(50 * n) // 100 - 1][0]
+    assert got["p90_sec"] == deltas[(90 * n) // 100 - 1][0]
+    assert got["max_sec"] == deltas[-1][0]
+
+
+def test_vocab_growth_matches_prefix_rescan(spark, tmp_path):
+    """text_vocab_growth_curve's first-bucket trick vs the naive
+    re-scan of every prefix (the O(buckets x corpus) definition the
+    distributed plan exists to avoid)."""
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir, t = _r9_fixture_dir(spark, tmp_path)
+    docs = t["docs"]
+    got = {
+        r["bucket"]: r
+        for r in get_query("text_vocab_growth_curve").fn(spark, sf_dir).collect()
+    }
+    n_docs = int(docs["doc_id"].max()) + 1
+    for b in range(10):
+        in_prefix = docs[(docs["doc_id"] * 10) // n_docs <= b]["text"]
+        toks = [tok for s in in_prefix for tok in s.split(" ")]
+        assert got[b]["cum_tokens"] == len(toks), b
+        assert got[b]["cum_vocab"] == len(set(toks)), b
+
+
+def test_embedding_drift_matches_numpy(spark, tmp_path):
+    """dq_embedding_mean_drift vs numpy: floor(v*1e6) sums per (dim,
+    half), floored mean via the shift identity — negatives included."""
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir, t = _r9_fixture_dir(spark, tmp_path)
+    emb = t["emb"]
+    got = {
+        r["dim"]: r
+        for r in get_query("dq_embedding_mean_drift").fn(spark, sf_dir).collect()
+    }
+    mat = np.floor(
+        np.array(emb["embedding"].tolist(), dtype="float64") * 1_000_000
+    ).astype("int64")
+    half = (int(emb["vec_id"].max()) + 1) // 2
+    old, new = mat[: half], mat[half:]
+    for d in range(mat.shape[1]):
+        mo = int(old[:, d].sum()) // len(old) if len(old) else None
+        # python // floors — matching the query's shift construction
+        mo = int(np.floor(old[:, d].sum() / len(old)))
+        mn = int(np.floor(new[:, d].sum() / len(new)))
+        assert got[d]["mean_old_micro"] == mo, d
+        assert got[d]["mean_new_micro"] == mn, d
+        assert got[d]["drift_micro"] == mn - mo, d
+
+
+def test_version_quantile_drift_time_travels(spark, tmp_path):
+    """dq_version_quantile_drift must (a) actually materialize a
+    two-version txlog history and read v0 via time travel, and (b)
+    produce the numpy rank-boundary deciles of each version."""
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+    from project_crypto_data_engineering_gcp_spark.plans.queries_relational import (
+        _vdrift_table_dir,
+    )
+    from project_crypto_data_engineering_gcp_spark.sources import tx_table
+
+    sf_dir, t = _r9_fixture_dir(spark, tmp_path)
+    orders = t["orders"]
+    got = {
+        r["decile"]: r
+        for r in get_query("dq_version_quantile_drift").fn(spark, sf_dir).collect()
+    }
+    # the txlog table really has two committed versions
+    assert tx_table._versions(_vdrift_table_dir(sf_dir)) == [0, 1]
+
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    cut = pd.Timestamp(1996, 1, 1)
+
+    def bounds(mask):
+        sub = sorted(zip(cents[mask], orders["o_orderkey"][mask]))
+        n = len(sub)
+        return {i: sub[(i * n) // 10 - 1][0] for i in range(1, 10)}
+
+    b0 = bounds(orders["o_orderdate"] < cut)
+    b1 = bounds(orders["o_orderdate"] == orders["o_orderdate"])  # all
+    for i in range(1, 10):
+        assert got[i]["v0_cents"] == int(b0[i]), i
+        assert got[i]["v1_cents"] == int(b1[i]), i
+        assert got[i]["drift_cents"] == int(b1[i]) - int(b0[i]), i
+
+
+def test_ttr_matches_sequential_reference(spark, tmp_path):
+    from project_crypto_data_engineering_gcp_spark.plans.corpus import get_query
+
+    sf_dir, t = _r9_fixture_dir(spark, tmp_path)
+    docs = t["docs"]
+    got = {
+        r["lang"]: r
+        for r in get_query("text_ttr_by_lang").fn(spark, sf_dir).collect()
+    }
+    for lang, g in docs.groupby("lang"):
+        toks = [tok for s in g["text"] for tok in s.split(" ")]
+        r = got[lang]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_types"] == len(set(toks))
+        assert r["ttr_ppm"] == len(set(toks)) * 1_000_000 // len(toks)
