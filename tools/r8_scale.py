@@ -179,6 +179,13 @@ def main() -> None:
             ],
         ),
     }
+    # SPARK_GRAFT_SHAPES=fk_anti_join (comma list) re-measures a subset
+    # in isolation — r9: the fk x100 row's 1.8x min-max band needed an
+    # idle-box single-shape re-run to attribute
+    only = os.environ.get("SPARK_GRAFT_SHAPES", "").strip()
+    if only:
+        keep = set(only.split(","))
+        shapes = {k: v for k, v in shapes.items() if k in keep}
     out = {"levels": list(LEVELS), "passes": PASSES, "shapes": {}}
     for name, (builder, specs) in shapes.items():
         row: dict[str, float] = {}
