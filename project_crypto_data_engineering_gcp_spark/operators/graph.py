@@ -211,7 +211,11 @@ def kcore_peel(
 
 
 def label_propagation(
-    edges: DataFrame, *, rounds: int, edge_partitions: int | None = None
+    edges: DataFrame,
+    *,
+    rounds: int,
+    edge_partitions: int | None = None,
+    edges_pre_bucketed: bool = False,
 ) -> DataFrame:
     """``(node, community)`` after ``rounds`` synchronous label-
     propagation rounds over the symmetrized edge frame ``(u, v)``:
@@ -227,16 +231,33 @@ def label_propagation(
     (localCheckpoint scans report UnknownPartitioning under AQE, so the
     default path re-exchanges the edge-sized side every round); only
     the node-sized label frame moves per round. Bit-identical output;
-    measured in SCALE.md "Iterative co-partitioning, LPA/BFS"."""
-    sym, pinned = _pin_loop_invariant(
-        edges.unionAll(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ),
-        "u",
-        # rounds=0 returns labels derived straight from sym — only pin
-        # (and later unpersist) when the loop actually runs
-        edge_partitions if rounds > 0 else None,
-    )
+    measured in SCALE.md "Iterative co-partitioning, LPA/BFS".
+
+    ``edges_pre_bucketed``: storage-partitioned mode (see
+    :func:`pagerank_fixed_point`). Caller contract: ``edges`` was read
+    by name from a bucketed table holding the ALREADY-SYMMETRIZED frame
+    (both (u, v) and (v, u) rows, duplicates preserved — they carry
+    neighbor-count weight in the label vote), bucketed (+sorted) on
+    ``u``. The operator then skips its own symmetrize+pin: each round
+    re-scans the bucketed files exchange-free with zero resident
+    cache."""
+    if edges_pre_bucketed and edge_partitions:
+        raise ValueError(
+            "edge_partitions and edges_pre_bucketed are alternative"
+            " placements of the same co-partitioning — pick one"
+        )
+    if edges_pre_bucketed:
+        sym, pinned = edges.select("u", "v"), False
+    else:
+        sym, pinned = _pin_loop_invariant(
+            edges.unionAll(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ),
+            "u",
+            # rounds=0 returns labels derived straight from sym — only
+            # pin (and later unpersist) when the loop actually runs
+            edge_partitions if rounds > 0 else None,
+        )
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -265,6 +286,7 @@ def bfs_distances(
     seed_mod: int,
     rounds: int,
     edge_partitions: int | None = None,
+    edges_pre_bucketed: bool = False,
 ) -> DataFrame:
     """``(node, d)`` = min hop distance (<= ``rounds``) from the seed set
     (node % seed_mod == 0) over the symmetrized edge frame ``(u, v)``;
@@ -276,16 +298,30 @@ def bfs_distances(
     ``edge_partitions``: co-partitioned mode — cache the loop-invariant
     symmetrized edge frame pre-partitioned/pre-sorted on the join key
     ``u`` so only the frontier moves per round (see
-    :func:`pagerank_fixed_point`); bit-identical output."""
-    sym, pinned = _pin_loop_invariant(
-        edges.unionAll(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ),
-        "u",
-        # rounds=0 returns seed distances derived straight from sym —
-        # only pin (and later unpersist) when the loop actually runs
-        edge_partitions if rounds > 0 else None,
-    )
+    :func:`pagerank_fixed_point`); bit-identical output.
+
+    ``edges_pre_bucketed``: storage-partitioned mode — caller passes
+    the ALREADY-SYMMETRIZED frame read by name from a bucketed table
+    (bucket key ``u``); the operator skips its own symmetrize+pin and
+    each round re-scans the bucketed files exchange-free (duplicate
+    edges are harmless here: the aggregate is MIN)."""
+    if edges_pre_bucketed and edge_partitions:
+        raise ValueError(
+            "edge_partitions and edges_pre_bucketed are alternative"
+            " placements of the same co-partitioning — pick one"
+        )
+    if edges_pre_bucketed:
+        sym, pinned = edges.select("u", "v"), False
+    else:
+        sym, pinned = _pin_loop_invariant(
+            edges.unionAll(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ),
+            "u",
+            # rounds=0 returns seed distances derived straight from sym
+            # — only pin (and later unpersist) when the loop runs
+            edge_partitions if rounds > 0 else None,
+        )
     nodes = sym.select(F.col("u").alias("node")).distinct()
     dist = nodes.filter(F.col("node") % seed_mod == 0).select(
         "node", F.lit(0).cast("bigint").alias("d")

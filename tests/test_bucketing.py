@@ -140,3 +140,63 @@ def test_pagerank_over_bucketed_edges_identity_and_no_edge_exchange(
             )
     finally:
         drop_bucketed(spark, "pr_edges_b")
+
+
+def test_lpa_and_bfs_over_bucketed_symmetrized_edges_identity(spark, tmp_path):
+    """LPA/BFS storage-partitioned mode: reading the pre-symmetrized,
+    src-bucketed edge table cold must produce bit-identical communities
+    and distances to the default mode (duplicate directed edges in the
+    input exercise LPA's weight-preserving contract)."""
+    from pyspark.sql import functions as F
+
+    from project_crypto_data_engineering_gcp_spark.operators.graph import (
+        bfs_distances,
+        label_propagation,
+    )
+    from project_crypto_data_engineering_gcp_spark.sources.bucketing import (
+        drop_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("u"),
+        (F.col("l_suppkey") * 2 + 1).alias("v"),
+    )  # NOT distinct: duplicates carry LPA vote weight
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    write_bucketed(
+        sym, "gb_sym_b", str(tmp_path / "gb_sym_b"), buckets=8, key="u"
+    )
+    try:
+        symb = read_bucketed(spark, "gb_sym_b")
+        lpa_default = sorted(
+            map(tuple, label_propagation(edges, rounds=2).collect())
+        )
+        lpa_bucketed = sorted(
+            map(
+                tuple,
+                label_propagation(
+                    symb, rounds=2, edges_pre_bucketed=True
+                ).collect(),
+            )
+        )
+        assert lpa_bucketed == lpa_default and lpa_default
+
+        bfs_default = sorted(
+            map(tuple, bfs_distances(edges, seed_mod=10, rounds=2).collect())
+        )
+        bfs_bucketed = sorted(
+            map(
+                tuple,
+                bfs_distances(
+                    symb, seed_mod=10, rounds=2, edges_pre_bucketed=True
+                ).collect(),
+            )
+        )
+        assert bfs_bucketed == bfs_default and bfs_default
+    finally:
+        drop_bucketed(spark, "gb_sym_b")

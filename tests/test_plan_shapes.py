@@ -1021,3 +1021,32 @@ def test_benford_and_fk_audit_single_pass_shapes(spark):
     plan = plan_of(QUERIES["dq_referential_integrity"].fn(spark, SF_ORACLE))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r9_rank_consumers_no_unpartitioned_window(spark):
+    """The r9 queries riding the rank machinery (grouped_global_rank in
+    a36, global_rank in the version-drift boundary extraction and the
+    time-to-convert percentiles) must never compile an UNPARTITIONED
+    window — same pin as the r8 set."""
+    import re
+
+    for name in (
+        "a36_gini_drift_by_nation",
+        "dq_version_quantile_drift",
+        "events_time_to_convert",
+    ):
+        plan = plan_of(QUERIES[name].fn(spark, SF_ORACLE), "extended")
+        specs = re.findall(
+            r"windowspecdefinition\([^)]*?specifiedwindowframe", plan
+        )
+        if not specs:
+            assert "ExistingRDD" in plan, name  # rank ran inside the
+            # checkpoint-materialized operator (whose spec the
+            # operator-level tests pin)
+            continue
+        unpartitioned = [
+            s
+            for s in specs
+            if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
+        ]
+        assert not unpartitioned, (name, unpartitioned)
