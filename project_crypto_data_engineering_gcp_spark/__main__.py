@@ -238,8 +238,15 @@ def main(argv: list[str] | None = None) -> int:
             from .plans import all_queries
 
             df = all_queries()[args.query].fn(spark, args.sf_dir)
-            df.show(args.n, truncate=False)
-            print(f"{args.query} rows: {df.count()}")
+            # node-sized result: persist so show() + count() run the
+            # iterative job ONCE, not twice (code-review r9 — at the
+            # 60M-edge regime the rerun doubles minutes of wall clock)
+            df.persist()
+            try:
+                df.show(args.n, truncate=False)
+                print(f"{args.query} rows: {df.count()}")
+            finally:
+                df.unpersist()
         return 0
     finally:
         if existing is None:

@@ -4803,9 +4803,31 @@ def _vdrift_table_dir(sf_dir: str) -> str:
     import hashlib as _h
 
     digest = _h.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:10]
+    _reap_dead_vdrift_dirs()
     return os.path.join(
         tempfile.gettempdir(), f"spark_graft_vdrift_{os.getpid()}_{digest}"
     )
+
+
+def _reap_dead_vdrift_dirs() -> None:
+    """Remove sibling vdrift scratch dirs whose owning pid is gone —
+    without this every bench/pytest process leaks two committed copies
+    of the orders table into the global temp dir (code-review r9).
+    Live pids' dirs are never touched (no cross-process race)."""
+    import re
+    import shutil
+
+    tmp = tempfile.gettempdir()
+    for entry in os.listdir(tmp):
+        m = re.match(r"spark_graft_vdrift_(\d+)_", entry)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists under another user: leave its dir alone
 
 
 @corpus_query(
@@ -4879,8 +4901,13 @@ def dq_version_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
     )
     cut = F.lit(_VDRIFT_CUT).cast("timestamp")
-    tx_table.commit(base.filter(F.col("o_orderdate") < cut), table, "append")
-    tx_table.commit(base.filter(~(F.col("o_orderdate") < cut)), table, "append")
+    is_old = F.coalesce(F.col("o_orderdate") < cut, F.lit(False))
+    # coalesce makes the split TOTAL: a NULL o_orderdate row lands in
+    # the refresh commit (date < cut and NOT(date < cut) are BOTH null-
+    # false, which would drop the row from every version while the
+    # oracle's v1 keeps it — code-review r9)
+    tx_table.commit(base.filter(is_old), table, "append")
+    tx_table.commit(base.filter(~is_old), table, "append")
 
     spine = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
 

@@ -23,6 +23,8 @@ files and forfeits the bucket distribution.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -73,7 +75,12 @@ def register_bucketed(
     arguments MUST match the write — a mismatched declaration makes
     Spark trust bucket pruning/distribution that the files do not
     satisfy, i.e. silent wrong results. Schema is inferred from the
-    parquet files themselves."""
+    parquet files themselves.
+
+    A PRE-EXISTING catalog entry under ``name`` is verified against the
+    requested (buckets, key, location) and a mismatch raises — CREATE
+    IF NOT EXISTS alone would silently keep a stale spec, which is
+    exactly the wrong-results hazard above (code-review r9)."""
     schema = spark.read.parquet(path).schema
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
     sorted_by = f"SORTED BY (`{key}`) " if sort else ""
@@ -82,6 +89,28 @@ def register_bucketed(
         f" CLUSTERED BY (`{key}`) {sorted_by}INTO {buckets} BUCKETS"
         f" LOCATION '{path}'"
     )
+    meta = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED `{name}`").collect()
+    }
+    got_buckets = meta.get("Num Buckets", "").strip()
+    got_key = meta.get("Bucket Columns", "").strip()
+    got_loc = meta.get("Location", "").strip()
+    want_loc = os.path.realpath(path)
+    if (
+        got_buckets != str(buckets)
+        or got_key != f"[`{key}`]"
+        or os.path.realpath(got_loc.removeprefix("file:")) != want_loc
+    ):
+        raise ValueError(
+            f"catalog already holds table {name!r} with a different"
+            f" bucket spec/location (buckets={got_buckets!r},"
+            f" key={got_key!r}, location={got_loc!r}) than requested"
+            f" (buckets={buckets}, key={key!r}, location={want_loc!r})"
+            f" — trusting it would let Spark assume a distribution the"
+            f" files do not satisfy; drop_bucketed() the stale entry"
+            f" first"
+        )
     return spark.table(name)
 
 

@@ -239,9 +239,13 @@ def _adopted_files(table: str) -> set[str]:
     """Files the table actually ADOPTED at migration (version 0) — the
     only legacy paths vacuum may reclaim. Sources, in order: the durable
     adoption ledger, else a still-present version-0 ``adopt`` manifest
-    (tables migrated before the ledger existed; backfills the ledger
-    shape implicitly). When neither survives, returns empty — leaking an
-    adopted file beats destroying a user one (ADVICE r9)."""
+    (tables migrated before the ledger existed) — in which case the
+    ledger is BACKFILLED on the spot: vacuum deletes old manifests at
+    the end of its pass, so without the backfill a pre-ledger table
+    would lose its adoption record the first time manifest 0 ages out
+    and leak its adopted files forever (code-review r9). When neither
+    survives, returns empty — leaking an adopted file beats destroying
+    a user one (ADVICE r9)."""
     with contextlib.suppress(FileNotFoundError, json.JSONDecodeError):
         with open(_adopted_ledger_file(table)) as fh:
             return set(json.load(fh))
@@ -249,8 +253,28 @@ def _adopted_files(table: str) -> set[str]:
         with open(_manifest_file(table, 0)) as fh:
             m = json.load(fh)
         if m.get("mode") == "adopt":
+            _write_adopted_ledger(table, sorted(m["files"]))
             return set(m["files"])
     return set()
+
+
+def _write_adopted_ledger(table: str, files: list[str]) -> None:
+    """Atomically persist the adoption ledger (idempotent: the link
+    loser is a no-op; a concurrent vacuum sweeping the tmp between
+    write and link is survivable — the caller's source of truth still
+    exists and the next reader retries the backfill)."""
+    tmp = os.path.join(
+        _log_path(table),
+        f".tmp-adopt-{os.getpid()}-{next(_STAGE_SEQ)}.ledger",
+    )
+    with open(tmp, "w") as fh:
+        json.dump(files, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    with contextlib.suppress(FileExistsError, FileNotFoundError):
+        os.link(tmp, _adopted_ledger_file(table))
+    with contextlib.suppress(FileNotFoundError):
+        os.unlink(tmp)
 
 
 def _legacy_files(table: str) -> list[str]:
@@ -341,16 +365,10 @@ def _adopt_legacy(table: str, pby: tuple[str, ...]) -> None:
     # manifests — this ledger (never vacuumed) preserves the record, so
     # an unadopted parquet landing in the table directory AFTER the
     # first commit is user data the sweep must never touch (ADVICE r9).
-    # Concurrent adopters write identical content; link-loser is a no-op.
-    tmp2 = tmp + ".ledger"
-    with open(tmp2, "w") as fh:
-        json.dump(sorted(legacy), fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    with contextlib.suppress(FileExistsError):
-        os.link(tmp2, _adopted_ledger_file(table))
-    with contextlib.suppress(FileNotFoundError):
-        os.unlink(tmp2)
+    # Concurrent adopters write identical content (link loser no-op);
+    # a concurrent vacuum sweeping the tmp is survivable — manifest 0
+    # exists, so _adopted_files backfills on next read (code-review r9).
+    _write_adopted_ledger(table, sorted(legacy))
 
 
 def commit(
@@ -525,12 +543,20 @@ def commit(
                     os.path.exists(f) for f in snapshot(table).files
                 )
                 if not base_healthy:
-                    raise RuntimeError(
+                    # even an unhealthy LATEST may be the other writer's
+                    # not-yet-rolled-back poisoned version (it unlinks
+                    # milliseconds after we looked) — so RETRY rather
+                    # than raise, and hard-error only if the corruption
+                    # outlives every attempt (code-review r9; the
+                    # post-loop raise preserves the r8 contract for
+                    # genuine retention-window violations)
+                    last_err = RuntimeError(
                         f"base snapshot of {table!r} references missing"
                         f" data files (retention-window violation"
                         f" upstream); refusing to commit over a corrupt"
                         f" base: {missing_base[:3]}"
                     )
+                    continue
                 last_err = CommitConflict(
                     f"base version pinned for {table!r} was retracted by"
                     " a concurrent writer's rollback; retrying against"

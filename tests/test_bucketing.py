@@ -200,3 +200,38 @@ def test_lpa_and_bfs_over_bucketed_symmetrized_edges_identity(spark, tmp_path):
         assert bfs_bucketed == bfs_default and bfs_default
     finally:
         drop_bucketed(spark, "gb_sym_b")
+
+
+def test_register_bucketed_rejects_stale_mismatched_catalog_entry(
+    spark, tmp_path
+):
+    """register_bucketed must verify a PRE-EXISTING catalog entry
+    against the requested spec: CREATE IF NOT EXISTS would silently
+    keep a stale bucket count/location and let Spark trust a
+    distribution the files don't satisfy (code-review r9)."""
+    import pytest as _pytest
+
+    from project_crypto_data_engineering_gcp_spark.sources.bucketing import (
+        drop_bucketed,
+        register_bucketed,
+        write_bucketed,
+    )
+
+    df = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    p1 = str(tmp_path / "b1")
+    write_bucketed(df, "rb_tbl", p1, buckets=8, key="o_custkey")
+    try:
+        # matching re-registration is fine (idempotent cross-session read)
+        assert register_bucketed(
+            spark, "rb_tbl", p1, buckets=8, key="o_custkey"
+        ).count() == df.count()
+        # mismatched bucket count: refuse
+        with _pytest.raises(ValueError, match="different"):
+            register_bucketed(spark, "rb_tbl", p1, buckets=4, key="o_custkey")
+        # mismatched location: refuse
+        p2 = str(tmp_path / "b2")
+        df.write.parquet(p2)
+        with _pytest.raises(ValueError, match="different"):
+            register_bucketed(spark, "rb_tbl", p2, buckets=8, key="o_custkey")
+    finally:
+        drop_bucketed(spark, "rb_tbl")

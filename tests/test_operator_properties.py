@@ -1538,3 +1538,30 @@ def test_ttr_matches_sequential_reference(spark, tmp_path):
         assert r["n_tokens"] == len(toks)
         assert r["n_types"] == len(set(toks))
         assert r["ttr_ppm"] == len(set(toks)) * 1_000_000 // len(toks)
+
+
+def test_vdrift_reaper_removes_dead_pid_dirs_only(spark, tmp_path):
+    """The vdrift scratch reaper removes sibling dirs owned by DEAD
+    pids and leaves live ones alone (code-review r9: every process
+    used to leak two committed orders copies into the global tmp)."""
+    import os
+    import tempfile
+
+    from project_crypto_data_engineering_gcp_spark.plans.queries_relational import (
+        _reap_dead_vdrift_dirs,
+    )
+
+    tmp = tempfile.gettempdir()
+    dead = os.path.join(tmp, "spark_graft_vdrift_999999999_deadbeef00")
+    live = os.path.join(tmp, f"spark_graft_vdrift_{os.getpid()}_cafecafe00")
+    os.makedirs(dead, exist_ok=True)
+    os.makedirs(live, exist_ok=True)
+    try:
+        _reap_dead_vdrift_dirs()
+        assert not os.path.exists(dead), "dead-pid dir must be reaped"
+        assert os.path.exists(live), "own-pid dir must survive"
+    finally:
+        import shutil
+
+        shutil.rmtree(dead, ignore_errors=True)
+        shutil.rmtree(live, ignore_errors=True)

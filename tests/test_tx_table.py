@@ -801,3 +801,31 @@ def test_run_silver_txn_identity_lives_in_app_id(spark, tmp_path, monkeypatch):
     assert ver_a == 0 and ver_b == 0  # constant version: monotonic per appId
     assert app_a.startswith("run_silver:") and app_b.startswith("run_silver:")
     assert app_a != app_b  # new batch => fresh appId => never skipped
+
+
+def test_adoption_ledger_backfills_for_pre_ledger_tables(spark, tmp_path):
+    """A table migrated BEFORE the adoption ledger existed (version-0
+    adopt manifest, no adopted.json) must have its ledger backfilled on
+    first read — otherwise the first vacuum that ages manifest 0 out
+    destroys the adoption record and the adopted files leak forever
+    (code-review r9, the upgrade-path hole in the ADVICE-r9 fix)."""
+    t = str(tmp_path / "tbl")
+    spark.range(3).write.parquet(t)  # legacy, adopted at first commit
+    tx.commit(spark.range(10, 12), t, "append")
+    # simulate the pre-ledger table: drop the ledger the adoption wrote
+    os.unlink(tx._adopted_ledger_file(t))
+
+    tx.commit(spark.range(20, 22), t, "append")  # v2
+    # vacuum #1: adopted files still live (v2 inherits), manifest 0 ages
+    # out — the sweep's _adopted_files call must backfill the ledger
+    tx.vacuum(t, keep_last=1, retention_seconds=0)
+    assert not os.path.exists(os.path.join(t, "_txlog", "00000000.json"))
+    assert os.path.exists(tx._adopted_ledger_file(t))
+
+    # vacuum #2 after overwrite: only the backfilled ledger knows the
+    # root parquet was adopted — it must be reclaimed, not leak
+    tx.commit(spark.range(50, 52), t, "overwrite")
+    deleted = tx.vacuum(t, keep_last=1, retention_seconds=0)
+    assert any(os.path.dirname(f) == t for f in deleted)
+    assert not tx.has_legacy_files(t)
+    assert _ids(tx.read(spark, t)) == [50, 51]

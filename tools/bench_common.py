@@ -61,3 +61,33 @@ def assert_same_rows(a, b, key: str, val: str, label: str) -> None:
         .count()
     )
     assert bad == 0, f"{label}: {bad} row mismatches (missing/extra/value)"
+
+
+def amplify_cols(spark, df, n: int, offset_cols: dict[str, int]):
+    """Dict-spec variant of :func:`amplify` for non-edge frames: n
+    disjoint copies; each column is shifted by copy * its stride
+    (stride 0 keeps the column shared across copies). One broadcast
+    crossJoin, per-copy structure preserved exactly."""
+    if n == 1:
+        return df
+    copies = F.broadcast(spark.range(n).select(F.col("id").alias("_copy")))
+    out = df.crossJoin(copies)
+    return out.select(
+        *[
+            ((F.col(c) + F.col("_copy") * stride).alias(c) if stride else F.col(c))
+            for c, stride in offset_cols.items()
+        ]
+    )
+
+
+def filter_shapes(shapes: dict) -> dict:
+    """Apply the SPARK_GRAFT_SHAPES comma-list env filter (subset
+    re-measurement in isolation — r9: single-shape idle-box runs are
+    how the fk x100 variance was attributed)."""
+    import os
+
+    only = os.environ.get("SPARK_GRAFT_SHAPES", "").strip()
+    if not only:
+        return shapes
+    keep = set(only.split(","))
+    return {k: v for k, v in shapes.items() if k in keep}

@@ -25,31 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from bench_common import timed
+from bench_common import amplify_cols as amplify, filter_shapes, timed
 
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,10,100").split(",")
 )
 PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
-
-
-def amplify(spark, df, n: int, offset_cols: dict[str, int]):
-    """n disjoint copies; each column in offset_cols is shifted by
-    copy * its offset stride (0 keeps the column shared across copies)."""
-    if n == 1:
-        return df
-    copies = F.broadcast(spark.range(n).select(F.col("id").alias("_copy")))
-    out = df.crossJoin(copies)
-    return out.select(
-        *[
-            (
-                (F.col(c) + F.col("_copy") * stride).alias(c)
-                if stride
-                else F.col(c)
-            )
-            for c, stride in offset_cols.items()
-        ]
-    )
 
 
 def main() -> None:
@@ -179,13 +160,7 @@ def main() -> None:
             ],
         ),
     }
-    # SPARK_GRAFT_SHAPES=fk_anti_join (comma list) re-measures a subset
-    # in isolation — r9: the fk x100 row's 1.8x min-max band needed an
-    # idle-box single-shape re-run to attribute
-    only = os.environ.get("SPARK_GRAFT_SHAPES", "").strip()
-    if only:
-        keep = set(only.split(","))
-        shapes = {k: v for k, v in shapes.items() if k in keep}
+    shapes = filter_shapes(shapes)
     out = {"levels": list(LEVELS), "passes": PASSES, "shapes": {}}
     for name, (builder, specs) in shapes.items():
         row: dict[str, float] = {}

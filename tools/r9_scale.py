@@ -24,25 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from bench_common import timed
+from bench_common import amplify_cols as amplify, filter_shapes, timed
 
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,10,100").split(",")
 )
 PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
-
-
-def amplify(spark, df, n: int, offset_cols: dict[str, int]):
-    if n == 1:
-        return df
-    copies = F.broadcast(spark.range(n).select(F.col("id").alias("_copy")))
-    out = df.crossJoin(copies)
-    return out.select(
-        *[
-            ((F.col(c) + F.col("_copy") * stride).alias(c) if stride else F.col(c))
-            for c, stride in offset_cols.items()
-        ]
-    )
 
 
 def main() -> None:
@@ -178,10 +165,7 @@ def main() -> None:
             [(view_purch, {"user_id": 10_000_000, "event_type": 0, "tsec": 0})],
         ),
     }
-    only = os.environ.get("SPARK_GRAFT_SHAPES", "").strip()
-    if only:
-        keep = set(only.split(","))
-        shapes = {k: v for k, v in shapes.items() if k in keep}
+    shapes = filter_shapes(shapes)
     out = {"levels": list(LEVELS), "passes": PASSES, "shapes": {}}
     for name, (builder, specs) in shapes.items():
         row: dict[str, float] = {}
