@@ -4817,15 +4817,25 @@ def _reap_dead_vdrift_dirs() -> None:
     import re
     import shutil
 
+    import time as _time
+
     tmp = tempfile.gettempdir()
     for entry in os.listdir(tmp):
         m = re.match(r"spark_graft_vdrift_(\d+)_", entry)
         if not m or int(m.group(1)) == os.getpid():
             continue
+        path = os.path.join(tmp, entry)
         try:
+            # age guard closes the pid-recycling TOCTOU (code-review r9
+            # pass 2): a recycled pid's LIVE dir is necessarily fresh,
+            # so only dirs past the grace window are candidates
+            if os.path.getmtime(path) > _time.time() - 3600:
+                continue
             os.kill(int(m.group(1)), 0)
+        except FileNotFoundError:
+            continue  # raced with another reaper
         except ProcessLookupError:
-            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+            shutil.rmtree(path, ignore_errors=True)
         except PermissionError:
             pass  # pid exists under another user: leave its dir alone
 

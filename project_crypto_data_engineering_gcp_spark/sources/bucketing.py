@@ -89,27 +89,40 @@ def register_bucketed(
         f" CLUSTERED BY (`{key}`) {sorted_by}INTO {buckets} BUCKETS"
         f" LOCATION '{path}'"
     )
-    meta = {
-        r["col_name"]: r["data_type"]
-        for r in spark.sql(f"DESCRIBE FORMATTED `{name}`").collect()
-    }
+    rows = spark.sql(f"DESCRIBE FORMATTED `{name}`").collect()
+    meta = {r["col_name"]: r["data_type"] for r in rows}
     got_buckets = meta.get("Num Buckets", "").strip()
     got_key = meta.get("Bucket Columns", "").strip()
+    got_sort = meta.get("Sort Columns", "").strip()
     got_loc = meta.get("Location", "").strip()
     want_loc = os.path.realpath(path)
+    want_sort = f"[`{key}`]" if sort else "[]"
+    # catalog column section = rows before the first blank separator
+    got_cols = []
+    for r in rows:
+        if not r["col_name"].strip():
+            break
+        got_cols.append((r["col_name"], r["data_type"]))
+    want_cols = [(f.name, f.dataType.simpleString()) for f in schema]
     if (
         got_buckets != str(buckets)
         or got_key != f"[`{key}`]"
+        or got_sort != want_sort  # a stale SORTED BY would let Spark
+        # elide a sort the files don't satisfy (code-review r9 pass 2)
         or os.path.realpath(got_loc.removeprefix("file:")) != want_loc
+        or got_cols != want_cols  # stale schema: files rewritten with
+        # new/retyped columns under the same spec (same pass)
     ):
         raise ValueError(
             f"catalog already holds table {name!r} with a different"
-            f" bucket spec/location (buckets={got_buckets!r},"
-            f" key={got_key!r}, location={got_loc!r}) than requested"
-            f" (buckets={buckets}, key={key!r}, location={want_loc!r})"
-            f" — trusting it would let Spark assume a distribution the"
-            f" files do not satisfy; drop_bucketed() the stale entry"
-            f" first"
+            f" spec than requested/on-disk (buckets={got_buckets!r} vs"
+            f" {buckets}, key={got_key!r} vs {key!r},"
+            f" sort={got_sort!r} vs {want_sort!r},"
+            f" location={got_loc!r} vs {want_loc!r},"
+            f" columns={got_cols!r} vs {want_cols!r})"
+            f" — trusting it would let Spark assume a distribution,"
+            f" ordering, or schema the files do not satisfy;"
+            f" drop_bucketed() the stale entry first"
         )
     return spark.table(name)
 

@@ -260,21 +260,31 @@ def _adopted_files(table: str) -> set[str]:
 
 def _write_adopted_ledger(table: str, files: list[str]) -> None:
     """Atomically persist the adoption ledger (idempotent: the link
-    loser is a no-op; a concurrent vacuum sweeping the tmp between
-    write and link is survivable — the caller's source of truth still
-    exists and the next reader retries the backfill)."""
-    tmp = os.path.join(
-        _log_path(table),
-        f".tmp-adopt-{os.getpid()}-{next(_STAGE_SEQ)}.ledger",
-    )
-    with open(tmp, "w") as fh:
-        json.dump(files, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    with contextlib.suppress(FileExistsError, FileNotFoundError):
-        os.link(tmp, _adopted_ledger_file(table))
-    with contextlib.suppress(FileNotFoundError):
-        os.unlink(tmp)
+    loser is a no-op). A concurrent vacuum's ``.tmp-*`` sweep can
+    unlink the tmp between write and link — retried with a fresh tmp,
+    because in the BACKFILL path this may be the same vacuum pass that
+    deletes manifest 0 (the only other record) at its end, so 'the
+    next reader retries' would have nothing left to read
+    (code-review r9 pass 2)."""
+    for _ in range(3):
+        tmp = os.path.join(
+            _log_path(table),
+            f".tmp-adopt-{os.getpid()}-{next(_STAGE_SEQ)}.ledger",
+        )
+        with open(tmp, "w") as fh:
+            json.dump(files, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, _adopted_ledger_file(table))
+        except FileExistsError:
+            pass  # another writer landed identical content
+        except FileNotFoundError:
+            continue  # tmp swept mid-link: retry with a fresh tmp
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
+        return
 
 
 def _legacy_files(table: str) -> list[str]:
@@ -412,6 +422,7 @@ def commit(
     _adopt_legacy(table, pby)
 
     last_err: Exception | None = None
+    corrupt_base_seen = False
     for attempt in range(max_retries):
         if txn is not None:
             # idempotent replay (Delta's txnAppId/txnVersion): this
@@ -439,6 +450,15 @@ def commit(
                     f"partition_by mismatch for {table!r}: table has "
                     f"{list(existing)}, commit requested {list(pby)}"
                 )
+        if corrupt_base_seen and prior:
+            # the previous attempt rolled back over a corrupt base and
+            # retried to heal the transient retracted-version race —
+            # but if the latest snapshot is STILL unhealthy, fail here
+            # before re-staging: each blind retry costs a full data
+            # write plus a momentarily-visible corrupt manifest that
+            # concurrent readers can pin (code-review r9 pass 2)
+            if not all(os.path.exists(f) for f in snapshot(table).files):
+                raise last_err  # the corrupt-base RuntimeError
         # staging name carries (pid, per-process seq): unique per WRITER,
         # not just per (version, attempt) — two concurrent writers racing
         # to the same version must never share a staging directory
@@ -550,6 +570,7 @@ def commit(
                     # outlives every attempt (code-review r9; the
                     # post-loop raise preserves the r8 contract for
                     # genuine retention-window violations)
+                    corrupt_base_seen = True
                     last_err = RuntimeError(
                         f"base snapshot of {table!r} references missing"
                         f" data files (retention-window violation"

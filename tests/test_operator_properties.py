@@ -1553,15 +1553,24 @@ def test_vdrift_reaper_removes_dead_pid_dirs_only(spark, tmp_path):
 
     tmp = tempfile.gettempdir()
     dead = os.path.join(tmp, "spark_graft_vdrift_999999999_deadbeef00")
+    fresh = os.path.join(tmp, "spark_graft_vdrift_999999998_freshfresh")
     live = os.path.join(tmp, f"spark_graft_vdrift_{os.getpid()}_cafecafe00")
     os.makedirs(dead, exist_ok=True)
+    os.makedirs(fresh, exist_ok=True)
     os.makedirs(live, exist_ok=True)
+    # age the dead dir past the 1h grace window; `fresh` stays young —
+    # the pid-recycling TOCTOU guard must leave it alone even though
+    # its pid is dead (code-review r9 pass 2)
+    old = 1_000_000_000
+    os.utime(dead, (old, old))
     try:
         _reap_dead_vdrift_dirs()
-        assert not os.path.exists(dead), "dead-pid dir must be reaped"
+        assert not os.path.exists(dead), "aged dead-pid dir must be reaped"
+        assert os.path.exists(fresh), "young dir survives (pid-reuse guard)"
         assert os.path.exists(live), "own-pid dir must survive"
     finally:
         import shutil
 
         shutil.rmtree(dead, ignore_errors=True)
+        shutil.rmtree(fresh, ignore_errors=True)
         shutil.rmtree(live, ignore_errors=True)
