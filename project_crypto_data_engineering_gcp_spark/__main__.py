@@ -18,6 +18,7 @@ into the landing dir.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -79,6 +80,31 @@ def _build_parser() -> argparse.ArgumentParser:
         " and committed versions younger than H hours (in-flight commits,"
         " recent time travel, streaming txn markers). Lower only when no"
         " writer can be live.",
+    )
+    k.add_argument(
+        "--bucket-by",
+        default=None,
+        metavar="KEY",
+        help="convert the table to a BUCKETED layout hash-clustered on"
+        " KEY (requires --out; the one-time pre-shuffle that makes every"
+        " later join/agg on KEY exchange-free — SCALE.md 'PageRank over"
+        " bucketed storage': x100 iterative reads drop 84->15 s with no"
+        " resident cache). Readers come back through"
+        " sources.bucketing.register_bucketed / spark.table.",
+    )
+    k.add_argument(
+        "--buckets", type=int, default=64,
+        help="bucket count with --bucket-by (fixed for the table's"
+        " lifetime — size it like shuffle parallelism at full scale)",
+    )
+    k.add_argument(
+        "--out", default=None,
+        help="with --bucket-by: output directory for the bucketed table"
+        " (the source is never touched)",
+    )
+    k.add_argument(
+        "--table", default=None,
+        help="with --bucket-by: catalog name (default: derived from --out)",
     )
 
     ds = sub.add_parser(
@@ -176,7 +202,36 @@ def main(argv: list[str] | None = None) -> int:
             for k, v in manifest.items():
                 print(f"{k}: {v}")
         elif args.cmd == "compact":
-            if args.tx:
+            if args.bucket_by:
+                if args.tx:
+                    raise SystemExit(
+                        "compact --bucket-by converts a plain parquet"
+                        " table; it does not compose with --tx (compact"
+                        " the txlog snapshot first, then bucketize its"
+                        " read)"
+                    )
+                if not args.out:
+                    raise SystemExit("compact --bucket-by requires --out")
+                import re as _re
+
+                from .sources.bucketing import bucketize_table
+
+                name = args.table or _re.sub(
+                    r"\W+", "_", os.path.basename(args.out.rstrip("/"))
+                )
+                n = bucketize_table(
+                    spark,
+                    args.path,
+                    args.out,
+                    name,
+                    buckets=args.buckets,
+                    key=args.bucket_by,
+                )
+                print(
+                    f"bucketized {n} rows into {args.buckets} buckets"
+                    f" on {args.bucket_by} as table {name}"
+                )
+            elif args.tx:
                 if args.sort_by is not None or args.target_mb is not None:
                     raise SystemExit(
                         "compact --tx rewrites the txlog snapshot whole;"
@@ -221,8 +276,6 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"duplicate pairs emitted: {n}")
         elif args.cmd == "graph":
-            import os
-
             from .config import (
                 _BROADCAST_SURVIVORS_VAR,
                 _EDGE_PARTITIONS_VAR,

@@ -127,6 +127,35 @@ def register_bucketed(
     return spark.table(name)
 
 
+def bucketize_table(
+    spark: SparkSession,
+    path: str,
+    out: str,
+    name: str,
+    *,
+    buckets: int,
+    key: str,
+    sort: bool = True,
+) -> int:
+    """Convert a plain parquet table into a bucketed layout at ``out``
+    (registered as ``name``) — the one-time pre-shuffle that makes every
+    later join/agg on ``key`` exchange-free (the `compact --bucket-by`
+    CLI maintenance action). Row-count-verified like
+    ``maintenance.compact_table``: a bad rewrite raises and the catalog
+    entry is dropped; the source is never touched. Returns the row
+    count."""
+    df = spark.read.parquet(path)
+    expected = df.count()
+    write_bucketed(df, name, out, buckets=buckets, key=key, sort=sort)
+    got = spark.table(name).count()
+    if got != expected:
+        drop_bucketed(spark, name)
+        raise RuntimeError(
+            f"bucketize row-count mismatch for {path}: {expected} -> {got}"
+        )
+    return got
+
+
 def drop_bucketed(spark: SparkSession, name: str) -> None:
     """Drop the catalog entry (external table: data files stay)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")

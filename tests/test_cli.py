@@ -166,3 +166,41 @@ def test_cli_graph_at_scale_switches_identity(spark, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "graph_bfs_distances rows:" in out
     monkeypatch.delenv(_EDGE_PARTITIONS_VAR, raising=False)
+
+
+def test_cli_compact_bucket_by(spark, tmp_path, capsys):
+    """compact --bucket-by converts a plain parquet table into a
+    bucketed layout (row-count-verified, source untouched) whose scan
+    carries the bucket distribution — the CLI front end of the
+    bucketed-storage mode (r9)."""
+    from project_crypto_data_engineering_gcp_spark.sources.bucketing import drop_bucketed
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "edges-b")
+    spark.range(0, 5000).selectExpr(
+        "id % 97 as k", "id as payload"
+    ).repartition(6).write.parquet(src)
+
+    try:
+        assert main(
+            ["compact", "--path", src, "--bucket-by", "k",
+             "--buckets", "8", "--out", out]
+        ) == 0
+        printed = capsys.readouterr().out
+        assert "bucketized 5000 rows into 8 buckets on k" in printed
+        t = spark.table("edges_b")
+        assert t.count() == 5000
+        # source untouched, bucketed scan reports the distribution
+        assert spark.read.parquet(src).count() == 5000
+        plan = t.groupBy("k").count()._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # bucketed scan -> no shuffle
+        # --tx composition refused
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="does not compose"):
+            main(["compact", "--path", src, "--tx", "--bucket-by", "k",
+                  "--out", out + "2"])
+        with _pytest.raises(SystemExit, match="requires --out"):
+            main(["compact", "--path", src, "--bucket-by", "k"])
+    finally:
+        drop_bucketed(spark, "edges_b")
