@@ -829,3 +829,43 @@ def test_adoption_ledger_backfills_for_pre_ledger_tables(spark, tmp_path):
     assert any(os.path.dirname(f) == t for f in deleted)
     assert not tx.has_legacy_files(t)
     assert _ids(tx.read(spark, t)) == [50, 51]
+
+
+def test_concurrent_adoption_storm(spark, tmp_path):
+    """Adoption race: 4 threads race their FIRST commit onto a legacy
+    parquet layout. Invariants: exactly one version-0 adopt manifest,
+    one adoption ledger holding exactly the legacy files, all four
+    appends land (versions contiguous), and the final frame composes
+    the legacy rows with every writer's — exercising the ledger's
+    link-loser-is-a-no-op path under real concurrency (r9)."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    spark.range(3).write.parquet(t)  # the legacy layout all four adopt
+    legacy_before = set(tx._legacy_files(t))
+    errors: list[Exception] = []
+
+    def writer(base: int) -> None:
+        try:
+            tx.commit(spark.range(base, base + 2), t, "append")
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(100 * (i + 1),)) for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    # one adopt manifest at version 0, then the four appends
+    assert tx._versions(t) == [0, 1, 2, 3, 4]
+    with open(os.path.join(t, "_txlog", "00000000.json")) as fh:
+        assert json.load(fh)["mode"] == "adopt"
+    assert tx._adopted_files(t) == legacy_before
+    got = _ids(tx.read(spark, t))
+    expect = [0, 1, 2] + sorted(
+        x for b in (100, 200, 300, 400) for x in (b, b + 1)
+    )
+    assert got == expect

@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
-"""LPA over bucketed storage: the pagerank_bucketed.py protocol applied
-to label_propagation (r9 follow-on — SCALE.md's bucketed-storage claim
-covers the whole iterative family; this measures the second member).
+"""LPA/BFS over bucketed storage: the pagerank_bucketed.py protocol
+applied to label_propagation and bfs_distances (r9 follow-on —
+SCALE.md's bucketed-storage claim covers the whole iterative family;
+both share the symmetrized bucketed table). Select with
+SPARK_GRAFT_OP=lpa|bfs (default lpa).
 
 ISOLATED protocol: one variant per process, idle box, amplified input
 read cold from disk. The bucketed table stores the SYMMETRIZED frame
@@ -35,6 +37,7 @@ LEVEL = int(os.environ.get("SPARK_GRAFT_SCALE_LEVEL", "16"))
 BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "64"))
 WORKDIR = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp/lpa_bucketed")
 ROUNDS = 3
+OP = os.environ.get("SPARK_GRAFT_OP", "lpa")
 
 
 def _spark():
@@ -99,6 +102,7 @@ def prepare() -> None:
 
 def run_variant(variant: str) -> None:
     from project_crypto_data_engineering_gcp_spark.operators.graph import (
+        bfs_distances,
         label_propagation,
     )
 
@@ -125,20 +129,26 @@ def run_variant(variant: str) -> None:
     checksum = None
     for _ in range(2):
         t0 = time.perf_counter()
-        labels = label_propagation(edges, rounds=ROUNDS, **kwargs)
-        row = labels.agg(
-            F.sum("community").alias("s"), F.count(F.lit(1)).alias("n")
-        ).collect()[0]
+        if OP == "bfs":
+            out = bfs_distances(edges, seed_mod=100, rounds=ROUNDS, **kwargs)
+            agg = out.agg(F.sum("d").alias("s"), F.count(F.lit(1)).alias("n"))
+        else:
+            out = label_propagation(edges, rounds=ROUNDS, **kwargs)
+            agg = out.agg(
+                F.sum("community").alias("s"), F.count(F.lit(1)).alias("n")
+            )
+        row = agg.collect()[0]
         passes.append(round(time.perf_counter() - t0, 2))
         checksum = [int(row["s"]), int(row["n"])]
     print(
         json.dumps(
             {
+                "op": OP,
                 "variant": variant,
                 "level": LEVEL,
                 "cold_sec": passes[0],
                 "steady_sec": passes[1],
-                "label_sum_and_nodes": checksum,
+                "checksum_sum_and_rows": checksum,
             }
         )
     )
