@@ -210,8 +210,18 @@ def main(argv: list[str] | None = None) -> int:
                         " the txlog snapshot first, then bucketize its"
                         " read)"
                     )
+                if args.sort_by is not None or args.target_mb is not None:
+                    raise SystemExit(
+                        "compact --bucket-by clusters by the bucket key"
+                        " and sizes files by bucket count; --sort-by/"
+                        "--target-mb apply only to plain-parquet"
+                        " compaction (same refusal policy as --tx:"
+                        " never silently drop a clustering request)"
+                    )
                 if not args.out:
                     raise SystemExit("compact --bucket-by requires --out")
+                if args.buckets <= 0:
+                    raise SystemExit("compact --bucket-by: --buckets must be positive")
                 import re as _re
 
                 from .sources.bucketing import bucketize_table

@@ -103,7 +103,11 @@ def register_bucketed(
         if not r["col_name"].strip():
             break
         got_cols.append((r["col_name"], r["data_type"]))
-    want_cols = [(f.name, f.dataType.simpleString()) for f in schema]
+    # name comparison is case-insensitive: a Hive metastore lowercases
+    # column names in DESCRIBE output while the parquet schema keeps the
+    # original case (code-review r9 pass 3)
+    got_cols = [(n.lower(), t) for n, t in got_cols]
+    want_cols = [(f.name.lower(), f.dataType.simpleString()) for f in schema]
     if (
         got_buckets != str(buckets)
         or got_key != f"[`{key}`]"
@@ -144,6 +148,11 @@ def bucketize_table(
     ``maintenance.compact_table``: a bad rewrite raises and the catalog
     entry is dropped; the source is never touched. Returns the row
     count."""
+    if buckets <= 0:
+        raise ValueError(
+            f"buckets must be positive, got {buckets} (fail before the"
+            " full source scan, not inside saveAsTable after it)"
+        )
     df = spark.read.parquet(path)
     expected = df.count()
     write_bucketed(df, name, out, buckets=buckets, key=key, sort=sort)

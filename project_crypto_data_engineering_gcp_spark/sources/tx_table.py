@@ -285,6 +285,15 @@ def _write_adopted_ledger(table: str, files: list[str]) -> None:
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(tmp)
         return
+    # exhausting the retries must be LOUD: in the backfill path the
+    # sweeping vacuum may delete manifest 0 — the only other record —
+    # at the end of its own pass, so returning silently here would be
+    # the permanent-leak outcome the retry exists to prevent
+    # (code-review r9 pass 3)
+    raise RuntimeError(
+        f"could not persist the adoption ledger for {table!r}: the tmp"
+        " file was swept by a concurrent vacuum on every attempt"
+    )
 
 
 def _legacy_files(table: str) -> list[str]:
@@ -422,7 +431,7 @@ def commit(
     _adopt_legacy(table, pby)
 
     last_err: Exception | None = None
-    corrupt_base_seen = False
+    corrupt_err: RuntimeError | None = None
     for attempt in range(max_retries):
         if txn is not None:
             # idempotent replay (Delta's txnAppId/txnVersion): this
@@ -450,15 +459,29 @@ def commit(
                     f"partition_by mismatch for {table!r}: table has "
                     f"{list(existing)}, commit requested {list(pby)}"
                 )
-        if corrupt_base_seen and prior:
+        if corrupt_err is not None and prior:
             # the previous attempt rolled back over a corrupt base and
             # retried to heal the transient retracted-version race —
-            # but if the latest snapshot is STILL unhealthy, fail here
-            # before re-staging: each blind retry costs a full data
-            # write plus a momentarily-visible corrupt manifest that
-            # concurrent readers can pin (code-review r9 pass 2)
-            if not all(os.path.exists(f) for f in snapshot(table).files):
-                raise last_err  # the corrupt-base RuntimeError
+            # if the latest snapshot is STILL unhealthy after a grace
+            # pause, fail here before re-staging: each blind retry
+            # costs a full data write plus a momentarily-visible
+            # corrupt manifest concurrent readers can pin (code-review
+            # r9 pass 2). The pause gives a stalled writer mid-rollback
+            # time to retract (pass 3: the instant re-check was itself
+            # a race); a manifest unlinked between listdir and open is
+            # that retraction happening — treat as healed and proceed.
+            time.sleep(0.2)
+            try:
+                healthy = all(
+                    os.path.exists(f) for f in snapshot(table).files
+                )
+            except FileNotFoundError:
+                healthy = True  # state moved under us: re-read next pass
+            if not healthy:
+                raise corrupt_err  # the corrupt-base RuntimeError,
+                # captured at detection (last_err may since have been
+                # overwritten by an unrelated CommitConflict)
+            corrupt_err = None  # healed: back to the normal path
         # staging name carries (pid, per-process seq): unique per WRITER,
         # not just per (version, attempt) — two concurrent writers racing
         # to the same version must never share a staging directory
@@ -570,13 +593,13 @@ def commit(
                     # outlives every attempt (code-review r9; the
                     # post-loop raise preserves the r8 contract for
                     # genuine retention-window violations)
-                    corrupt_base_seen = True
-                    last_err = RuntimeError(
+                    corrupt_err = RuntimeError(
                         f"base snapshot of {table!r} references missing"
                         f" data files (retention-window violation"
                         f" upstream); refusing to commit over a corrupt"
                         f" base: {missing_base[:3]}"
                     )
+                    last_err = corrupt_err
                     continue
                 last_err = CommitConflict(
                     f"base version pinned for {table!r} was retracted by"

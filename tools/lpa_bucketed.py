@@ -15,22 +15,21 @@ read cold from disk. The bucketed table stores the SYMMETRIZED frame
     python3 tools/lpa_bucketed.py bucketed   # bucketed sym table
 
 Env: SPARK_GRAFT_SCALE_LEVEL (default 16), SPARK_GRAFT_SF_DIR,
-SPARK_GRAFT_BUCKETS (default 64), SPARK_GRAFT_WORKDIR.
+SPARK_GRAFT_BUCKETS (default 64), SPARK_GRAFT_WORKDIR, SPARK_GRAFT_OP.
+Scaffold (prepare/run/timing/checksum) lives in tools/bucketed_common.py.
 """
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+import bucketed_common
 from bench_common import amplify
 
 LEVEL = int(os.environ.get("SPARK_GRAFT_SCALE_LEVEL", "16"))
@@ -38,6 +37,7 @@ BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "64"))
 WORKDIR = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp/lpa_bucketed")
 ROUNDS = 3
 OP = os.environ.get("SPARK_GRAFT_OP", "lpa")
+TABLE = "lpa_sym_bucketed"
 
 
 def _spark():
@@ -53,17 +53,10 @@ def _paths():
     )
 
 
-def prepare() -> None:
-    from project_crypto_data_engineering_gcp_spark.sources.bucketing import (
-        drop_bucketed,
-        write_bucketed,
-    )
+def _base_edges(spark):
     from project_crypto_data_engineering_gcp_spark.sources.tables import load_table
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    shutil.rmtree(WORKDIR, ignore_errors=True)
-    os.makedirs(WORKDIR)
-    spark = _spark()
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     base = (
@@ -74,91 +67,52 @@ def prepare() -> None:
         )
         .localCheckpoint(eager=True)
     )
-    edges = amplify(spark, base, LEVEL, ("u", "v")).persist()
-    n = edges.count()
-    plain, bucketed = _paths()
-    t0 = time.perf_counter()
-    edges.write.parquet(plain)
-    plain_write = round(time.perf_counter() - t0, 2)
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    drop_bucketed(spark, "lpa_sym_bucketed")
-    t0 = time.perf_counter()
-    write_bucketed(sym, "lpa_sym_bucketed", bucketed, buckets=BUCKETS, key="u")
-    bucketed_write = round(time.perf_counter() - t0, 2)
-    print(
-        json.dumps(
-            {
-                "step": "prepare",
-                "level": LEVEL,
-                "edges": n,
-                "plain_write_sec": plain_write,
-                "bucketed_sym_write_sec": bucketed_write,
-            }
-        )
-    )
+    return amplify(spark, base, LEVEL, ("u", "v"))
 
 
-def run_variant(variant: str) -> None:
+def _run_op(edges, **kwargs):
     from project_crypto_data_engineering_gcp_spark.operators.graph import (
         bfs_distances,
         label_propagation,
     )
 
-    spark = _spark()
-    plain, bucketed = _paths()
-    if variant == "bucketed":
-        from project_crypto_data_engineering_gcp_spark.sources.bucketing import (
-            register_bucketed,
-        )
-
-        edges = register_bucketed(
-            spark,
-            f"lpa_sym_bucketed_x{LEVEL}_r",
-            bucketed,
-            buckets=BUCKETS,
-            key="u",
-        )
-        kwargs = {"edges_pre_bucketed": True}
-    else:
-        edges = spark.read.parquet(plain)
-        kwargs = {"edge_partitions": BUCKETS} if variant == "persist" else {}
-
-    passes = []
-    checksum = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        if OP == "bfs":
-            out = bfs_distances(edges, seed_mod=100, rounds=ROUNDS, **kwargs)
-            agg = out.agg(F.sum("d").alias("s"), F.count(F.lit(1)).alias("n"))
-        else:
-            out = label_propagation(edges, rounds=ROUNDS, **kwargs)
-            agg = out.agg(
-                F.sum("community").alias("s"), F.count(F.lit(1)).alias("n")
-            )
-        row = agg.collect()[0]
-        passes.append(round(time.perf_counter() - t0, 2))
-        checksum = [int(row["s"]), int(row["n"])]
-    print(
-        json.dumps(
-            {
-                "op": OP,
-                "variant": variant,
-                "level": LEVEL,
-                "cold_sec": passes[0],
-                "steady_sec": passes[1],
-                "checksum_sum_and_rows": checksum,
-            }
-        )
-    )
+    if OP == "bfs":
+        return bfs_distances(edges, seed_mod=100, rounds=ROUNDS, **kwargs)
+    return label_propagation(edges, rounds=ROUNDS, **kwargs)
 
 
 if __name__ == "__main__":
     step = sys.argv[1] if len(sys.argv) > 1 else "prepare"
+    plain, bucketed = _paths()
     if step == "prepare":
-        prepare()
+        bucketed_common.prepare(
+            _spark(),
+            _base_edges(_spark()),
+            workdir=WORKDIR,
+            level=LEVEL,
+            buckets=BUCKETS,
+            key="u",
+            table_name=TABLE,
+            plain_path=plain,
+            bucketed_path=bucketed,
+            # LPA contract: store the symmetrized frame, duplicates kept
+            to_bucketed=lambda e: e.unionAll(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ),
+        )
     elif step in ("baseline", "persist", "bucketed"):
-        run_variant(step)
+        bucketed_common.run_variant(
+            _spark(),
+            step,
+            op=OP,
+            level=LEVEL,
+            buckets=BUCKETS,
+            key="u",
+            table_name=TABLE,
+            plain_path=plain,
+            bucketed_path=bucketed,
+            run_op=_run_op,
+            checksum_cols=("d" if OP == "bfs" else "community", "n"),
+        )
     else:
         raise SystemExit(f"unknown step {step!r}")
