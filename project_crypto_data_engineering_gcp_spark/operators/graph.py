@@ -165,7 +165,12 @@ def pagerank_fixed_point(
 
 
 def kcore_peel(
-    edges: DataFrame, *, k: int, rounds: int, broadcast_survivors: bool = True
+    edges: DataFrame,
+    *,
+    k: int,
+    rounds: int,
+    broadcast_survivors: bool = True,
+    edges_pre_bucketed: bool = False,
 ) -> DataFrame:
     """``(node, core_degree)`` after ``rounds`` fixed peel rounds of
     "drop nodes with degree < k" over the symmetrized undirected edge
@@ -182,10 +187,22 @@ def kcore_peel(
     not broadcast; ``False`` switches both per-round filters to shuffle
     SEMI-joins (identical results — the survivor key is unique by
     construction), the honest at-scale path (r8: an actual parameter,
-    not just the docstring caveat it used to be)."""
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    not just the docstring caveat it used to be).
+
+    ``edges_pre_bucketed``: the peel's frame SHRINKS per round (not
+    loop-invariant), so bucketed storage helps exactly ROUND 1 — the
+    round over the largest frame: the caller passes the
+    already-symmetrized frame read by name from a ``u``-bucketed table
+    (the LPA/BFS contract) and the operator skips its own
+    symmetrize+checkpoint; round 1's degree count and both survivor
+    joins ride the bucket distribution, and rounds 2+ checkpoint the
+    shrunken frame exactly as before."""
+    if edges_pre_bucketed:
+        sym = edges.select("u", "v")
+    else:
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         # materialize the survivor list ONCE per round: it feeds TWO

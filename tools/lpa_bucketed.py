@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
 """LPA/BFS over bucketed storage: the pagerank_bucketed.py protocol
-applied to label_propagation and bfs_distances (r9 follow-on —
-SCALE.md's bucketed-storage claim covers the whole iterative family;
-both share the symmetrized bucketed table). Select with
-SPARK_GRAFT_OP=lpa|bfs (default lpa).
+applied to label_propagation, bfs_distances, and kcore_peel (r9
+follow-on — SCALE.md's bucketed-storage claim covers the whole
+iterative family; all three share the symmetrized bucketed table).
+Select with SPARK_GRAFT_OP=lpa|bfs|kcore (default lpa). For kcore the
+persist variant does not exist (its frame shrinks per round — there is
+no loop-invariant side to pin): run baseline and bucketed only.
 
 ISOLATED protocol: one variant per process, idle box, amplified input
 read cold from disk. The bucketed table stores the SYMMETRIZED frame
@@ -73,11 +75,16 @@ def _base_edges(spark):
 def _run_op(edges, **kwargs):
     from project_crypto_data_engineering_gcp_spark.operators.graph import (
         bfs_distances,
+        kcore_peel,
         label_propagation,
     )
 
     if OP == "bfs":
         return bfs_distances(edges, seed_mod=100, rounds=ROUNDS, **kwargs)
+    if OP == "kcore":
+        if kwargs.pop("edge_partitions", None):
+            raise SystemExit("kcore has no persist variant (frame shrinks)")
+        return kcore_peel(edges, k=3, rounds=ROUNDS, **kwargs)
     return label_propagation(edges, rounds=ROUNDS, **kwargs)
 
 
@@ -112,7 +119,10 @@ if __name__ == "__main__":
             plain_path=plain,
             bucketed_path=bucketed,
             run_op=_run_op,
-            checksum_cols=("d" if OP == "bfs" else "community", "n"),
+            checksum_cols=(
+                {"bfs": "d", "kcore": "core_degree"}.get(OP, "community"),
+                "n",
+            ),
         )
     else:
         raise SystemExit(f"unknown step {step!r}")
