@@ -179,7 +179,14 @@ def kcore_peel(
     has converged the output is the true k-core. ``localCheckpoint``
     per round: the survivor frame is referenced twice per round (degree
     count + edge filter), so an uncut plan re-evaluates the base
-    2^rounds times.
+    2^rounds times. Known residual (measured: SCALE.md k-core tables'
+    pass-2 degradation): superseded rounds' checkpoint BLOCKS stay
+    resident until the ContextCleaner GCs the dropped RDDs —
+    ``unpersist()`` does not reclaim localCheckpoint storage (the
+    documented limitation tools/r8_scale.py works around for its
+    inputs), so repeated same-session invocations accumulate pressure;
+    the ``edges_pre_bucketed`` mode halves the volume by skipping the
+    initial full-frame cut.
 
     ``broadcast_survivors``: the survivor list is a support-filtered
     NODE domain — broadcast-joining it (default) is right while it fits

@@ -142,15 +142,18 @@ def test_pagerank_over_bucketed_edges_identity_and_no_edge_exchange(
         drop_bucketed(spark, "pr_edges_b")
 
 
-def test_lpa_and_bfs_over_bucketed_symmetrized_edges_identity(spark, tmp_path):
-    """LPA/BFS storage-partitioned mode: reading the pre-symmetrized,
-    src-bucketed edge table cold must produce bit-identical communities
-    and distances to the default mode (duplicate directed edges in the
-    input exercise LPA's weight-preserving contract)."""
+def test_lpa_bfs_kcore_over_bucketed_symmetrized_edges_identity(spark, tmp_path):
+    """LPA/BFS/kcore storage-partitioned mode over ONE shared
+    pre-symmetrized, src-bucketed edge table: bit-identical communities,
+    distances, and cores vs the default mode (duplicate directed edges
+    exercise LPA's weight-preserving contract; kcore is asserted in
+    both survivor-filter modes — its bucketed benefit is round-1-only
+    since the peel frame shrinks)."""
     from pyspark.sql import functions as F
 
     from project_crypto_data_engineering_gcp_spark.operators.graph import (
         bfs_distances,
+        kcore_peel,
         label_propagation,
     )
     from project_crypto_data_engineering_gcp_spark.sources.bucketing import (
@@ -198,6 +201,21 @@ def test_lpa_and_bfs_over_bucketed_symmetrized_edges_identity(spark, tmp_path):
             )
         )
         assert bfs_bucketed == bfs_default and bfs_default
+
+        kc_default = sorted(
+            map(tuple, kcore_peel(edges, k=3, rounds=2).collect())
+        )
+        for bs in (True, False):
+            kc_bucketed = sorted(
+                map(
+                    tuple,
+                    kcore_peel(
+                        symb, k=3, rounds=2,
+                        edges_pre_bucketed=True, broadcast_survivors=bs,
+                    ).collect(),
+                )
+            )
+            assert kc_bucketed == kc_default and kc_default, bs
     finally:
         drop_bucketed(spark, "gb_sym_b")
 
@@ -235,49 +253,3 @@ def test_register_bucketed_rejects_stale_mismatched_catalog_entry(
             register_bucketed(spark, "rb_tbl", p2, buckets=8, key="o_custkey")
     finally:
         drop_bucketed(spark, "rb_tbl")
-
-
-def test_kcore_over_bucketed_symmetrized_edges_identity(spark, tmp_path):
-    """kcore storage-partitioned mode (round-1-only benefit: the peel
-    frame shrinks per round): reading the pre-symmetrized bucketed
-    table must produce identical cores to the default, in both
-    survivor-filter modes."""
-    from pyspark.sql import functions as F
-
-    from project_crypto_data_engineering_gcp_spark.operators.graph import kcore_peel
-    from project_crypto_data_engineering_gcp_spark.sources.bucketing import (
-        drop_bucketed,
-        read_bucketed,
-        write_bucketed,
-    )
-
-    orders = load_table(spark, SF_SMOKE, "orders")
-    li = load_table(spark, SF_SMOKE, "lineitem")
-    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
-        (F.col("o_custkey") * 2).alias("u"),
-        (F.col("l_suppkey") * 2 + 1).alias("v"),
-    )
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    write_bucketed(
-        sym, "kc_sym_b", str(tmp_path / "kc_sym_b"), buckets=8, key="u"
-    )
-    try:
-        symb = read_bucketed(spark, "kc_sym_b")
-        default = sorted(
-            map(tuple, kcore_peel(edges, k=3, rounds=2).collect())
-        )
-        for bs in (True, False):
-            got = sorted(
-                map(
-                    tuple,
-                    kcore_peel(
-                        symb, k=3, rounds=2,
-                        edges_pre_bucketed=True, broadcast_survivors=bs,
-                    ).collect(),
-                )
-            )
-            assert got == default and default, bs
-    finally:
-        drop_bucketed(spark, "kc_sym_b")

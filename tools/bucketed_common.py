@@ -112,8 +112,12 @@ def run_variant(
     for _ in range(2):
         t0 = time.perf_counter()
         out = run_op(edges, **kwargs)
+        # coalesce: an op whose result can be EMPTY (kcore can peel the
+        # whole graph away) must print a (0, 0) checksum, not die on
+        # int(None) after the full timed pass (code-review r9 pass 4)
         row = out.agg(
-            F.sum(sum_col).alias("s"), F.count(F.lit(1)).alias("n")
+            F.coalesce(F.sum(sum_col), F.lit(0)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         passes.append(round(time.perf_counter() - t0, 2))
         checksum = [int(row["s"]), int(row["n"])]
