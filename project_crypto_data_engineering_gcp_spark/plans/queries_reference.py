@@ -333,7 +333,7 @@ def p11_quantity_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice, 0) AS price_r0,
            ROUND(l_extendedprice * l_discount, 4) AS disc_amt_r4,
-           ROUND(l_extendedprice / l_quantity, 8) AS unit_price_r8,
+           ROUND(l_extendedprice / NULLIF(l_quantity, 0), 8) AS unit_price_r8,
            ROUND(l_tax, 2) AS tax_r2
     FROM lineitem
     """,
@@ -341,14 +341,22 @@ def p11_quantity_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p9_round_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HALF_UP rounding at the reference's four scales 0/2/4/8 (P9,
     `3:123-129,209,239-248`). Inputs are raw column values (identical
-    across engines), so the rounded doubles match bit-for-bit."""
+    across engines), so the rounded doubles match bit-for-bit. The
+    per-unit division is zero-guarded in BOTH engines (NULL unit price
+    for a zero quantity — the corpus division doctrine; the reference's
+    own per-unit division hides behind a `supply > 0` filter, `3:238`):
+    under ANSI mode an unguarded x/0 is a runtime error, found by
+    tools/corpus_fuzz.py's tie-quantized inputs (r9)."""
     li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.round("l_extendedprice", 0).alias("price_r0"),
         F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_amt_r4"),
-        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 8).alias("unit_price_r8"),
+        F.round(
+            F.col("l_extendedprice") / F.when(qty != 0, qty), 8
+        ).alias("unit_price_r8"),
         F.round("l_tax", 2).alias("tax_r2"),
     )
 

@@ -62,7 +62,12 @@ def set_ops_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
     both = orders.intersect(li).select(F.lit("both").alias("op"), "k")
-    only = orders.exceptAll(li.distinct()).distinct().select(
+    # distinct BOTH sides before exceptAll: bag-except of distinct
+    # frames IS set EXCEPT for any input — exceptAll over a raw left
+    # leaves (count_left - count_right) surplus copies, so a key
+    # duplicated in orders would surface in BOTH branches
+    # (tools/corpus_fuzz.py --dups, r9)
+    only = orders.distinct().exceptAll(li.distinct()).select(
         F.lit("orders_only").alias("op"), "k"
     )
     return both.unionByName(only)
@@ -2474,7 +2479,13 @@ def a20_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @corpus_query(
     "streaming_interval_join_outer",
     oracle="""
-    WITH m AS (SELECT MAX(ts) AS max_ts FROM events)
+    WITH m AS (
+        SELECT CASE WHEN p_max IS NULL OR v_max IS NULL THEN NULL
+                    ELSE LEAST(p_max, v_max) END AS max_ts
+        FROM (SELECT
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase') AS p_max,
+            (SELECT MAX(ts) FROM events WHERE event_type = 'view') AS v_max)
+    )
     SELECT p.user_id,
            p.event_id AS purchase_id,
            p.ts AS purchase_ts,
@@ -2501,13 +2512,20 @@ def streaming_interval_join_outer(
     canonical test of watermark-driven state expiry: an outer row can
     only be emitted once the watermark PROVES no matching view can still
     arrive, so unmatched purchases materialize at expiry rather than
-    eagerly. AvailableNow's final commit advances the watermark to
-    max(ts); both sides therefore filter to purchases with
-    ts + 2h <= max(ts) (comfortably past the 30-min lag + 1h watermark
-    delay, strict-vs-inclusive eviction immaterial), where emission is
-    GUARANTEED — the same closed-region argument as
-    streaming_hourly_rollup. Values pass through unchanged -> bit
-    parity against the batch LEFT JOIN."""
+    eagerly. The closed emission region is bounded by the GLOBAL
+    watermark, which is the MIN over both sides' watermark nodes — and
+    each side's node advances only with its OWN filtered stream, so the
+    final watermark is least(max purchase ts, max view ts) - 1h, NOT
+    max(all events) - 1h (tools/corpus_fuzz.py found the gap: a
+    subsample whose newest view trailed the newest event by > 1h left
+    qualifying purchases' outer rows unemitted under the old
+    max(ts)-based gate). Both engines therefore gate on
+    ts + 2h <= least(per-type maxes) — comfortably past the 30-min lag
+    + 1h delay, strict-vs-inclusive eviction immaterial — with NULL
+    propagation when either side is EMPTY (an empty side never advances
+    its watermark node, so the stream emits no outer rows at all; the
+    NULL cutoff makes the oracle agree). Values pass through unchanged
+    -> bit parity against the batch LEFT JOIN."""
     from ..streaming.incremental import stream_interval_join
 
     events = load_table(spark, sf_dir, "events")
@@ -2525,7 +2543,23 @@ def streaming_interval_join_outer(
         how="left_outer",
     )
     q.awaitTermination()
-    max_ts = events.agg(F.max("ts").alias("max_ts"))
+    # the global watermark = min over both sides' nodes; NULL when
+    # either side is empty (its node never advances -> no outer rows)
+    max_ts = (
+        events.filter(F.col("event_type") == "purchase")
+        .agg(F.max("ts").alias("p_max"))
+        .crossJoin(
+            events.filter(F.col("event_type") == "view").agg(
+                F.max("ts").alias("v_max")
+            )
+        )
+        .select(
+            F.when(
+                F.col("p_max").isNotNull() & F.col("v_max").isNotNull(),
+                F.least("p_max", "v_max"),
+            ).alias("max_ts")
+        )
+    )
     return (
         spark.table(name)
         .crossJoin(F.broadcast(max_ts))

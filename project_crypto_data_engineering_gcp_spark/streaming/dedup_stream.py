@@ -55,14 +55,25 @@ from ..plans.queries_dedup import (
 
 def _shingles(docs: DataFrame) -> DataFrame:
     # shingles_of_tokens takes a column NAME (it builds a SQL lambda),
-    # so split first into a named array column
-    return docs.select(
-        "doc_id", tokens("text").alias("__toks")
-    ).select(
-        "doc_id",
-        F.explode(
-            shingles_of_tokens("__toks", MINHASH_SHINGLE_K)
-        ).alias("tok"),
+    # so split first into a named array column. The trailing distinct
+    # makes the (doc_id, tok) frame a SET even when the same doc_id
+    # arrives more than once (at-least-once re-delivery within a batch,
+    # or a doc re-sent across batches into the same verify): without
+    # it, duplicated rows double every shingle, the bag-join intersect
+    # count i inflates multiplicatively past n_a + n_b, and the jaccard
+    # denominator (n_a + n_b - i) reaches ZERO — an ANSI runtime error,
+    # found by tools/corpus_fuzz.py --dups (r9). For unique doc_ids the
+    # shingle array is already distinct per row, so this is a no-op on
+    # values.
+    return (
+        docs.select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                shingles_of_tokens("__toks", MINHASH_SHINGLE_K)
+            ).alias("tok"),
+        )
+        .distinct()
     )
 
 

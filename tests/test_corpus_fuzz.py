@@ -1,0 +1,129 @@
+"""Adversarial-input differential gate: a curated cross-family corpus
+subset vs its DuckDB oracles over seeded perturbed datasets
+(tools/corpus_fuzz.py — subsample with orphaned FKs, a near-empty
+table, coarse value/timestamp tie grids, colliding documents and
+embedding vectors). The fixed-sf parity suite proves engine agreement
+on one realistic dataset; this gate pins agreement on the hostile
+corners of the input domain, where the full 6-seed x 236-query sweep
+found (and r9 fixed) three real bugs the sf fixtures never reached:
+
+  - p9_round_family: unguarded per-unit division -> ANSI runtime error
+    on a zero quantity (now NULL-guarded in both engines),
+  - streaming_interval_join_outer: the global watermark is the MIN over
+    both sides' nodes, each advancing only with its OWN filtered
+    stream — the old max(all events) gate claimed guaranteed emission
+    for purchases whose outer rows could never materialize when the
+    newest view trailed the newest event by > 1h (now gated on the
+    per-type least in both engines),
+  - streaming/dedup_stream._shingles: duplicate doc delivery doubled
+    shingles and drove the jaccard denominator to zero (now a set).
+
+Seeds are pinned to the sweep's two harshest draws: seed 3 caught the
+watermark bug (quantized timestamps + sparse events); seed 4 crushes
+customer to 3 rows (every per-customer aggregate nearly empty, joins
+mostly unmatched). The subset trades the sweep's full coverage for
+suite runtime; re-run `python3 tools/corpus_fuzz.py` after adding any
+query with a division, rank, or interval predicate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+# one representative per operator family, plus every shape class the
+# 6-seed sweep showed to be edge-sensitive (divisions, ranks, topk
+# ties, interval predicates, empty groups)
+FUZZ_SUBSET = (
+    # regressions found by this harness
+    "p9_round_family",
+    "streaming_interval_join_outer",
+    "streaming_incremental_dedup",
+    "set_ops_orderkeys",
+    # dedup ladder (collided docs = true duplicates to find)
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # ANN / clustering (collided vectors = exact cosine ties at top-k)
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_recall",
+    "sim_ivfpq_topk",
+    "cluster_kmeans_embeddings",
+    # stats (division guards, rank machinery, tiny/empty groups)
+    "a19_gini_by_nation",
+    "a27_pr_auc",
+    "a30_mann_whitney_u",
+    "a33_user_hhi_deciles",
+    "a36_gini_drift_by_nation",
+    "a37_hhi_supplier_by_brand",
+    # data CI
+    "dq_referential_integrity",
+    "dq_histogram_drift",
+    "dq_version_quantile_drift",
+    "dq_embedding_mean_drift",
+    # temporal (minute-quantized ts = boundary ties everywhere)
+    "asof_purchase_last_view",
+    "range_join_event_pairs",
+    "events_time_to_convert",
+    "events_sessionized",
+    "events_hourly_gapfill",
+    # text
+    "text_tfidf_topk",
+    "text_bpe_train_merges",
+    "text_quality_by_lang",
+    "text_vocab_growth_curve",
+    "text_ttr_by_lang",
+    # OLAP / rank / topk
+    "cube_revenue",
+    "pivot_status_by_priority",
+    "percentiles_acctbal_by_nation",
+    "o3_top_bottom_orders",
+    "o6_orders_global_rank",
+    "o7_pareto_skyline_orders",
+    "w1_latest_event_per_user",
+    # joins
+    "j1_customer_dashboard",
+    "j3_customers_without_orders",
+    "bloom_semi_revenue",
+    # curation / multimodal / graph / TPC-H
+    "curate_length_buckets",
+    "curate_ngram_decontaminate",
+    "mm_byte_histogram",
+    "graph_pagerank",
+    "q1_pricing_summary",
+    "q5_nation_volume",
+)
+
+# seed 4's customer crush bites hardest on customer-grain shapes —
+# a focused second draw over the joins/stats most exposed to it
+CRUSH_SUBSET = (
+    "j1_customer_dashboard",
+    "j3_customers_without_orders",
+    "a19_gini_by_nation",
+    "a31_spearman_spend_orders",
+    "a33_user_hhi_deciles",
+    "a36_gini_drift_by_nation",
+    "a16_rfm_segments",
+    "q5_nation_volume",
+    "feat_user_activity",
+    "a21_retention_cohorts",
+)
+
+
+def test_fuzz_subset_matches_oracles(spark):
+    from corpus_fuzz import run_fuzz
+
+    import __spark_entry__ as entrymod
+
+    registered = set(entrymod.queries())
+    for subset in (FUZZ_SUBSET, CRUSH_SUBSET):
+        missing = set(subset) - registered
+        assert not missing, f"fuzz subset names drifted from registry: {missing}"
+
+    fails = run_fuzz(spark, 3, names=FUZZ_SUBSET)
+    fails += run_fuzz(spark, 4, names=CRUSH_SUBSET)
+    assert not fails, fails
