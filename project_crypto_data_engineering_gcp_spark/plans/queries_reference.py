@@ -606,10 +606,16 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w1b_latest_via_max_by",
     oracle="""
     SELECT user_id,
-           arg_max(event_id, ts) AS last_event_id,
+           arg_max(event_id,
+                   printf('%020d-%020d', epoch_us(ts), event_id))
+               AS last_event_id,
            MAX(ts) AS last_ts,
-           arg_max(event_type, ts) AS last_type,
-           arg_max(value, ts) AS last_value
+           arg_max(event_type,
+                   printf('%020d-%020d', epoch_us(ts), event_id))
+               AS last_type,
+           arg_max(value,
+                   printf('%020d-%020d', epoch_us(ts), event_id))
+               AS last_value
     FROM events
     GROUP BY user_id
     """,
@@ -619,15 +625,27 @@ def w1b_latest_via_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window, SURVEY §4 'dedup/argmax'): partial-aggregatable,
     so the map side pre-reduces each partition to one row per key before
     the shuffle — cheaper than the window when only selected columns are
-    needed. Precondition: the order key is unique per group (events has
-    unique (user_id, ts)); tie-bearing data needs latest_snapshot's
-    explicit tiebreakers instead."""
+    needed.
+
+    The ordering key is the COMPOSITE (ts, event_id), encoded as a
+    fixed-width zero-padded string so lexicographic order equals
+    numeric order (neither engine's argmax accepts a struct key):
+    max_by on a bare tie-bearing column picks an ARBITRARY row per
+    engine — the fuzzer's minute-quantized timestamps caught exactly
+    that divergence (tools/corpus_fuzz.py, r9) — where the composite
+    key keeps the aggregate deterministic, matching the corpus's
+    explicit-tiebreaker convention with the single-pass shape intact.
+    Epochs are non-negative by the data contract (events post-1970),
+    which the fixed-width encoding requires."""
     ev = load_table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d-%020d", F.unix_micros("ts"), F.col("event_id")
+    )
     return ev.groupBy("user_id").agg(
-        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.max_by("event_id", key).alias("last_event_id"),
         F.max("ts").alias("last_ts"),
-        F.max_by("event_type", "ts").alias("last_type"),
-        F.max_by("value", "ts").alias("last_value"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.max_by("value", key).alias("last_value"),
     )
 
 

@@ -113,6 +113,30 @@ CRUSH_SUBSET = (
     "a21_retention_cohorts",
 )
 
+# seed 8 crushes ORDERS to 3 rows — the draw that exposed the Welch
+# singleton-variance/empty-complement guards, the approx-quantile
+# sub-row cushion, and the pivot NULL-count-for-empty-class gap
+ORDERS_CRUSH_SUBSET = (
+    "a29_welch_ttest",
+    "approx_quantiles_totalprice",
+    "pivot_status_by_priority",
+    "a5_rollup_revenue",
+    "profile_orders",
+    "dq_histogram_drift",
+    "a28_chi_square",
+)
+
+# seed 12 crushes EVENTS to 3 minute-quantized rows — max-ts ties at
+# the group boundary (caught w1b's bare max_by ordering key)
+EVENTS_CRUSH_SUBSET = (
+    "w1b_latest_via_max_by",
+    "w1_latest_event_per_user",
+    "asof_purchase_last_view",
+    "events_sessionized",
+    "streaming_interval_join_outer",
+    "events_hourly_rollup",
+)
+
 
 def test_fuzz_subset_matches_oracles(spark):
     from corpus_fuzz import run_fuzz
@@ -120,10 +144,17 @@ def test_fuzz_subset_matches_oracles(spark):
     import __spark_entry__ as entrymod
 
     registered = set(entrymod.queries())
-    for subset in (FUZZ_SUBSET, CRUSH_SUBSET):
+    draws = (
+        (3, FUZZ_SUBSET),
+        (4, CRUSH_SUBSET),
+        (8, ORDERS_CRUSH_SUBSET),
+        (12, EVENTS_CRUSH_SUBSET),
+    )
+    for _, subset in draws:
         missing = set(subset) - registered
         assert not missing, f"fuzz subset names drifted from registry: {missing}"
 
-    fails = run_fuzz(spark, 3, names=FUZZ_SUBSET)
-    fails += run_fuzz(spark, 4, names=CRUSH_SUBSET)
+    fails = []
+    for seed, subset in draws:
+        fails += run_fuzz(spark, seed, names=subset)
     assert not fails, fails
