@@ -94,7 +94,13 @@ QUANTIZE = {
 
 
 def build_fuzz_dataset(
-    base_dir: str, out_dir: str, seed: int, *, dup_pct: int = 0, con=None
+    base_dir: str,
+    out_dir: str,
+    seed: int,
+    *,
+    dup_pct: int = 0,
+    crush_rows: int = 3,
+    con=None,
 ) -> dict[str, int]:
     """Write the seed's perturbed copy of every table under ``out_dir``
     and return {table: rows}. All transforms run inside DuckDB and the
@@ -137,7 +143,10 @@ def build_fuzz_dataset(
                 f" WHERE {mark} % 1000 < {int(keep_pct[table] * 1000)}"
             )
             if table == crush:
-                kept = f"SELECT * FROM ({kept}) ORDER BY {key} LIMIT 3"
+                kept = (
+                    f"SELECT * FROM ({kept}) ORDER BY {key}"
+                    f" LIMIT {crush_rows}"
+                )
             elif table in ("documents", "embeddings"):
                 # floor the corpus tables: keep the subsample but top it
                 # back up to 50 rows from the base if the draw went low
@@ -200,7 +209,13 @@ def build_fuzz_dataset(
 
 
 def run_fuzz(
-    spark, seed: int, *, base_dir: str = BASE_DEFAULT, names=None, dup_pct: int = 0
+    spark,
+    seed: int,
+    *,
+    base_dir: str = BASE_DEFAULT,
+    names=None,
+    dup_pct: int = 0,
+    crush_rows: int = 3,
 ) -> list[tuple[str, str]]:
     """Build the seed's dataset and compare every (or the given) query
     pair on it; returns [(name, error)] for mismatches."""
@@ -213,7 +228,9 @@ def run_fuzz(
         tempfile.gettempdir(), f"spark_graft_fuzz_{os.getpid()}_{seed}"
     )
     shutil.rmtree(out_dir, ignore_errors=True)
-    rows = build_fuzz_dataset(base_dir, out_dir, seed, dup_pct=dup_pct)
+    rows = build_fuzz_dataset(
+        base_dir, out_dir, seed, dup_pct=dup_pct, crush_rows=crush_rows
+    )
     print(f"seed {seed}: " + " ".join(f"{t}={n}" for t, n in rows.items()))
     fails: list[tuple[str, str]] = []
     try:
@@ -236,6 +253,14 @@ def main() -> int:
     ap.add_argument("--base", default=BASE_DEFAULT)
     ap.add_argument("--queries", default=None, help="comma-separated subset")
     ap.add_argument(
+        "--crush-rows", type=int, default=3, metavar="N",
+        help="row count for the per-seed near-empty table (default 3;"
+        " 0 = a fully EMPTY table — the harshest edge: empty scans,"
+        " empty aggregates, every join unmatched). Changing it changes"
+        " the dataset a seed denotes, so the pytest gate pins the"
+        " default.",
+    )
+    ap.add_argument(
         "--dups", type=int, default=0, metavar="PCT",
         help="re-append PCT%% of rows verbatim (bag-semantics exploration,"
         " outside the unique-key contract — not part of the gate)",
@@ -253,7 +278,10 @@ def main() -> int:
     names = args.queries.split(",") if args.queries else None
     t0, all_fails = time.time(), []
     for seed in args.seeds:
-        fails = run_fuzz(spark, seed, base_dir=args.base, names=names, dup_pct=args.dups)
+        fails = run_fuzz(
+            spark, seed, base_dir=args.base, names=names,
+            dup_pct=args.dups, crush_rows=args.crush_rows,
+        )
         all_fails.extend((seed, n, e) for n, e in fails)
     n_named = len(names) if names else "all"
     print(
