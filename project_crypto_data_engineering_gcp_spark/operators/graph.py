@@ -111,6 +111,13 @@ def pagerank_fixed_point(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # EMPTY graph: no nodes means no ranks — and every per-node
+        # constant below divides by n_nodes (a plain Python
+        # ZeroDivisionError, found by tools/corpus_fuzz.py
+        # --crush-rows 0 emptying the edge-source table). The recursive
+        # -CTE oracle agrees: empty edges -> empty fixpoint.
+        return nodes.select("node", F.lit(None).cast("bigint").alias("r"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     if edges_pre_bucketed:
         # both sides of e⋈deg carry the bucket distribution (the groupBy

@@ -963,6 +963,11 @@ def a14_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY CUBE (n_name, o_orderpriority)
+    -- Spark's grouping-sets implementation (Expand + keyed aggregate)
+    -- emits NO rows over an EMPTY input, unlike the SQL-standard
+    -- grand-total row; the guard pins both engines to Spark's
+    -- semantics (found by tools/corpus_fuzz.py --crush-rows 0, r9)
+    HAVING COUNT(*) > 0
     """,
 )
 def a22_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

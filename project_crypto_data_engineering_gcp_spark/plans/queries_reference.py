@@ -137,6 +137,11 @@ def a4_customer_market_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- Spark's grouping-sets implementation (Expand + keyed aggregate)
+    -- emits NO rows over an EMPTY input, unlike the SQL-standard
+    -- grand-total row; the guard pins both engines to Spark's
+    -- semantics (found by tools/corpus_fuzz.py --crush-rows 0, r9)
+    HAVING COUNT(*) > 0
     """,
 )
 def a5_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -164,6 +164,11 @@ def unpivot_lineitem_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    -- Spark's grouping-sets implementation (Expand + keyed aggregate)
+    -- emits NO rows over an EMPTY input, unlike the SQL-standard
+    -- grand-total row; the guard pins both engines to Spark's
+    -- semantics (found by tools/corpus_fuzz.py --crush-rows 0, r9)
+    HAVING COUNT(*) > 0
     """,
 )
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1247,6 +1252,11 @@ _GROUPING_SETS_SQL = """
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                             (l_returnflag), ())
+    -- Spark's grouping-sets implementation (Expand + keyed aggregate)
+    -- emits NO rows over an EMPTY input, unlike the SQL-standard
+    -- grand-total row; the guard pins both engines to Spark's
+    -- semantics (found by tools/corpus_fuzz.py --crush-rows 0, r9)
+    HAVING COUNT(*) > 0
 """
 
 
