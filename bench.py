@@ -201,6 +201,21 @@ def main() -> None:
     queries["text_bpe_train_merges"].fn(spark, sf_dir).count()
     bpe_train_isolated = round(time.perf_counter() - t0, 3)
 
+    # Per-boot calibration (r9 verdict task 2: BENCH_rN files are
+    # compared across boots, but this VM's speed drifts ~1.3x between
+    # boots — r9's apparent regressions were all environment). A fixed
+    # pure-JVM workload whose runtime tracks BOX speed and can never be
+    # affected by engine code: 2^26 rows in 4 pinned partitions (CPU-
+    # count independent for >= 4 cores) through one whole-stage-codegen
+    # sum. min-of-3 like the warm rows. Cross-boot comparisons should
+    # read value / calibration_sec against the other round's same ratio.
+    calib_passes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 1 << 26, 1, 4).selectExpr("sum(id * 17 + 3)").collect()
+        calib_passes.append(time.perf_counter() - t0)
+    calibration = round(min(calib_passes), 3)
+
     total = round(sum(warm.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -222,6 +237,7 @@ def main() -> None:
         "cold": cold,
         "cold_total": cold_total,
         "bpe_train_isolated_sec": bpe_train_isolated,
+        "calibration_sec": calibration,
         "sf": sf_val,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -249,6 +265,7 @@ def main() -> None:
         "queries_note": "top-15 slowest; full set in BENCH_DETAIL.json",
         "cold_total": cold_total,
         "bpe_train_isolated_sec": bpe_train_isolated,
+        "calibration_sec": calibration,
         "sf": sf_val,
     }
     line = json.dumps(final)

@@ -40,19 +40,21 @@ class CorpusQuery:
 
 _REGISTRY: dict[str, CorpusQuery] = {}
 
-# r9 WINDOW (this round; exactly the plan declared in r8 — see the r8
-# VERDICT task 1 and commit b09338e): the eight r8 additions lead
-# (policy (a): never driver-checked), then the complete 22-entry
-# r4-stale rollover from the r8 comment (policy (c)), then the first
-# 20 of the r5-latest set (the 50 registered queries whose newest
-# driver row is r5) in CORRECTNESS_r05 file order — a deterministic,
-# auditable cut. 8 + 22 + 20 = 50. The 30 r5-latest entries that do
-# not fit are listed in the ROLLOVER comment below and lead the r10
-# window together with any r9 additions. After this round's check the
-# staleness ledger reads r9x50, r8x50, r7x50, r6x49, r5x30(+r9
-# additions never) — max staleness 4 rounds, the documented floor for
-# a ~230-query corpus under a 50-slot window (README "Driver-window
-# rotation policy").
+# r10 WINDOW (this round; exactly the plan declared in r9 — see the r9
+# VERDICT task 1 and the ROLLOVER comment committed with the r9 window):
+# the seven r9 additions lead (policy (a): never driver-checked; all
+# pass local parity at sf0.01 AND sf0.1 plus the fuzz sweep), then the
+# complete 30-entry r5-stale rollover from the r9 comment (policy (c)),
+# then the first 13 of the r6-latest set (the 49 registered queries
+# whose newest driver row is r6 — recomputed this round from
+# CORRECTNESS_r01..r09; mm_simhash_payload and feat_user_activity ARE
+# r6-latest despite kin passing later) in CORRECTNESS_r06 file order.
+# 7 + 30 + 13 = 50. The 36 r6-latest entries that do not fit are listed
+# in the ROLLOVER comment below and lead the r11 window together with
+# any r10 additions. After this round's check the staleness ledger
+# reads r10x50, r9x50, r8x50, r7x50, r6x36 — max staleness 4 rounds,
+# the documented floor for a ~240-query corpus under a 50-slot window
+# (README "Driver-window rotation policy").
 #
 # STALENESS TRIAGE (standing, r4 verdict task 5) — with ~220+ queries
 # and a ~50-slot window, the "newest row <= 2 rounds old" invariant is
@@ -62,11 +64,11 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 #   (c) remaining slots refresh oldest-first,
 # so every query's newest row stays at most ~4 rounds old.
 #
-#   r10 plan (declared now, cut at r10 start): any r9 additions lead
-#   (policy (a)), then the 30-entry r5-stale rollover below
-#   (bloom_semi_revenue ... pandas_scalar_price_tier, policy (c)),
-#   then the r6-latest set oldest-first (the TPC-H q1-q22 menu and the
-#   r6 additions — see CORRECTNESS_r06) fills the remaining slots.
+#   r11 plan (declared now, cut at r11 start): any r10 additions lead
+#   (policy (a)), then the 36-entry r6-latest rollover below
+#   (q3_shipping_priority ... sim_ivf_cell_stats, policy (c)), then
+#   the r7-latest set oldest-first (see CORRECTNESS_r07) fills the
+#   remaining slots.
 #
 # History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
@@ -75,68 +77,11 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 # crypto/pandas entries, r6 the 12-entry r5 rollover queue + all 37
 # r2-stale refreshers (TPC-H q1-q22 incl.) + sim_ivf_cell_stats, r7
 # the 18-entry r6 rollover + 32 r3-stale refreshers, r8 the 22-entry
-# r7 rollover + 28 r4-stale refreshers
+# r7 rollover + 28 r4-stale refreshers, r9 the 8 r8 additions + the
+# 22-entry r8 rollover + 20 r5-stale refreshers
 # (50/50 green every round; zero red rows ever).
 CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
-    # ---- r8 additions (8): never driver-checked, policy (a) ----
-    "a30_mann_whitney_u",
-    "a31_spearman_spend_orders",
-    "a32_cramers_v_sq",
-    "a33_user_hhi_deciles",
-    "a34_benford_first_digit",
-    "dq_referential_integrity",
-    "o7_pareto_skyline_orders",
-    "text_token_rank_curve",
-    # ---- 22 r4-stale refreshers rolled over from the r8 window,
-    # policy (c), in the order the r8 comment declared ----
-    "text_quality_score",
-    "text_redacted",
-    "text_tfidf_topk",
-    "text_token_explode",
-    "text_token_stats",
-    "text_top_bigrams",
-    "unpivot_lineitem_amounts",
-    "w1b_latest_via_max_by",
-    "w2_acctbal_rank_in_nation",
-    "w3_running_order_total",
-    "dedup_semantic_blocked_capped",
-    "dedup_semantic_blocked_scaled_k",
-    "streaming_snapshot_datasource",
-    "text_hash_embedding",
-    "sim_ann_lsh_recall",
-    "sim_ann_ivf_recall",
-    "text_boilerplate_ngrams",
-    "sim_pq_refined",
-    "sim_sq8_topk",
-    "sim_quant_recall",
-    "dedup_minhash_lsh",
-    "crypto_silver_assets",
-    # ---- first 20 r5-latest refreshers (newest driver row = r5),
-    # policy (c), in CORRECTNESS_r05 file order ----
-    "graph_pagerank",
-    "text_bm25_topk",
-    "curate_temperature_mix",
-    "dedup_minhash_recall",
-    "sim_ivfpq_topk",
-    "sim_ivfpq_recall",
-    "events_markov_transitions",
-    "curate_shuffle_shards",
-    "w8_ema_customer_spend",
-    "approx_heavy_tokens",
-    "curate_zorder_layout",
-    "a11_revenue_trend",
-    "curate_contrastive_pairs",
-    "basket_frequent_pairs",
-    "graph_triangles",
-    "skyline_pareto_parts",
-    "a12_incremental_merge",
-    "events_rolling_anomaly",
-    "events_hourly_gapfill",
-    "dedup_fuzzy_names",
-    # ---- ROLLOVER QUEUE (positions 51+), in r10-window order ----
-    # r9 additions (policy (a): never driver-checked — they LEAD the
-    # r10 window; all pass local parity at sf0.01 AND sf0.1 plus
-    # sequential-reference property tests) ----
+    # ---- r9 additions (7): never driver-checked, policy (a) ----
     "a36_gini_drift_by_nation",
     "a37_hhi_supplier_by_brand",
     "dq_version_quantile_drift",
@@ -144,9 +89,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_time_to_convert",
     "text_vocab_growth_curve",
     "text_ttr_by_lang",
-    # ...then the 30 remaining r5-latest refreshers (policy (c); these
-    # HAVE green r5 rows — listing them documents the r10 plan and
-    # keeps the rotation auditable) ----
+    # ---- 30 r5-stale refreshers rolled over from the r9 window,
+    # policy (c), in the order the r9 comment declared ----
     "bloom_semi_revenue",
     "a13_correlation_moments",
     "sim_mmr_rerank",
@@ -177,6 +121,61 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "crypto_merge_upsert",
     "crypto_scd2_history",
     "pandas_scalar_price_tier",
+    # ---- first 13 of the r6-latest set, policy (c), in
+    # CORRECTNESS_r06 file order ----
+    "sim_binary_recall",
+    "graph_kcore",
+    "a19_gini_by_nation",
+    "dq_benford_leading_digit",
+    "approx_countmin_tokens",
+    "streaming_static_enrichment",
+    "graph_label_propagation",
+    "sim_ann_ivf_incremental",
+    "feat_user_activity",
+    "mm_simhash_payload",
+    "text_token_diversity",
+    "q1_pricing_summary",
+    "q2_cheapest_supplier",
+    # ---- ROLLOVER QUEUE (positions 51+), in r11-window order:
+    # the 36 remaining r6-latest entries (policy (c); these HAVE green
+    # r6 rows — listing them documents the r11 plan and keeps the
+    # rotation auditable). Any r10 additions lead these. ----
+    "q3_shipping_priority",
+    "q4_priority_with_returns",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "q7_nation_trade_flows",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue_topk",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_by_month",
+    "q15_top_supplier",
+    "q16_suppliers_not_in",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q20_parts_with_surplus_stock",
+    "q21_sole_returning_supplier",
+    "q22_dormant_rich_customers",
+    "pandas_grouped_zscore",
+    "curate_decontaminate",
+    "curate_hash_split",
+    "curate_mix_sources",
+    "curate_pack_sequences",
+    "curate_quality_cut",
+    "curate_quota_per_lang",
+    "d1_date_functions",
+    "p13_string_functions",
+    "p14_map_json_ops",
+    "approx_distinct_parts",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_topk_neighbors",
+    "streaming_hourly_rollup",
+    "sim_ivf_cell_stats",
 )
 
 

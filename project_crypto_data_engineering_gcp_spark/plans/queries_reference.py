@@ -612,14 +612,20 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            arg_max(event_id,
-                   printf('%020d-%020d', epoch_us(ts), event_id))
+                   printf('%020d-%020d',
+                          epoch_us(ts) + 4611686018427387904,
+                          event_id + 4611686018427387904))
                AS last_event_id,
            MAX(ts) AS last_ts,
            arg_max(event_type,
-                   printf('%020d-%020d', epoch_us(ts), event_id))
+                   printf('%020d-%020d',
+                          epoch_us(ts) + 4611686018427387904,
+                          event_id + 4611686018427387904))
                AS last_type,
            arg_max(value,
-                   printf('%020d-%020d', epoch_us(ts), event_id))
+                   printf('%020d-%020d',
+                          epoch_us(ts) + 4611686018427387904,
+                          event_id + 4611686018427387904))
                AS last_value
     FROM events
     GROUP BY user_id
@@ -640,11 +646,20 @@ def w1b_latest_via_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     that divergence (tools/corpus_fuzz.py, r9) — where the composite
     key keeps the aggregate deterministic, matching the corpus's
     explicit-tiebreaker convention with the single-pass shape intact.
-    Epochs are non-negative by the data contract (events post-1970),
-    which the fixed-width encoding requires."""
+
+    Both components are biased by +2^62 before formatting so the
+    encoding is TOTAL over [-2^62, 2^62) — negative epochs (pre-1970
+    timestamps) or negative ids format as shorter '-…' strings that
+    break lexicographic==numeric, and relying on a non-negativity data
+    contract left that silent (ADVICE r9). 2^62 µs is ±146k years
+    around the epoch; the biased value stays within int64 so neither
+    engine overflows, and %020d stays fixed-width (max 19 digits)."""
     ev = load_table(spark, sf_dir, "events")
+    _BIAS = 4611686018427387904  # 2^62
     key = F.format_string(
-        "%020d-%020d", F.unix_micros("ts"), F.col("event_id")
+        "%020d-%020d",
+        F.unix_micros("ts") + F.lit(_BIAS),
+        F.col("event_id") + F.lit(_BIAS),
     )
     return ev.groupBy("user_id").agg(
         F.max_by("event_id", key).alias("last_event_id"),

@@ -62,14 +62,11 @@ def set_ops_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
     both = orders.intersect(li).select(F.lit("both").alias("op"), "k")
-    # distinct BOTH sides before exceptAll: bag-except of distinct
-    # frames IS set EXCEPT for any input — exceptAll over a raw left
-    # leaves (count_left - count_right) surplus copies, so a key
-    # duplicated in orders would surface in BOTH branches
-    # (tools/corpus_fuzz.py --dups, r9)
-    only = orders.distinct().exceptAll(li.distinct()).select(
-        F.lit("orders_only").alias("op"), "k"
-    )
+    # subtract IS set EXCEPT (dedups both sides internally) — a single
+    # set-op node where the earlier distinct().exceptAll(distinct())
+    # composition spent three. Duplicate keys in orders must NOT
+    # surface in both branches (tools/corpus_fuzz.py --dups, r9).
+    only = orders.subtract(li).select(F.lit("orders_only").alias("op"), "k")
     return both.unionByName(only)
 
 

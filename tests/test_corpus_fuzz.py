@@ -152,6 +152,36 @@ EMPTY_TABLE_SUBSET = (
 )
 
 
+def test_fuzz_coverage_total():
+    """Ratchet (r9 verdict task 6): every registered corpus query must
+    hold a fuzz-coverage seat — in one of the suite subsets above (run
+    every pytest) or in tests/fuzz_coverage_ledger.SWEEP_ONLY (full
+    out-of-suite sweep only, an explicit reviewable decision). A new
+    query in neither place fails here; a stale name anywhere fails too."""
+    import __spark_entry__ as entrymod
+
+    from tests.fuzz_coverage_ledger import SWEEP_ONLY
+
+    registered = set(entrymod.queries())
+    subsets = (
+        set(FUZZ_SUBSET)
+        | set(CRUSH_SUBSET)
+        | set(ORDERS_CRUSH_SUBSET)
+        | set(EVENTS_CRUSH_SUBSET)
+        | set(EMPTY_TABLE_SUBSET)
+    )
+    stale = (subsets | SWEEP_ONLY) - registered
+    assert not stale, f"fuzz-coverage names not in registry: {sorted(stale)}"
+    uncovered = registered - subsets - SWEEP_ONLY
+    assert not uncovered, (
+        "registered queries with NO fuzz coverage (add to a suite subset "
+        f"in tests/test_corpus_fuzz.py or, with a reason, to "
+        f"tests/fuzz_coverage_ledger.SWEEP_ONLY): {sorted(uncovered)}"
+    )
+    overlap = subsets & SWEEP_ONLY
+    assert not overlap, f"double-tagged (drop from SWEEP_ONLY): {sorted(overlap)}"
+
+
 def test_fuzz_subset_matches_oracles(spark):
     from corpus_fuzz import run_fuzz
 

@@ -224,8 +224,13 @@ def run_fuzz(
 
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     names = sorted(names or qs)
+    # Perturbation params are part of the dir name: streaming queries
+    # memoize their events-source copy BY PATH (_STREAM_SRC_MEMO), so
+    # two datasets sharing a path (same pid+seed, different crush/dup)
+    # would silently reuse a stale events copy (ADVICE r9).
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_fuzz_{os.getpid()}_{seed}"
+        tempfile.gettempdir(),
+        f"spark_graft_fuzz_{os.getpid()}_{seed}_c{crush_rows}_d{dup_pct}",
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     rows = build_fuzz_dataset(
@@ -244,6 +249,15 @@ def run_fuzz(
                 print(f"FAIL seed={seed} {name}: {fails[-1][1]}")
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+        # Each fuzz dataset dir is a distinct sf_dir, so any streaming
+        # query run above left a never-freed mkdtemp events copy keyed
+        # by out_dir in _STREAM_SRC_MEMO — exactly the /tmp
+        # accumulation the memo exists to stop, re-created one copy
+        # per seed per session (ADVICE r9). Evict and delete ours.
+        from project_crypto_data_engineering_gcp_spark.plans import queries_relational as _qr
+
+        for key in [k for k in _qr._STREAM_SRC_MEMO if k[1] == out_dir]:
+            shutil.rmtree(_qr._STREAM_SRC_MEMO.pop(key), ignore_errors=True)
     return fails
 
 
