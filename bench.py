@@ -132,6 +132,14 @@ HEADLINE = (
     "dq_version_quantile_drift",
     "a36_gini_drift_by_nation",
     "dq_embedding_mean_drift",
+    # r10 additions: the four heavier new shapes — exact radius search
+    # through the IVF prune, the wedge-expansion two-hop reach, the KM
+    # survival fold (subjects pipeline + curve fold), and the 7-day
+    # coverage-expansion rolling distinct
+    "sim_radius_search_ivf",
+    "graph_two_hop_reach",
+    "events_survival_curve",
+    "events_rolling_distinct_users",
 )
 
 

@@ -136,10 +136,19 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_token_diversity",
     "q1_pricing_summary",
     "q2_cheapest_supplier",
-    # ---- ROLLOVER QUEUE (positions 51+), in r11-window order:
-    # the 36 remaining r6-latest entries (policy (c); these HAVE green
-    # r6 rows — listing them documents the r11 plan and keeps the
-    # rotation auditable). Any r10 additions lead these. ----
+    # ---- ROLLOVER QUEUE (positions 51+), in r11-window order ----
+    # r10 additions (policy (a): never driver-checked — they LEAD the
+    # r11 window; all pass local parity at sf0.01 AND sf0.1 plus the
+    # 7-draw corpus fuzz and hold suite fuzz seats) ----
+    "a38_atkinson_by_nation",
+    "events_rolling_distinct_users",
+    "events_survival_curve",
+    "o8_weighted_median_prices",
+    "sim_radius_search_ivf",
+    "graph_two_hop_reach",
+    # ...then the 36 remaining r6-latest entries (policy (c); these
+    # HAVE green r6 rows — listing them documents the r11 plan and
+    # keeps the rotation auditable) ----
     "q3_shipping_priority",
     "q4_priority_with_returns",
     "q5_nation_volume",

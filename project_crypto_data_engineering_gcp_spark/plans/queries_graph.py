@@ -663,3 +663,85 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("p_partkey"),
         F.col("d").cast("bigint").alias("distance"),
     )
+
+
+# --------------------------------------------------- two-hop reach (r10)
+
+TWO_HOP_HUB_CAP = 10  # max degree of a MIDDLE node (production lever;
+# deliberately tight at oracle scale so the prune path is exercised:
+# sf0.01 basket degrees reach 13 with p99 = 10, so the cap genuinely
+# drops the top percentile of middles there)
+
+
+@corpus_query(
+    "graph_two_hop_reach",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM adj GROUP BY 1),
+    mid AS (SELECT node FROM deg WHERE d <= {TWO_HOP_HUB_CAP}),
+    two AS (
+        SELECT a.u AS u, b.v AS v
+        FROM adj a
+        JOIN mid m ON m.node = a.v
+        JOIN adj b ON b.u = a.v
+        WHERE b.v <> a.u
+    ),
+    reach AS (SELECT u, v FROM adj UNION SELECT u, v FROM two)
+    SELECT r.u AS p_partkey,
+           CAST(d.d AS BIGINT) AS n_1hop,
+           COUNT(*) AS n_reach2
+    FROM reach r JOIN deg d ON d.node = r.u
+    GROUP BY r.u, d.d
+    """,
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood size per node (friends-of-friends reach) on
+    the co-purchase graph, through middles whose degree is <=
+    {TWO_HOP_HUB_CAP}: n_reach2 = distinct nodes within 2 hops
+    (excluding self), n_1hop = degree. The local-expansion statistic
+    behind recommendation-candidate pools and influence estimates —
+    [graph_triangles] counts CLOSED wedges, this counts the OPEN
+    frontier.
+
+    The hub cap is the scale contract: raw wedge fan-out is
+    sum-over-middles of deg(w)^2 (a power-law hub makes it quadratic);
+    capping the MIDDLE bounds it by cap x 2m while leaving hub nodes
+    fully present as ENDPOINTS, so their own reach is still reported —
+    the standard neighborhood-sampling compromise, mirrored exactly in
+    the oracle (same cap constant, same middle-only application).
+
+    Plan shape: one self-equi-join of the bidirectional adjacency on
+    the middle key (hash join, no cartesian), a semi-filter against the
+    capped-degree frame, then ONE distinct + count per endpoint — every
+    shuffle keyed on node ids. The pooled basket edge frame is shared
+    with the triangle/basket family."""
+    edges = _basket_edges(spark, sf_dir).select("u", "v")
+    adj = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    mid = deg.filter(F.col("d") <= TWO_HOP_HUB_CAP).select(
+        F.col("node").alias("mid_node")
+    )
+    a = adj.alias("a")
+    b = adj.alias("b")
+    two = (
+        a.join(mid, F.col("a.v") == F.col("mid_node"))
+        .join(b, F.col("b.u") == F.col("a.v"))
+        .filter(F.col("b.v") != F.col("a.u"))
+        .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+    )
+    reach = adj.select("u", "v").unionByName(two).distinct()
+    return (
+        reach.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_reach2"))
+        .join(deg, F.col("u") == F.col("node"))
+        .select(
+            F.col("u").cast("bigint").alias("p_partkey"),
+            F.col("d").cast("bigint").alias("n_1hop"),
+            "n_reach2",
+        )
+    )

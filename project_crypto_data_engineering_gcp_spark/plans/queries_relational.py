@@ -5132,3 +5132,443 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_sec"),
         F.max("delta_sec").alias("max_sec"),
     )
+
+
+# ------------------------------------------- Atkinson inequality (r10)
+
+
+@corpus_query(
+    "a38_atkinson_by_nation",
+    oracle="""
+    WITH rev AS (
+        SELECT o.o_custkey AS custkey, c.c_nationkey AS nationkey,
+               CAST(SUM(CAST(o.o_totalprice * 100 AS DECIMAL(18,0)))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    q AS (
+        SELECT nationkey, cents,
+               1000000000000 // cents AS r
+        FROM rev WHERE cents > 0
+    ),
+    s AS (
+        SELECT nationkey,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(r AS HUGEINT)) AS HUGEINT) AS sr
+        FROM q GROUP BY 1
+    )
+    SELECT nt.n_name,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(GREATEST(
+               0, 1000000 - (1000000 * n * n * 1000000000000) // (sr * sx)
+           ) AS BIGINT) AS atkinson2_ppm
+    FROM s JOIN nation nt ON nt.n_nationkey = s.nationkey
+    """,
+)
+def a38_atkinson_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (aversion epsilon=2) of customer revenue
+    per nation, in exact ppm: A_2 = 1 - H/mu where H is the harmonic and
+    mu the arithmetic mean, i.e. A_2 = 1 - n^2 / (SUM(1/x) * SUM(x)).
+    Complements [a19_gini_by_nation]/[a33_user_hhi_deciles]: epsilon=2
+    weights the BOTTOM of the distribution (a nation whose poorest
+    customers are far below the mean scores high even when the top is
+    equal), where Gini weights the middle and HHI the top.
+
+    The reciprocal is the pico-quantized integer 1e12 DIV cents — a
+    per-row FLOOR division both engines compute identically — so the
+    statistic is defined on exact integers end-to-end (the corpus's
+    log-free discipline: ln/exp are not cross-engine bit-stable; +,*,
+    DIV on integers are). Quantization biases SUM(1/x) down by < 1e-5
+    relative (cents ~ 1e7), so the ratio can exceed 1e6 by a few ppm
+    for near-equal distributions: GREATEST(0, ...) clamps, mirrored in
+    the oracle. Zero/negative revenue rows are out of frame (the index
+    is defined on positive incomes; fuzz grids can snap prices to 0).
+
+    Scale shape: one orders aggregate + one customer equi-join (both
+    shuffles on the natural high-cardinality custkey), then a 25-row
+    stats frame joining the broadcast nation dim. No window, no rank —
+    UNLIKE Gini this index needs no sort, which is exactly why it is
+    the cheap inequality probe at 100 TB. Wide sums run as
+    DECIMAL(38,0) (the HUGEINT twin): 1e6*n^2*1e12 < 1e38 up to n ~
+    3e9 customers per nation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    rev = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .join(cust, "custkey")
+        .filter(F.col("cents") > 0)
+        .withColumn("r", F.expr("1000000000000 DIV cents"))
+    )
+    s = rev.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("r").cast("decimal(38,0)")).alias("sr"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    return s.join(F.broadcast(nation), "nationkey").select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.expr(
+                "1000000 - (CAST(1000000 AS DECIMAL(38,0)) * n * n"
+                " * CAST(1000000000000 AS DECIMAL(38,0))) DIV (sr * sx)"
+            ).cast("bigint"),
+        ).alias("atkinson2_ppm"),
+    )
+
+
+# --------------------------------------- rolling distinct users (r10)
+
+
+@corpus_query(
+    "events_rolling_distinct_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS wday FROM events
+    ),
+    pdc AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1
+    ),
+    active AS (
+        SELECT d.wday, COUNT(DISTINCT u.user_id) AS active_users_7d
+        FROM days d JOIN ud u
+          ON u.day >= d.wday - INTERVAL 6 DAY AND u.day <= d.wday
+        GROUP BY 1
+    ),
+    vol AS (
+        SELECT d.wday, CAST(SUM(p.c) AS BIGINT) AS events_7d
+        FROM days d JOIN pdc p
+          ON p.day >= d.wday - INTERVAL 6 DAY AND p.day <= d.wday
+        GROUP BY 1
+    )
+    SELECT a.wday AS day, a.active_users_7d, v.events_7d
+    FROM active a JOIN vol v ON v.wday = a.wday
+    """,
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT distinct active users (and event volume) per
+    day — the sliding-window COUNT(DISTINCT) no window frame can
+    express (distinct is not subtractable, so a running frame cannot
+    maintain it incrementally). The scalable idiom is COVERAGE
+    EXPANSION: dedup to the (user, day) activity matrix first, explode
+    each activity day to the <= 7 window-end days it covers (day ..
+    day+6), and count distinct users per window end — the shuffle
+    carries at most 7x the activity MATRIX (users x active-days), never
+    7x the event table, and the final exact distinct is Spark's
+    standard two-phase partial aggregate. Window ends are reported only
+    for days present in the data (both engines restrict to the observed
+    day domain).
+
+    At 100 TB: the event->matrix dedup is the same map-side-combinable
+    pre-aggregation every dedup query here rides; 7x(matrix) is the
+    documented fan-out constant (a 30-day window costs 30x — still
+    matrix-sized, and the explode never materializes on disk)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    days = ev.select(day.alias("wday")).distinct()
+    seq = F.explode(
+        F.sequence(
+            F.col("day"),
+            F.col("day") + F.expr("INTERVAL 6 DAYS"),
+            F.expr("INTERVAL 1 DAY"),
+        )
+    ).alias("wday")
+    active = (
+        ud.select("user_id", seq)
+        .join(days, "wday")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
+    pdc = ev.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("c"))
+    vol = (
+        pdc.select("c", seq)
+        .join(days, "wday")
+        .groupBy("wday")
+        .agg(F.sum("c").alias("events_7d"))
+    )
+    return active.join(vol, "wday").select(
+        F.col("wday").alias("day"), "active_users_7d", "events_7d"
+    )
+
+
+# ------------------------------------------ KM survival curve (r10)
+
+
+@corpus_query(
+    "events_survival_curve",
+    oracle="""
+    WITH RECURSIVE s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    conv AS (
+        SELECT e.user_id,
+               CAST(date_diff('second', s1.t1, MIN(e.ts)) // 3600
+                    AS BIGINT) AS time_h
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        GROUP BY e.user_id, s1.t1
+    ),
+    mx AS (SELECT MAX(ts) AS m FROM events),
+    cens AS (
+        SELECT s1.user_id,
+               CAST(date_diff('second', s1.t1, mx.m) // 3600
+                    AS BIGINT) AS time_h
+        FROM s1, mx
+        WHERE NOT EXISTS (SELECT 1 FROM conv c
+                          WHERE c.user_id = s1.user_id)
+    ),
+    subj AS (
+        SELECT time_h, 1 AS ev FROM conv
+        UNION ALL SELECT time_h, 0 FROM cens
+    ),
+    tc AS (
+        SELECT time_h, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(ev) AS BIGINT) AS d
+        FROM subj GROUP BY 1
+    ),
+    w AS (
+        SELECT time_h, d,
+               CAST((SELECT SUM(m) FROM tc)
+                    - COALESCE(SUM(m) OVER (
+                          ORDER BY time_h
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n
+        FROM tc
+    ),
+    evr AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY time_h) AS BIGINT) AS i,
+               time_h, d, n
+        FROM w WHERE d > 0
+    ),
+    km AS (
+        SELECT CAST(0 AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS s
+        UNION ALL
+        SELECT e.i, (k.s * (e.n - e.d)) // e.n
+        FROM km k JOIN evr e ON e.i = k.i + 1
+    )
+    SELECT e.time_h, e.d AS conversions, e.n AS n_at_risk,
+           k.s AS survival_ppm
+    FROM evr e JOIN km k ON k.i = e.i
+    """,
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier view->purchase survival curve with RIGHT CENSORING —
+    the estimator [events_time_to_convert]'s percentiles silently get
+    wrong when non-converters are ignored (dropping censored users
+    biases conversion latency optimistic; KM counts them at risk until
+    their observation window ends at max(ts)). Subjects = users with a
+    first view t1; event time = hours to first strictly-later purchase;
+    censor time = hours from t1 to the global max(ts). One curve row
+    per event-bearing hour bucket: d conversions, n at risk
+    (time >= t), and S(t) = PROD_{t' <= t} (n-d)/n.
+
+    The running product is folded in EXACT integer ppm — s' =
+    (s * (n - d)) DIV n per step, both engines floor on non-negative
+    ints — because a product of doubles would hide cross-engine ULP
+    drift and exp(sum(ln)) violates the corpus's log-free discipline.
+    The fold is inherently sequential, but it runs over the CURVE, not
+    the data: the bucket frame is bounded by the observation horizon in
+    hours (time-bounded, row-count-independent), so collecting it into
+    one sorted array and folding with ``aggregate`` is a constant-size
+    step at any scale (same budget class as a broadcast dim). In the
+    oracle the same fold is a recursive CTE.
+
+    Scale shape: subjects = one user-keyed aggregate + one user-keyed
+    equi-join + one anti-join (all co-partitionable on user_id); at-risk
+    counts ride operators/rank.py::global_prefix_sum over the bucket
+    frame (no unpartitioned window); max(ts) is a 1-row broadcast."""
+    from ..operators.rank import global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t3"))
+        .select(
+            "user_id",
+            F.expr(
+                "CAST((unix_timestamp(t3) - unix_timestamp(t1)) DIV 3600"
+                " AS BIGINT)"
+            ).alias("time_h"),
+            F.lit(1).alias("evt"),
+        )
+    )
+    mx = ev.agg(F.max("ts").alias("m"))
+    cens = (
+        s1.join(conv.select("user_id"), "user_id", "left_anti")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(
+                "CAST((unix_timestamp(m) - unix_timestamp(t1)) DIV 3600"
+                " AS BIGINT)"
+            ).alias("time_h"),
+            F.lit(0).alias("evt"),
+        )
+    )
+    subj = conv.select("time_h", "evt").unionByName(cens)
+    tc = subj.groupBy("time_h").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("evt").alias("d")
+    )
+    cum = global_prefix_sum(tc, ["time_h"], ["m"])
+    tot = tc.agg(F.sum("m").alias("tot"))
+    evr = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("time_h").cast("bigint").alias("time_h"),
+            F.col("d").cast("bigint").alias("d"),
+            (F.col("tot") - (F.col("cum_m") - F.col("m")))
+            .cast("bigint")
+            .alias("n"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    folded = evr.agg(
+        F.sort_array(F.collect_list(F.struct("time_h", "d", "n"))).alias("arr")
+    ).select(
+        F.explode(
+            F.expr(
+                """
+                aggregate(
+                  arr,
+                  struct(CAST(1000000 AS BIGINT) AS s,
+                         CAST(array() AS ARRAY<STRUCT<time_h: BIGINT,
+                              d: BIGINT, n: BIGINT, s: BIGINT>>) AS out),
+                  (acc, x) -> struct(
+                      (acc.s * (x.n - x.d)) DIV x.n AS s,
+                      array_append(acc.out,
+                          struct(x.time_h AS time_h, x.d AS d, x.n AS n,
+                                 (acc.s * (x.n - x.d)) DIV x.n AS s))
+                          AS out),
+                  acc -> acc.out)
+                """
+            )
+        ).alias("row")
+    )
+    return folded.select(
+        F.col("row.time_h").alias("time_h"),
+        F.col("row.d").alias("conversions"),
+        F.col("row.n").alias("n_at_risk"),
+        F.col("row.s").alias("survival_ppm"),
+    )
+
+
+# ------------------------------------------ weighted median (r10)
+
+
+@corpus_query(
+    "o8_weighted_median_prices",
+    oracle="""
+    WITH pp AS (
+        SELECT p.p_brand,
+               CAST(l.l_extendedprice * 100 AS DECIMAL(18,0)) AS price_cents,
+               CAST(SUM(CAST(l.l_quantity * 100 AS DECIMAL(18,0)))
+                    AS BIGINT) AS w
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+        HAVING SUM(CAST(l.l_quantity * 100 AS DECIMAL(18,0))) > 0
+    ),
+    cum AS (
+        SELECT p_brand, price_cents, w,
+               CAST(SUM(w) OVER (PARTITION BY p_brand ORDER BY price_cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tot,
+               COUNT(*) OVER (PARTITION BY p_brand) AS n_prices
+        FROM pp
+    )
+    SELECT p_brand,
+           CAST(MIN(price_cents) AS BIGINT) AS median_price_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_weight_centi,
+           CAST(MAX(n_prices) AS BIGINT) AS n_prices
+    FROM cum
+    WHERE 2 * cw >= tot
+    GROUP BY p_brand
+    """,
+)
+def o8_weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED lower median of line price per part brand: the
+    smallest price whose cumulative weight reaches half the brand's
+    total — the robust "typical traded price" (an unweighted median
+    over line items overweights small orders; [a20_exact_percentiles]
+    is the unweighted cousin). All arithmetic is integer (cents-scaled
+    price, centi-scaled weight, 2*cum >= tot comparison), so the
+    selected row is bit-determined; zero-weight price points are out of
+    frame in both engines (they cannot move the cumulative and would
+    make the boundary row engine-arbitrary).
+
+    Scale shape: the fact-sized work is ONE groupBy onto the
+    (brand, price) pre-aggregate; the windows then run over THAT frame,
+    whose cardinality is brands x distinct price points — bounded by
+    the price DOMAIN, not the row count (at 100 TB the frame is
+    unchanged while lineitem grows 1000x). Window-per-brand is safe
+    here for the same reason; were the grouped frame data-sized, the
+    move is operators/rank.py::grouped_global_rank + prefix sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    pp = (
+        li.join(part, "l_partkey")
+        .groupBy(
+            "p_brand",
+            (F.col("l_extendedprice") * 100)
+            .cast("decimal(18,0)")
+            .alias("price_cents"),
+        )
+        .agg(
+            F.sum((F.col("l_quantity") * 100).cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("w")
+        )
+        .filter(F.col("w") > 0)
+    )
+    from pyspark.sql import Window
+
+    by_brand = Window.partitionBy("p_brand")
+    cum_w = (
+        by_brand.orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pp.select(
+        "p_brand",
+        "price_cents",
+        F.sum("w").over(cum_w).cast("bigint").alias("cw"),
+        F.sum("w").over(by_brand).cast("bigint").alias("tot"),
+        F.count(F.lit(1)).over(by_brand).alias("n_prices"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("p_brand")
+        .agg(
+            F.min("price_cents").cast("bigint").alias("median_price_cents"),
+            F.max("tot").alias("total_weight_centi"),
+            F.max("n_prices").cast("bigint").alias("n_prices"),
+        )
+    )

@@ -2227,3 +2227,60 @@ def dq_embedding_mean_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.max(F.when(~F.col("is_new"), F.col("mean_micro")))
         ).alias("drift_micro"),
     )
+
+
+# ------------------------------------------------ IVF radius search (r10)
+
+RADIUS_TAU = 0.35  # report every neighbor at least this similar
+
+
+@corpus_query(
+    "sim_radius_search_ivf",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               {normalized_sql("embedding", "nrm")} AS nv
+        FROM (SELECT vec_id, embedding,
+                     {norm_sql("embedding")} AS nrm
+              FROM embeddings) raw
+    ),
+    q AS (SELECT vec_id AS qid, nv AS qnv FROM e
+          WHERE vec_id < {TOPK_QUERIES})
+    SELECT q.qid AS vec_a, e.vec_id AS vec_b,
+           ROUND({dot_double_sql("q.qnv", "e.nv")}, 6) AS cos_sim
+    FROM q JOIN e ON e.vec_id <> q.qid
+    WHERE ROUND({dot_double_sql("q.qnv", "e.nv")}, 6) >= {RADIUS_TAU}
+    """,
+)
+def sim_radius_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT radius search — every corpus neighbor with cosine >=
+    {RADIUS_TAU} per query — answered through the IVF index with a
+    LOSSLESS per-cell angular-radius prune (spherical triangle
+    inequality; see operators/similarity.py::ivf_radius_distributed).
+    The oracle is the pruning-free brute-force scan: the driver's hash
+    check therefore certifies that the prune dropped NO qualifying
+    neighbor, which is the entire correctness claim of a bounded-radius
+    index probe. The range-query sibling of [sim_ann_ivf_topk] (same
+    pooled inverted file, same fold-identical scoring kernel): top-k
+    serves retrieval, radius serves dedup-sweep/audit shapes where the
+    answer-set size is data-dependent.
+
+    Honesty note on the prune at THIS scale: the testdata embeddings
+    are isotropic random vectors, so every cell's angular radius is
+    ~pi/2 and the bound can exclude nothing — here the query certifies
+    LOSSLESSNESS on the hostile no-structure case (probe-all == brute
+    force, bit-for-bit). On clustered real-world embeddings rho_c
+    shrinks and the same bound prunes most cells;
+    tests/test_radius_search.py builds such geometry and asserts the
+    probe set actually contracts while staying exact."""
+    from ..operators.similarity import ivf_radius_distributed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = _ivf_index_pooled(spark, sf_dir)
+    return ivf_radius_distributed(
+        emb,
+        tau=RADIUS_TAU,
+        query_filter=F.col("vec_id") < TOPK_QUERIES,
+        n_cells=IVF_CELLS,
+        index=index,
+    )

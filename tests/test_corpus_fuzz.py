@@ -55,6 +55,7 @@ FUZZ_SUBSET = (
     "cluster_kmeans_embeddings",
     # stats (division guards, rank machinery, tiny/empty groups)
     "a19_gini_by_nation",
+    "a38_atkinson_by_nation",  # r10: reciprocal quantization + clamp
     "a27_pr_auc",
     "a30_mann_whitney_u",
     "a33_user_hhi_deciles",
@@ -67,6 +68,8 @@ FUZZ_SUBSET = (
     "dq_embedding_mean_drift",
     # temporal (minute-quantized ts = boundary ties everywhere)
     "asof_purchase_last_view",
+    "events_survival_curve",  # r10: KM censor ties at max(ts)
+    "events_rolling_distinct_users",  # r10: window-end day boundaries
     "range_join_event_pairs",
     "events_time_to_convert",
     "events_sessionized",
@@ -79,6 +82,7 @@ FUZZ_SUBSET = (
     "text_ttr_by_lang",
     # OLAP / rank / topk
     "cube_revenue",
+    "o8_weighted_median_prices",  # r10: 2*cw >= tot boundary under ties
     "pivot_status_by_priority",
     "percentiles_acctbal_by_nation",
     "o3_top_bottom_orders",
@@ -91,6 +95,8 @@ FUZZ_SUBSET = (
     "bloom_semi_revenue",
     # curation / multimodal / graph / TPC-H
     "curate_length_buckets",
+    "graph_two_hop_reach",  # r10: hub-cap boundary on crushed graphs
+    "sim_radius_search_ivf",  # r10: radius boundary on collided vectors
     "curate_ngram_decontaminate",
     "mm_byte_histogram",
     "graph_pagerank",

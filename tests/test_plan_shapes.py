@@ -1050,3 +1050,34 @@ def test_r9_rank_consumers_no_unpartitioned_window(spark):
             if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
         ]
         assert not unpartitioned, (name, unpartitioned)
+
+
+def test_r10_radius_and_reach_no_cartesian(spark):
+    """The r10 pairwise shapes must stay gated on equi-join keys: the
+    radius search's candidates come from a BROADCAST hash equi-join on
+    the probed cell id (never a cartesian against the index), and the
+    two-hop wedge expansion is a hash self-join on the middle node."""
+    plan = plan_of(QUERIES["sim_radius_search_ivf"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    plan = plan_of(QUERIES["graph_two_hop_reach"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r10_survival_fold_and_rolling_expansion_shapes(spark):
+    """KM survival: the at-risk prefix sum rides the range-partitioned
+    operator (no unpartitioned data-sized window; the only windows run
+    inside the checkpoint-materialized prefix operator) and the two
+    1-row broadcasts (max ts, total) stay broadcasts. Rolling distinct:
+    the coverage explode must feed a partial aggregate (map-side
+    distinct), never a window."""
+    plan = plan_of(QUERIES["events_survival_curve"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan  # the 1-row crossJoins compile
+    # to BroadcastNestedLoopJoin over literally-one-row frames, which is
+    # the intended shape for scalar broadcasts — but never a data-sized
+    # cartesian; the explode feeds the final fold only
+    plan = plan_of(QUERIES["events_rolling_distinct_users"].fn(spark, SF_ORACLE))
+    assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
