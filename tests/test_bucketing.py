@@ -7,6 +7,8 @@ and reading co-located buckets."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -253,3 +255,55 @@ def test_register_bucketed_rejects_stale_mismatched_catalog_entry(
             register_bucketed(spark, "rb_tbl", p2, buckets=8, key="o_custkey")
     finally:
         drop_bucketed(spark, "rb_tbl")
+
+
+def test_bucketed_semantic_self_join_elides_exchange(spark, tmp_path):
+    """The corpus-vs-corpus sweep (tools/semantic_bucketed.py — the
+    capped same-cell self-join behind dedup_semantic_blocked_capped)
+    over a cell-bucketed coded corpus must compile with ZERO
+    data-sized Exchange: the per-cell cap window AND both self-join
+    sides ride the bucket distribution. Plain-parquet storage pays a
+    hashpartitioning exchange for the same plan — also pinned, so the
+    delta the SCALE.md table measures is visible in the plan."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from semantic_bucketed import sweep_pairs
+
+    from project_crypto_data_engineering_gcp_spark.operators.similarity import (
+        ivf_assign_frame,
+    )
+    from project_crypto_data_engineering_gcp_spark.sources.bucketing import (
+        drop_bucketed,
+        register_bucketed,
+        write_bucketed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    coded = (
+        ivf_assign_frame(emb, n_cells=8)
+        .withColumnRenamed("vec_b", "vec_id")
+        .withColumnRenamed("cnv", "nv")
+    )
+    plain_path = str(tmp_path / "coded_plain")
+    coded.write.parquet(plain_path)
+    drop_bucketed(spark, "t_sem_bucketed")
+    write_bucketed(
+        coded, "t_sem_bucketed", str(tmp_path / "coded_b"), buckets=8, key="cell"
+    )
+    try:
+        bucketed = register_bucketed(
+            spark, "t_sem_bucketed_r", str(tmp_path / "coded_b"),
+            buckets=8, key="cell",
+        )
+        plan_b = plan_of(sweep_pairs(bucketed, cap=4, tau=0.0))
+        assert "Exchange hashpartitioning" not in plan_b, plan_b
+        plan_p = plan_of(sweep_pairs(spark.read.parquet(plain_path), cap=4, tau=0.0))
+        assert "Exchange hashpartitioning" in plan_p, plan_p
+        # ... and placement cannot change the answer
+        nb = sweep_pairs(bucketed, cap=4, tau=0.2).count()
+        np_ = sweep_pairs(spark.read.parquet(plain_path), cap=4, tau=0.2).count()
+        assert nb == np_ > 0
+    finally:
+        drop_bucketed(spark, "t_sem_bucketed")
+        drop_bucketed(spark, "t_sem_bucketed_r")
