@@ -200,11 +200,35 @@ def main() -> int:
     else:
         coded = spark.read.parquet(plain_path)
 
+    # SPARK_GRAFT_SWEEP_MODE=count drops the Arrow scoring stage and
+    # counts candidate pairs per cell JVM-side — the candidate-audit /
+    # index-maintenance shape where the join exchange IS the dominant
+    # cost (in the full sweep the Python scoring dominates and the
+    # elided exchange is a small share; see SCALE.md attribution)
+    count_only = os.environ.get("SPARK_GRAFT_SWEEP_MODE") == "count"
     passes = []
     checksum = None
     for _ in range(2):
         t0 = time.perf_counter()
-        out = sweep_pairs(coded)
+        if count_only:
+            w = Window.partitionBy("cell").orderBy("vec_id")
+            v = (
+                coded.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= CLUSTER_CAP)
+                .drop("__rn")
+                .select("vec_id", "cell")
+            )
+            x, y = v.alias("x"), v.alias("y")
+            out = x.join(
+                y,
+                (F.col("x.cell") == F.col("y.cell"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            ).select(
+                F.col("x.vec_id").alias("vec_a"),
+                F.col("y.vec_id").alias("vec_b"),
+            )
+        else:
+            out = sweep_pairs(coded)
         row = out.agg(
             F.coalesce(F.sum(F.col("vec_a") + F.col("vec_b")), F.lit(0)).alias("s"),
             F.count(F.lit(1)).alias("n"),
