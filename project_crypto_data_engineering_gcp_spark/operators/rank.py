@@ -220,6 +220,91 @@ def global_prefix_sum(
     return out.drop(_PID, *[f"{_OFF}{c}" for c in sum_cols])
 
 
+def grouped_global_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Append ``{prefix}{c}`` = inclusive running SUM of each
+    ``sum_cols`` within each ``group_cols`` group under ``order_cols``
+    — WITHOUT partitioning the window by the group (a low-cardinality
+    group would funnel data-sized groups through one task each: 25
+    brands over a 100 TB pre-aggregate is 25 tasks). The grouped twin
+    of :func:`global_prefix_sum`, built like :func:`grouped_global_rank`:
+    range-partition on (group, order), run the prefix window RESTARTING
+    per group within each range partition, and add the same-group sums
+    from preceding partitions (per-(partition, group) partials —
+    bounded by the partition count, since ranges are contiguous).
+    ``order_cols`` must be a strict total order within each group.
+
+    Measured tradeoff (SCALE.md r10 sweep): the eager localCheckpoint
+    is DATA-SIZED, so when the consumer only needs to LOCATE a
+    cumulative boundary (median/quantile), domain-bounded bucket
+    refinement beats this operator decisively (20 s vs 507 s at x100).
+    Reach for it only when every row needs its prefix value (running
+    totals, CDF columns, packing offsets) AND the group count is too
+    small for a partitioned window to parallelize."""
+    for c in sum_cols:
+        if prefix + c in df.columns:
+            raise ValueError(
+                f"grouped_global_prefix_sum: output column "
+                f"{prefix + c!r} already present"
+            )
+    _check_reserved(df, prefix + sum_cols[0], "grouped_global_prefix_sum")
+
+    keys = [*group_cols, *order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *keys)
+        if num_partitions
+        else df.repartitionByRange(*keys)
+    )
+    # single evaluation of the pid tagging — see global_rank
+    tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+
+    parts = tagged.groupBy(_PID, *group_cols).agg(
+        *[F.sum(c).alias(f"{_CNT}{c}") for c in sum_cols]
+    )
+    a, b = parts.alias("a"), parts.alias("b")
+    cond = F.col(f"b.{_PID}") < F.col(f"a.{_PID}")
+    for g in group_cols:
+        cond = cond & F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}"))
+    offsets = (
+        a.join(b, cond, "left")
+        .groupBy(
+            F.col(f"a.{_PID}").alias(_PID),
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        )
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b.{_CNT}{c}"), F.lit(0)).alias(f"{_OFF}{c}")
+                for c in sum_cols
+            ]
+        )
+    )
+
+    # NULL-SAFE final join — see grouped_global_rank
+    t, o = tagged.alias("t"), offsets.alias("o")
+    jcond = F.col(f"t.{_PID}") == F.col(f"o.{_PID}")
+    for g in group_cols:
+        jcond = jcond & F.col(f"t.{g}").eqNullSafe(F.col(f"o.{g}"))
+    w = (
+        Window.partitionBy(_PID, *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = t.join(F.broadcast(o), jcond).select(
+        "t.*", *[f"o.{_OFF}{c}" for c in sum_cols]
+    )
+    for c in sum_cols:
+        out = out.withColumn(prefix + c, F.col(f"{_OFF}{c}") + F.sum(c).over(w))
+    return out.drop(_PID, *[f"{_OFF}{c}" for c in sum_cols])
+
+
 def global_prefix_min(
     df: DataFrame,
     order_cols: list[Column | str],

@@ -5487,7 +5487,8 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pp AS (
         SELECT p.p_brand,
-               CAST(l.l_extendedprice * 100 AS DECIMAL(18,0)) AS price_cents,
+               CAST(CAST(l.l_extendedprice * 100 AS DECIMAL(18,0))
+                    AS BIGINT) AS price_cents,
                CAST(SUM(CAST(l.l_quantity * 100 AS DECIMAL(18,0)))
                     AS BIGINT) AS w
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -5495,18 +5496,16 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING SUM(CAST(l.l_quantity * 100 AS DECIMAL(18,0))) > 0
     ),
     cum AS (
-        SELECT p_brand, price_cents, w,
+        SELECT p_brand, price_cents,
                CAST(SUM(w) OVER (PARTITION BY p_brand ORDER BY price_cents
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS cw,
-               CAST(SUM(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tot,
-               COUNT(*) OVER (PARTITION BY p_brand) AS n_prices
+               CAST(SUM(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tot
         FROM pp
     )
     SELECT p_brand,
            CAST(MIN(price_cents) AS BIGINT) AS median_price_cents,
-           CAST(MAX(tot) AS BIGINT) AS total_weight_centi,
-           CAST(MAX(n_prices) AS BIGINT) AS n_prices
+           CAST(MAX(tot) AS BIGINT) AS total_weight_centi
     FROM cum
     WHERE 2 * cw >= tot
     GROUP BY p_brand
@@ -5523,52 +5522,98 @@ def o8_weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame in both engines (they cannot move the cumulative and would
     make the boundary row engine-arbitrary).
 
-    Scale shape: the fact-sized work is ONE groupBy onto the
-    (brand, price) pre-aggregate; the windows then run over THAT frame,
-    whose cardinality is brands x distinct price points — bounded by
-    the price DOMAIN, not the row count (at 100 TB the frame is
-    unchanged while lineitem grows 1000x). Window-per-brand is safe
-    here for the same reason; were the grouped frame data-sized, the
-    move is operators/rank.py::grouped_global_rank + prefix sums."""
+    Scale design: BUCKET REFINEMENT, the exact distributed-quantile
+    idiom — the r10 scale sweep measured and rejected THREE naive
+    shapes (SCALE.md "r10 sweep"): the PARTITION BY brand window over
+    the (brand, price) pre-aggregate (linear but SERIAL per brand: 25
+    brands = 25 tasks however large the cluster), the range-partitioned
+    grouped prefix sum (parallel but pays a data-sized localCheckpoint),
+    and bucket refinement OVER the pre-aggregate (near-unique composite
+    keys mean the pre-agg never reduces, and two consumers re-evaluate
+    it — measured superlinear). The surviving shape touches the
+    fact-sized data only through MAP-COMBINABLE aggregates:
+
+      pass 1  raw -> groupBy(brand, price DIV 1e5): bucket weights — a
+              frame bounded by brands x the price DOMAIN in $1000
+              bands, cumulated with a window over that tiny frame to
+              find each brand's median BUCKET (+ weight before it);
+      pass 2  raw rows inside the median bucket only (broadcast
+              semi-join on (brand, bucket) — per brand, one band of
+              the price domain) -> tiny (brand, price) aggregate ->
+              exact cumulative resolution.
+
+    No data-sized window, shuffle, or checkpoint anywhere; the fact is
+    scanned twice, the classic refinement price. Residual lever,
+    documented: a pathological brand concentrating most weight in ONE
+    band re-runs refinement with a narrower band (or recurses)."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
-    pp = (
-        li.join(part, "l_partkey")
-        .groupBy(
-            "p_brand",
-            (F.col("l_extendedprice") * 100)
-            .cast("decimal(18,0)")
-            .alias("price_cents"),
-        )
-        .agg(
-            F.sum((F.col("l_quantity") * 100).cast("decimal(18,0)"))
-            .cast("bigint")
-            .alias("w")
-        )
-        .filter(F.col("w") > 0)
+    raw = li.join(part, "l_partkey").select(
+        "p_brand",
+        (F.col("l_extendedprice") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("price_cents"),
+        (F.col("l_quantity") * 100).cast("decimal(18,0)").alias("q"),
     )
-    from pyspark.sql import Window
-
-    by_brand = Window.partitionBy("p_brand")
-    cum_w = (
-        by_brand.orderBy("price_cents")
+    # pass 1: domain-bounded bucket frame -> median bucket per brand
+    pb = raw.groupBy(
+        "p_brand", F.expr("price_cents DIV 100000").alias("b")
+    ).agg(F.sum("q").cast("bigint").alias("wb"))
+    wcum = (
+        Window.partitionBy("p_brand")
+        .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = pp.select(
+    byb = Window.partitionBy("p_brand")
+    pbc = pb.select(
         "p_brand",
-        "price_cents",
-        F.sum("w").over(cum_w).cast("bigint").alias("cw"),
-        F.sum("w").over(by_brand).cast("bigint").alias("tot"),
-        F.count(F.lit(1)).over(by_brand).alias("n_prices"),
+        "b",
+        (F.sum("wb").over(wcum) - F.col("wb")).alias("before"),
+        F.sum("wb").over(byb).alias("tot"),
+        (2 * F.sum("wb").over(wcum) >= F.sum("wb").over(byb)).alias("hit"),
     )
-    return (
-        cum.filter(2 * F.col("cw") >= F.col("tot"))
+    mb = (
+        pbc.filter("hit")
         .groupBy("p_brand")
         .agg(
-            F.min("price_cents").cast("bigint").alias("median_price_cents"),
-            F.max("tot").alias("total_weight_centi"),
-            F.max("n_prices").cast("bigint").alias("n_prices"),
+            F.min_by(F.struct("b", "before"), "b").alias("m"),
+            F.max("tot").alias("tot"),
+        )
+        .select(
+            F.col("p_brand").alias("mb_brand"),
+            F.col("m.b").alias("mb"),
+            F.col("m.before").alias("before"),
+            "tot",
         )
     )
+    # pass 2: exact resolution INSIDE the median bucket only
+    cand = (
+        raw.join(
+            F.broadcast(mb),
+            (F.col("p_brand") == F.col("mb_brand"))
+            & (F.expr("price_cents DIV 100000") == F.col("mb")),
+        )
+        .groupBy("p_brand", "price_cents", "before", "tot")
+        .agg(F.sum("q").cast("bigint").alias("w"))
+        .filter(F.col("w") > 0)
+    )
+    win = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cand.withColumn("cw", F.col("before") + F.sum("w").over(win))
+        .filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("p_brand")
+        .agg(
+            F.min("price_cents").alias("median_price_cents"),
+            F.max("tot").alias("total_weight_centi"),
+        )
+    )
+

@@ -1574,3 +1574,47 @@ def test_vdrift_reaper_removes_dead_pid_dirs_only(spark, tmp_path):
         shutil.rmtree(dead, ignore_errors=True)
         shutil.rmtree(fresh, ignore_errors=True)
         shutil.rmtree(live, ignore_errors=True)
+
+
+def test_grouped_global_prefix_sum_matches_partitioned_window(spark):
+    """grouped_global_prefix_sum (range-partition on (group, order) +
+    per-(partition, group) offset sums) must equal SUM() OVER
+    (PARTITION BY group ORDER BY ... ROWS UNBOUNDED PRECEDING) on
+    random data — including groups straddling range partitions and a
+    NULL group key (eqNullSafe end to end)."""
+    from pyspark.sql import Window
+
+    from project_crypto_data_engineering_gcp_spark.operators.rank import (
+        grouped_global_prefix_sum,
+    )
+
+    rng = np.random.default_rng(20260816)
+    for trial, n in enumerate((1, 7, 211, 1000)):
+        rows = [
+            (
+                int(i),
+                None if rng.random() < 0.1 else int(rng.integers(0, 3)),
+                int(rng.integers(0, max(2, n // 10))),
+                int(rng.integers(-20, 50)),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "id bigint, g bigint, v bigint, x bigint"
+        ).repartition(7)
+        got = grouped_global_prefix_sum(
+            df, ["g"], ["v", "id"], ["x"], num_partitions=5
+        )
+        assert got.count() == n, f"trial {trial}: rows lost"
+        w = (
+            Window.partitionBy("g")
+            .orderBy("v", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = df.select("id", F.sum("x").over(w).alias("want"))
+        bad = (
+            got.join(want, "id")
+            .filter(F.col("cum_x") != F.col("want"))
+            .count()
+        )
+        assert bad == 0, f"trial {trial}: {bad} mismatched prefix sums"
