@@ -140,6 +140,10 @@ HEADLINE = (
     "graph_two_hop_reach",
     "events_survival_curve",
     "events_rolling_distinct_users",
+    # late-r10: the bucket-refinement weighted median — the round's
+    # measured design iteration (SCALE.md r10 sweep) — joins so the
+    # shipped shape is regression-tracked from r10's driver run onward
+    "o8_weighted_median_prices",
 )
 
 
