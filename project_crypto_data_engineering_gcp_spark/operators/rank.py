@@ -156,6 +156,21 @@ def grouped_global_rank(
     )
 
 
+def _null_aware_cum(off: Column, win: Column) -> Column:
+    """SQL running-SUM NULL semantics for the offset + within-partition
+    split: SUM() OVER ignores NULL inputs and is NULL only while NO
+    non-null value has been seen yet. The partition offset is kept
+    UN-coalesced (NULL iff no prior partition contributed a non-null
+    partial), so the cumulative is NULL iff offset AND window sum are
+    both NULL; otherwise missing sides contribute 0. A blanket
+    ``coalesce(off, 0) + win`` would instead return NULL for any row
+    whose range partition OPENS with a run of NULLs even when preceding
+    partitions carried real values (r10 advisor finding)."""
+    return F.when(off.isNull() & win.isNull(), F.lit(None)).otherwise(
+        F.coalesce(off, F.lit(0)) + F.coalesce(win, F.lit(0))
+    )
+
+
 def global_prefix_sum(
     df: DataFrame,
     order_cols: list[Column | str],
@@ -173,7 +188,10 @@ def global_prefix_sum(
     ``order_cols`` must define a STRICT total order. A plain
     ``SUM() OVER (ORDER BY ...)`` funnels the input through one window
     task; this keeps every stage parallel, which is what running totals,
-    CDFs, and offset/packing computations need at 100 TB.
+    CDFs, and offset/packing computations need at 100 TB. NULL values in
+    ``sum_cols`` follow SQL SUM() OVER semantics exactly (ignored by the
+    sum; the running value is NULL only before the first non-null) —
+    see :func:`_null_aware_cum`.
     """
     _check_reserved(df, prefix + sum_cols[0], "global_prefix_sum")
     for c in sum_cols:
@@ -196,15 +214,13 @@ def global_prefix_sum(
         *[F.sum(c).alias(f"{_CNT}{c}") for c in sum_cols]
     )
     a, b = parts.alias("a"), parts.alias("b")
+    # offsets stay UN-coalesced: NULL iff no preceding partition carries
+    # a non-null partial (SUM over an empty/all-NULL set) — the
+    # null-aware combine below needs that distinction
     offsets = (
         a.join(b, F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
         .groupBy(F.col(f"a.{_PID}").alias(_PID))
-        .agg(
-            *[
-                F.coalesce(F.sum(f"b.{_CNT}{c}"), F.lit(0)).alias(f"{_OFF}{c}")
-                for c in sum_cols
-            ]
-        )
+        .agg(*[F.sum(f"b.{_CNT}{c}").alias(f"{_OFF}{c}") for c in sum_cols])
     )
 
     w = (
@@ -215,7 +231,7 @@ def global_prefix_sum(
     out = tagged.join(F.broadcast(offsets), _PID)
     for c in sum_cols:
         out = out.withColumn(
-            prefix + c, F.col(f"{_OFF}{c}") + F.sum(c).over(w)
+            prefix + c, _null_aware_cum(F.col(f"{_OFF}{c}"), F.sum(c).over(w))
         )
     return out.drop(_PID, *[f"{_OFF}{c}" for c in sum_cols])
 
@@ -239,6 +255,9 @@ def grouped_global_prefix_sum(
     from preceding partitions (per-(partition, group) partials —
     bounded by the partition count, since ranges are contiguous).
     ``order_cols`` must be a strict total order within each group.
+    NULLs in ``sum_cols`` follow SQL SUM() OVER semantics (ignored;
+    running value NULL only before the group's first non-null) — see
+    :func:`_null_aware_cum`.
 
     Measured tradeoff (SCALE.md r10 sweep): the eager localCheckpoint
     is DATA-SIZED, so when the consumer only needs to LOCATE a
@@ -273,18 +292,14 @@ def grouped_global_prefix_sum(
     cond = F.col(f"b.{_PID}") < F.col(f"a.{_PID}")
     for g in group_cols:
         cond = cond & F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}"))
+    # UN-coalesced offsets — see global_prefix_sum / _null_aware_cum
     offsets = (
         a.join(b, cond, "left")
         .groupBy(
             F.col(f"a.{_PID}").alias(_PID),
             *[F.col(f"a.{g}").alias(g) for g in group_cols],
         )
-        .agg(
-            *[
-                F.coalesce(F.sum(f"b.{_CNT}{c}"), F.lit(0)).alias(f"{_OFF}{c}")
-                for c in sum_cols
-            ]
-        )
+        .agg(*[F.sum(f"b.{_CNT}{c}").alias(f"{_OFF}{c}") for c in sum_cols])
     )
 
     # NULL-SAFE final join — see grouped_global_rank
@@ -301,7 +316,9 @@ def grouped_global_prefix_sum(
         "t.*", *[f"o.{_OFF}{c}" for c in sum_cols]
     )
     for c in sum_cols:
-        out = out.withColumn(prefix + c, F.col(f"{_OFF}{c}") + F.sum(c).over(w))
+        out = out.withColumn(
+            prefix + c, _null_aware_cum(F.col(f"{_OFF}{c}"), F.sum(c).over(w))
+        )
     return out.drop(_PID, *[f"{_OFF}{c}" for c in sum_cols])
 
 

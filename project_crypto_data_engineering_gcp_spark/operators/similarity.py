@@ -545,6 +545,17 @@ def ivf_radius_distributed(
     the result set equals the brute-force scan bit-for-bit — which is
     exactly what the corpus oracle checks.
 
+    ROUNDING-AWARE bound (r10 advisor finding): the emitted filter is
+    ``round(cos_sim, round_digits) >= tau``, which admits pairs whose
+    TRUE cosine sits in [tau - 0.5*10^-rd, tau). The prune therefore
+    runs against the effective threshold tau_eff = tau - 0.5*10^-rd
+    (minus a float-headroom epsilon), not tau itself — without this,
+    the extra angular reach those pairs need (~0.5*10^-rd /
+    sqrt(1 - tau^2)) silently exceeds a fixed 1e-4 slack once tau is
+    within ~1e-5 of 1, breaking the bit-for-bit claim exactly where
+    near-duplicate sweeps operate. With it, losslessness holds for any
+    (tau, round_digits) with tau_eff > -1.
+
     Plan shape: the per-cell radius is one JVM-side aggregate over the
     index frame (expression dot against the broadcast n_cells-row
     centroid frame), collected as n_cells scalars (same bounded driver
@@ -582,10 +593,15 @@ def ivf_radius_distributed(
         for r in rho_rows
     }
 
-    # probes: every (query, cell) pair the bound cannot rule out
+    # probes: every (query, cell) pair the bound cannot rule out —
+    # against the ROUNDING-EFFECTIVE threshold (see docstring): pairs
+    # with true cosine in [tau - 0.5*10^-rd, tau) round up into the
+    # result set, so the prune must keep their cells reachable; 1e-12
+    # is float headroom on the subtraction itself
+    tau_eff = float(tau) - 0.5 * 10.0 ** (-rd) - 1e-12
     qids, qnv = _collect_queries(emb, query_filter)
     probe_rows = radius_probe_rows(
-        qids, qnv, cent_ids, cmat, rho, tau=tau, prune_slack=prune_slack
+        qids, qnv, cent_ids, cmat, rho, tau=tau_eff, prune_slack=prune_slack
     )
     probes = spark.createDataFrame(
         probe_rows, schema="vec_a bigint, pcell bigint, qnv array<double>"

@@ -40,21 +40,21 @@ class CorpusQuery:
 
 _REGISTRY: dict[str, CorpusQuery] = {}
 
-# r10 WINDOW (this round; exactly the plan declared in r9 — see the r9
-# VERDICT task 1 and the ROLLOVER comment committed with the r9 window):
-# the seven r9 additions lead (policy (a): never driver-checked; all
-# pass local parity at sf0.01 AND sf0.1 plus the fuzz sweep), then the
-# complete 30-entry r5-stale rollover from the r9 comment (policy (c)),
-# then the first 13 of the r6-latest set (the 49 registered queries
-# whose newest driver row is r6 — recomputed this round from
-# CORRECTNESS_r01..r09; mm_simhash_payload and feat_user_activity ARE
-# r6-latest despite kin passing later) in CORRECTNESS_r06 file order.
-# 7 + 30 + 13 = 50. The 36 r6-latest entries that do not fit are listed
-# in the ROLLOVER comment below and lead the r11 window together with
-# any r10 additions. After this round's check the staleness ledger
-# reads r10x50, r9x50, r8x50, r7x50, r6x36 — max staleness 4 rounds,
-# the documented floor for a ~240-query corpus under a 50-slot window
-# (README "Driver-window rotation policy").
+# r11 WINDOW (this round; exactly the plan declared in r10 — see the
+# r10 VERDICT task 1 and the ROLLOVER comment committed with the r10
+# window): the six r10 additions lead (policy (a): never
+# driver-checked; all passed local parity at sf0.01 AND sf0.1, the
+# corpus fuzz sweep, AND an independent judge-run DuckDB parity check
+# in the r10 verdict), then the complete 36-entry r6-latest rollover
+# from the r10 comment (policy (c)), then the first 8 of the r7-latest
+# set (the 50 registered queries whose newest driver row is r7 —
+# recomputed this round from CORRECTNESS_r01..r10) in CORRECTNESS_r07
+# file order. 6 + 36 + 8 = 50. The 42 r7-latest entries that do not
+# fit are listed in the ROLLOVER comment below and lead the r12 window
+# together with any r11 additions. After this round's check the
+# staleness ledger reads r11x50, r10x50, r9x50, r8x50, r7x42 — max
+# staleness 4 rounds, the documented floor for a ~240-query corpus
+# under a 50-slot window (README "Driver-window rotation policy").
 #
 # STALENESS TRIAGE (standing, r4 verdict task 5) — with ~220+ queries
 # and a ~50-slot window, the "newest row <= 2 rounds old" invariant is
@@ -64,10 +64,10 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 #   (c) remaining slots refresh oldest-first,
 # so every query's newest row stays at most ~4 rounds old.
 #
-#   r11 plan (declared now, cut at r11 start): any r10 additions lead
-#   (policy (a)), then the 36-entry r6-latest rollover below
-#   (q3_shipping_priority ... sim_ivf_cell_stats, policy (c)), then
-#   the r7-latest set oldest-first (see CORRECTNESS_r07) fills the
+#   r12 plan (declared now, cut at r12 start): any r11 additions lead
+#   (policy (a)), then the 42-entry r7-latest rollover below
+#   (a25_ks_test ... events_retention_cohorts, policy (c)), then the
+#   r8-latest set oldest-first (see CORRECTNESS_r08) fills the
 #   remaining slots.
 #
 # History: r1 covered entries 1-50 of the original order, r2 the
@@ -78,77 +78,20 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 # r2-stale refreshers (TPC-H q1-q22 incl.) + sim_ivf_cell_stats, r7
 # the 18-entry r6 rollover + 32 r3-stale refreshers, r8 the 22-entry
 # r7 rollover + 28 r4-stale refreshers, r9 the 8 r8 additions + the
-# 22-entry r8 rollover + 20 r5-stale refreshers
+# 22-entry r8 rollover + 20 r5-stale refreshers, r10 the 7 r9
+# additions + the 30-entry r5-stale rollover + the first 13 r6-latest
 # (50/50 green every round; zero red rows ever).
 CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
-    # ---- r9 additions (7): never driver-checked, policy (a) ----
-    "a36_gini_drift_by_nation",
-    "a37_hhi_supplier_by_brand",
-    "dq_version_quantile_drift",
-    "dq_embedding_mean_drift",
-    "events_time_to_convert",
-    "text_vocab_growth_curve",
-    "text_ttr_by_lang",
-    # ---- 30 r5-stale refreshers rolled over from the r9 window,
-    # policy (c), in the order the r9 comment declared ----
-    "bloom_semi_revenue",
-    "a13_correlation_moments",
-    "sim_mmr_rerank",
-    "dedup_minhash_incremental",
-    "streaming_incremental_dedup",
-    "dedup_keep_best_quality",
-    "curate_pack_offsets",
-    "curate_corpus_report",
-    "sim_knn_classify",
-    "graph_link_prediction",
-    "a14_share_of_parent",
-    "a15_cusum_drift",
-    "a16_rfm_segments",
-    "events_category_drift",
-    "text_bpe_pair_counts",
-    "a17_mad_by_priority",
-    "events_interarrival_stats",
-    "sim_binary_hamming_topk",
-    "sim_binary_refined",
-    "o6_orders_global_rank",
-    "a18_winsorized_stats",
-    "text_trigram_novelty",
-    "crypto_daily_overview",
-    "crypto_top_gainers_losers",
-    "crypto_market_dominance",
-    "crypto_supply_dynamics",
-    "crypto_dashboard",
-    "crypto_merge_upsert",
-    "crypto_scd2_history",
-    "pandas_scalar_price_tier",
-    # ---- first 13 of the r6-latest set, policy (c), in
-    # CORRECTNESS_r06 file order ----
-    "sim_binary_recall",
-    "graph_kcore",
-    "a19_gini_by_nation",
-    "dq_benford_leading_digit",
-    "approx_countmin_tokens",
-    "streaming_static_enrichment",
-    "graph_label_propagation",
-    "sim_ann_ivf_incremental",
-    "feat_user_activity",
-    "mm_simhash_payload",
-    "text_token_diversity",
-    "q1_pricing_summary",
-    "q2_cheapest_supplier",
-    # ---- ROLLOVER QUEUE (positions 51+), in r11-window order ----
-    # r10 additions (policy (a): never driver-checked — they LEAD the
-    # r11 window; all pass local parity at sf0.01 AND sf0.1 plus the
-    # 7-draw corpus fuzz and hold suite fuzz seats) ----
+    # ---- r10 additions (6): never driver-checked, policy (a);
+    # judge-verified green vs DuckDB in the r10 verdict ----
     "a38_atkinson_by_nation",
     "events_rolling_distinct_users",
     "events_survival_curve",
     "o8_weighted_median_prices",
     "sim_radius_search_ivf",
     "graph_two_hop_reach",
-    # ...then the 36 remaining r6-latest entries (policy (c); these
-    # HAVE green r6 rows — listing them documents the r11 plan and
-    # keeps the rotation auditable) ----
+    # ---- the complete 36-entry r6-latest rollover from the r10
+    # window comment, policy (c), in CORRECTNESS_r06 file order ----
     "q3_shipping_priority",
     "q4_priority_with_returns",
     "q5_nation_volume",
@@ -185,6 +128,65 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_topk_neighbors",
     "streaming_hourly_rollup",
     "sim_ivf_cell_stats",
+    # ---- first 8 of the r7-latest set (50 entries; recomputed from
+    # CORRECTNESS_r01..r10 this round), policy (c), in
+    # CORRECTNESS_r07 file order ----
+    "a20_exact_percentiles",
+    "curate_stratified_sample",
+    "streaming_interval_join_outer",
+    "mm_frame_fingerprint_match",
+    "a21_retention_cohorts",
+    "dq_column_profile",
+    "approx_percentile_orders",
+    "graph_bfs_distances",
+    # ---- ROLLOVER QUEUE (positions 51+), in r12-window order ----
+    # (r11 additions, policy (a), are inserted here as they ship and
+    # LEAD the r12 window; see the r12 plan comment above)
+    # ...then the 42 remaining r7-latest entries (policy (c); these
+    # HAVE green r7 rows — listing them documents the r12 plan and
+    # keeps the rotation auditable) ----
+    "a22_sales_cube",
+    "curate_weighted_sample",
+    "dq_table_diff",
+    "dq_table_checksum",
+    "text_bpe_encode_stats",
+    "a23_bootstrap_ci",
+    "feat_target_encoding",
+    "a24_roc_auc",
+    "a25_ks_test",
+    "a26_calibration_bins",
+    "streaming_interval_join",
+    "streaming_sessionized",
+    "j4_customers_with_orders_semi",
+    "j5_nation_activity_full_outer",
+    "j6_correlated_scalar",
+    "j7_salted_skew_join",
+    "a6_salted_skew_aggregate",
+    "a7_order_price_histogram",
+    "a8_exact_quantiles_by_priority",
+    "a9_grouping_sets_revenue",
+    "w1_latest_event_per_user",
+    "w4_event_navigation",
+    "w5_sliding_hour_total",
+    "w6_forward_fill",
+    "w7_cumulative_distinct_users",
+    "o4_topk_per_group",
+    "o5_set_ops_customers",
+    "dedup_exact",
+    "dedup_containment",
+    "dedup_clusters_transitive",
+    "dedup_minhash_lsh_capped",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_time_bucketed",
+    "sim_ann_ivf_indexed",
+    "sim_ann_ivf_kmeans",
+    "sim_dimension_stats",
+    "sim_pq_indexed",
+    "sim_pq_topk",
+    "events_sessionized",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
 )
 
 

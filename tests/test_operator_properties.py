@@ -1618,3 +1618,102 @@ def test_grouped_global_prefix_sum_matches_partitioned_window(spark):
             .count()
         )
         assert bad == 0, f"trial {trial}: {bad} mismatched prefix sums"
+
+
+def test_global_prefix_sum_null_runs_match_window_semantics(spark):
+    """SQL SUM() OVER ignores NULLs and is NULL only before the first
+    non-null value. The r10 advisor found the offset+window split broke
+    this when a RANGE PARTITION opens with a run of NULLs after earlier
+    partitions contributed values (coalesced-0 offset + NULL window =
+    NULL instead of the carried offset). Fixture: 400 ordered rows over
+    5 range partitions with x non-null for id<100, an all-NULL band for
+    100<=id<260 (covering at least one whole interior partition), then
+    non-null again — compared null-safely against the single-window
+    reference."""
+    from pyspark.sql import Window
+
+    from project_crypto_data_engineering_gcp_spark.operators.rank import (
+        global_prefix_sum,
+    )
+
+    rows = [
+        (int(i), int(i) if (i < 100 or i >= 260) else None)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, x bigint").repartition(7)
+    got = global_prefix_sum(df, ["id"], ["x"], num_partitions=5)
+    w = (
+        Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select("id", F.sum("x").over(w).alias("want"))
+    bad = (
+        got.join(want, "id")
+        .filter(~F.col("cum_x").eqNullSafe(F.col("want")))
+        .count()
+    )
+    assert bad == 0, f"{bad} null-run prefix sums diverge from SQL window"
+    # the regression shape is actually present: a NULL-x row inside the
+    # band must carry the NON-NULL prior sum (old code returned NULL)
+    mid = got.filter((F.col("id") == 150)).collect()[0]
+    assert mid["cum_x"] == sum(range(100))
+
+
+def test_global_prefix_sum_all_null_prefix_stays_null(spark):
+    """Before the first non-null value the running sum is NULL (SQL),
+    not 0 — including across partition boundaries (offset must stay
+    un-coalesced)."""
+    from project_crypto_data_engineering_gcp_spark.operators.rank import (
+        global_prefix_sum,
+    )
+
+    rows = [(int(i), None if i < 250 else int(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, x bigint")
+    got = global_prefix_sum(df, ["id"], ["x"], num_partitions=5).collect()
+    by_id = {r["id"]: r["cum_x"] for r in got}
+    assert all(by_id[i] is None for i in range(250))
+    assert by_id[250] == 250 and by_id[399] == sum(range(250, 400))
+
+
+def test_grouped_global_prefix_sum_null_runs_match_window_semantics(spark):
+    """Grouped twin of the NULL-run regression: per-group running sums
+    with NULL value bands straddling range partitions (and a NULL group
+    key) must match SUM() OVER (PARTITION BY g ORDER BY ...) null-safely
+    — NULL while the group has seen no non-null, carried sum inside a
+    group's NULL band otherwise."""
+    from pyspark.sql import Window
+
+    from project_crypto_data_engineering_gcp_spark.operators.rank import (
+        grouped_global_prefix_sum,
+    )
+
+    rng = np.random.default_rng(20260817)
+    rows = []
+    for i in range(900):
+        g = None if i % 11 == 0 else int(i % 3)
+        # leading NULL run per group, a mid-band NULL run, else values
+        pos = i // 3
+        if pos < 40 or 120 <= pos < 200 or rng.random() < 0.15:
+            x = None
+        else:
+            x = int(rng.integers(-20, 50))
+        rows.append((int(i), g, x))
+    df = spark.createDataFrame(rows, "id bigint, g bigint, x bigint").repartition(7)
+    got = grouped_global_prefix_sum(df, ["g"], ["id"], ["x"], num_partitions=5)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select("id", F.sum("x").over(w).alias("want"))
+    bad = (
+        got.join(want, "id")
+        .filter(~F.col("cum_x").eqNullSafe(F.col("want")))
+        .count()
+    )
+    assert bad == 0, f"{bad} grouped null-run prefix sums diverge"
+    # non-vacuous: the fixture produces both NULL cums and carried sums
+    assert got.filter(F.col("cum_x").isNull()).count() > 0
+    assert (
+        got.filter(F.col("x").isNull() & F.col("cum_x").isNotNull()).count() > 0
+    )

@@ -115,3 +115,55 @@ def test_radius_prune_contracts_and_stays_exact(spark, clustered):
     assert got_set == want
     assert len(want) > 0  # non-vacuous
     index.unpersist()
+
+
+def test_radius_rounding_boundary_kept_near_tau_one(spark):
+    """r10 advisor finding: the emitted filter is round(cos, rd) >= tau,
+    so pairs with TRUE cosine in [tau - 0.5*10^-rd, tau) belong in the
+    answer — and near tau ~ 1 the extra angular reach they need exceeds
+    the fixed 1e-4 slack. The prune must therefore run against
+    tau_eff = tau - 0.5*10^-rd. Constructed geometry (float64 vectors,
+    exact preconditions asserted): a single-member cell whose only
+    answer pair sits in the rounding band, with the query angled so the
+    UN-corrected bound provably prunes the cell."""
+    tau = 0.999995
+    rd = 6
+    theta_tau = math.acos(tau)
+    t = theta_tau + 1.2e-4  # beyond tau-bound + slack, inside eff-bound
+    q = [math.cos(t), 0.0, math.sin(t), 0.0]
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),  # centroid seed, cell A
+        (1, [0.0, 1.0, 0.0, 0.0]),  # far centroid
+        (2, q),                     # the query, its own cell
+        (3, [1.0, 0.0, 0.0, 0.0]),  # cell-A member: the boundary pair
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    # preconditions, computed exactly as the operator does
+    true_cos = math.cos(t)
+    assert true_cos < tau, "pair must be strictly below tau"
+    assert np.round(true_cos, rd) >= tau, "…but round INTO the answer set"
+    # the un-corrected bound prunes cell A (rho_A = 0: members are the
+    # centroid direction itself)…
+    cent_ids, cmat = _collect_centroids(emb, 3)
+    index = ivf_assign_frame(emb, n_cells=3, centroids=(cent_ids, cmat))
+    qids, qnv = _collect_queries(emb, F.col("vec_id") == 2)
+    rho = {0: 0.0, 1: 0.0, 2: 0.0}
+    naive = radius_probe_rows(
+        qids, qnv, cent_ids, cmat, rho, tau=tau, prune_slack=1e-4
+    )
+    assert all(cell != 0 for _, cell, _ in naive), (
+        "fixture no longer triggers the bug: naive bound keeps cell 0"
+    )
+
+    # …the shipped operator (rounding-aware tau_eff) keeps it lossless
+    got = ivf_radius_distributed(
+        emb,
+        tau=tau,
+        query_filter=F.col("vec_id") == 2,
+        n_cells=3,
+        round_digits=rd,
+        index=index,
+    ).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert (2, 0) in pairs and (2, 3) in pairs, f"boundary pair lost: {pairs}"
