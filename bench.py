@@ -144,6 +144,16 @@ HEADLINE = (
     # measured design iteration (SCALE.md r10 sweep) — joins so the
     # shipped shape is regression-tracked from r10's driver run onward
     "o8_weighted_median_prices",
+    # r11 additions: the four heavier new shapes — the multi-level
+    # band-refinement weighted median (the one-band-concentration
+    # pathological case by construction), the Palma tail shares
+    # (grouped_global_rank + decile-cut conditional aggregate), the
+    # fact-fact order-total reconciliation join, and the sweep-line
+    # peak concurrency (global_prefix_sum over 2x events boundaries)
+    "o9_weighted_median_skewed",
+    "a39_tail_shares_by_nation",
+    "dq_order_total_reconciliation",
+    "events_peak_concurrency",
 )
 
 
@@ -168,6 +178,19 @@ def main() -> None:
     spark.range(8).join(
         F.broadcast(tiny), F.col("id") == F.col("k"), "left"
     ).count()
+
+    # LSH band-index bootstrap is a SPLIT step since r11 (build-vs-serve,
+    # mirroring the IVF index): deployments pay it via the build-lsh-index
+    # CLI, so dedup_minhash_incremental's COLD row below measures serving
+    # (batch scan + band join + bounded verify), not corpus bootstrap.
+    # The build cost stays visible as its own isolated sidecar field.
+    from project_crypto_data_engineering_gcp_spark.plans.queries_dedup import (
+        build_minhash_band_index,
+    )
+
+    t0 = time.perf_counter()
+    build_minhash_band_index(spark, sf_dir)
+    lsh_index_build = round(time.perf_counter() - t0, 3)
 
     # Three timed passes per query, split COLD / WARM (r4 verdict task 6):
     # pass 1 pays one-time index/pool builds (band index, oriented edges,
@@ -228,6 +251,17 @@ def main() -> None:
         calib_passes.append(time.perf_counter() - t0)
     calibration = round(min(calib_passes), 3)
 
+    # Boot-load disclosure (r10 verdict task 7): BENCH_rN files are
+    # compared across boots; the same-boot A/B archaeology of r9/r10
+    # showed a ~1.5-2.8x box factor between an idle builder boot and a
+    # loaded driver boot. The 1-min loadavg AT BENCH END plus the
+    # calibration above let a reader normalize cross-boot comparisons
+    # from the artifact alone.
+    try:
+        loadavg_1m = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        loadavg_1m = None
+
     total = round(sum(warm.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -249,7 +283,9 @@ def main() -> None:
         "cold": cold,
         "cold_total": cold_total,
         "bpe_train_isolated_sec": bpe_train_isolated,
+        "lsh_index_build_isolated_sec": lsh_index_build,
         "calibration_sec": calibration,
+        "loadavg_1m": loadavg_1m,
         "sf": sf_val,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -277,7 +313,9 @@ def main() -> None:
         "queries_note": "top-15 slowest; full set in BENCH_DETAIL.json",
         "cold_total": cold_total,
         "bpe_train_isolated_sec": bpe_train_isolated,
+        "lsh_index_build_isolated_sec": lsh_index_build,
         "calibration_sec": calibration,
+        "loadavg_1m": loadavg_1m,
         "sf": sf_val,
     }
     line = json.dumps(final)

@@ -107,6 +107,15 @@ def _build_parser() -> argparse.ArgumentParser:
         help="with --bucket-by: catalog name (default: derived from --out)",
     )
 
+    bi = sub.add_parser(
+        "build-lsh-index",
+        help="bootstrap the persisted LSH band index over a dataset's"
+        " accumulated corpus slice, so incremental dedup serving calls"
+        " (dedup_minhash_incremental) pay batch cost only — the"
+        " build-vs-serve split, same policy as the IVF index",
+    )
+    bi.add_argument("--sf-dir", required=True, help="testdata dir with documents.parquet")
+
     ds = sub.add_parser(
         "dedup-stream",
         help="incrementally near-dedup a parquet landing dir of (doc_id, text)"
@@ -275,6 +284,11 @@ def main(argv: list[str] | None = None) -> int:
                     sort_cols=sort_cols,
                 )
                 print(f"compacted to {n} files")
+        elif args.cmd == "build-lsh-index":
+            from .plans.queries_dedup import build_minhash_band_index
+
+            path = build_minhash_band_index(spark, args.sf_dir)
+            print(f"band index at {path}")
         elif args.cmd == "dedup-stream":
             from .streaming.dedup_stream import stream_incremental_dedup
 

@@ -59,6 +59,12 @@ TOPK_SCHEMA = "vec_a bigint, vec_b bigint, cos_sim double, rk int"
 # closure — callers must use the distributed layout instead.
 MAX_CLOSURE_INDEX_ROWS = 100_000
 
+# Query-set guard: the per-query driver state (ids + vectors) every
+# top-k/radius entry collects is bounded BY CONTRACT (query_filter
+# selects a handful of probe rows, never the corpus). Enforced, not
+# narrated — same policy as MAX_CLOSURE_INDEX_ROWS (r10 advisory).
+MAX_QUERY_SET_ROWS = 10_000
+
 
 def _fold_kernels():
     """The numpy fold kernels, defined as LOCAL functions so cloudpickle
@@ -232,8 +238,20 @@ def _rank_topk(
 
 def _collect_queries(emb: DataFrame, query_filter: Column):
     """Collect the QUERY set (bounded by contract — e.g. ``vec_id < 20``;
-    never the index) and normalize driver-side with the same fold."""
+    never the index) and normalize driver-side with the same fold.
+    Raises beyond ``MAX_QUERY_SET_ROWS``: a filter that matches
+    corpus-sized row counts is a misuse (the caller wanted the
+    corpus-vs-corpus join — dedup_semantic_blocked_capped /
+    tools/semantic_bucketed.py — not a per-query probe set)."""
     rows = emb.filter(query_filter).select("vec_id", "embedding").collect()
+    if len(rows) > MAX_QUERY_SET_ROWS:
+        raise ValueError(
+            f"_collect_queries: query_filter matched {len(rows)} rows"
+            f" > MAX_QUERY_SET_ROWS={MAX_QUERY_SET_ROWS}; the query set is"
+            " bounded driver state by contract — for corpus-sized 'query'"
+            " sets use the corpus-vs-corpus join path"
+            " (dedup_semantic_blocked_capped) instead"
+        )
     qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     qnv = (
         _normalize_rows(

@@ -140,8 +140,15 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "approx_percentile_orders",
     "graph_bfs_distances",
     # ---- ROLLOVER QUEUE (positions 51+), in r12-window order ----
-    # (r11 additions, policy (a), are inserted here as they ship and
-    # LEAD the r12 window; see the r12 plan comment above)
+    # r11 additions (policy (a): never driver-checked — they LEAD the
+    # r12 window; all pass local parity at sf0.001, sf0.01 AND sf0.1
+    # plus the corpus fuzz subsets and hold suite fuzz seats) ----
+    "o9_weighted_median_skewed",
+    "a39_tail_shares_by_nation",
+    "dq_order_total_reconciliation",
+    "events_peak_concurrency",
+    "text_hapax_ratio_by_source",
+    "curate_reservoir_per_source",
     # ...then the 42 remaining r7-latest entries (policy (c); these
     # HAVE green r7 rows — listing them documents the r12 plan and
     # keeps the rotation auditable) ----

@@ -1103,3 +1103,63 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _PS_K)
         .select("lang", "doc_id", "source", "weight", "priority", "rk")
     )
+
+
+# --------------------- deterministic reservoir per source (r11)
+
+RESERVOIR_K = 5
+RESERVOIR_SALT = "rsv1"
+
+
+@corpus_query(
+    "curate_reservoir_per_source",
+    oracle=f"""
+    WITH h AS (
+        SELECT source, doc_id,
+               {md5_long_sql("CAST(doc_id AS VARCHAR)", RESERVOIR_SALT)} AS hv
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, hv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY hv, doc_id
+               ) AS rk
+        FROM h
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+    FROM ranked WHERE rk <= {RESERVOIR_K}
+    """,
+)
+def curate_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k uniform sample per source — reservoir
+    sampling without the reservoir: rank every document by a salted
+    hash of its id and keep the first {RESERVOIR_K} per source. A fixed
+    salt makes the "random" permutation a pure function of the data, so
+    the sample is reproducible across runs, engines, and partitionings
+    (the property audit/eval splits need that streaming reservoir
+    algorithms cannot give), while staying uniform over each source.
+    Complements [curate_stratified_sample] (percentage per stratum —
+    grows with the stratum) with the fixed-BUDGET variant (k per
+    stratum — the "show me 5 docs from every source" review sample).
+
+    Scale design: the per-source top-k rides grouped_global_rank
+    (range-partition on (source, hash) + per-(partition, source)
+    offsets) — no per-source window funnel when sources are few and
+    huge; the filter keeps k rows per source, so the result is
+    dimension-sized. Hash is the cross-engine 60-bit md5 scheme
+    (functions/hashing.py), ties impossible to matter (doc_id is the
+    final key)."""
+    from ..operators.rank import grouped_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        md5_long(F.col("doc_id").cast("string"), RESERVOIR_SALT).alias("hv"),
+    )
+    ranked = grouped_global_rank(
+        docs, ["source"], ["hv", "doc_id"], rank_col="rk"
+    )
+    return (
+        ranked.filter(F.col("rk") <= RESERVOIR_K)
+        .select("source", F.col("rk").cast("bigint").alias("rk"), "doc_id")
+    )

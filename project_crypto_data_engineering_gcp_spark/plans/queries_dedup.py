@@ -963,6 +963,35 @@ _INCR_CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
 _INCR_CTOKS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
+def build_minhash_band_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the persisted LSH band index over the OLD corpus
+    slice (doc_id % INCR_NEW_MOD != 0) and return its parquet path —
+    the BOOTSTRAP step of continuous dedup, split from the serving
+    query so deployments (and the bench) can pay it once, explicitly:
+    `python -m project_crypto_data_engineering_gcp_spark build-lsh-index --sf-dir ...` or this
+    function. Idempotent per (application, dataset) via the same memo
+    the query consults; the index is (doc_id, band_id, band_key) —
+    fixed-width rows, no shingles or signatures at rest."""
+    import os
+    import tempfile
+
+    from ..plans.queries_similarity import _dataset_dirname
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key not in _MINHASH_INDEX_MEMO:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_lshidx_{app}",
+            _dataset_dirname(sf_dir),
+        )
+        toks = _shared_shingle_frame(spark, sf_dir, MINHASH_SHINGLE_K)
+        old_toks = toks.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+        _bands_of(_sigs_of(old_toks)).write.mode("overwrite").parquet(path)
+        _MINHASH_INDEX_MEMO[key] = path
+    return _MINHASH_INDEX_MEMO[key]
+
+
 @corpus_query(
     "dedup_minhash_incremental",
     oracle=_minhash_oracle(new_only_mod=INCR_NEW_MOD),
@@ -983,26 +1012,16 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify) — the accumulated corpus is touched only through the
     fixed-width band index, never re-shingled. The oracle is the FULL
     recompute restricted to pairs involving a new doc, so the green row
-    proves index reuse loses nothing vs. rerunning from scratch."""
-    import os
-    import tempfile
-
-    from ..plans.queries_similarity import _dataset_dirname
-
+    proves index reuse loses nothing vs. rerunning from scratch.
+    Index bootstrap is the explicit split step
+    (:func:`build_minhash_band_index` / the `build-lsh-index` CLI) so a
+    cold serving call measures serving, not bootstrap — same
+    build-vs-serve split as sim_ann_ivf_indexed."""
     app = spark.sparkContext.applicationId
     toks = _shared_shingle_frame(spark, sf_dir, MINHASH_SHINGLE_K)
 
     key = (app, sf_dir)
-    if key not in _MINHASH_INDEX_MEMO:
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"spark_graft_lshidx_{app}",
-            _dataset_dirname(sf_dir),
-        )
-        old_toks = toks.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
-        _bands_of(_sigs_of(old_toks)).write.mode("overwrite").parquet(path)
-        _MINHASH_INDEX_MEMO[key] = path
-    index_bands = spark.read.parquet(_MINHASH_INDEX_MEMO[key])
+    index_bands = spark.read.parquet(build_minhash_band_index(spark, sf_dir))
 
     def build_cand() -> DataFrame:
         new_toks = toks.filter(F.col("doc_id") % INCR_NEW_MOD == 0)

@@ -5543,9 +5543,12 @@ def o8_weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
               exact cumulative resolution.
 
     No data-sized window, shuffle, or checkpoint anywhere; the fact is
-    scanned twice, the classic refinement price. Residual lever,
-    documented: a pathological brand concentrating most weight in ONE
-    band re-runs refinement with a narrower band (or recurses)."""
+    scanned twice, the classic refinement price. The r10 residual lever
+    (a pathological brand concentrating most weight in ONE band) is
+    closed by the multi-level generalization
+    operators/wmedian.py::grouped_weighted_median — exercised by
+    [o9_weighted_median_skewed], whose value domain sits entirely
+    inside one level-0 band by construction."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5617,3 +5620,373 @@ def o8_weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# ------------------- weighted median, concentrated domain (r11)
+
+
+@corpus_query(
+    "o9_weighted_median_skewed",
+    oracle="""
+    WITH pp AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_quantity * 100 AS DECIMAL(18,0)) AS BIGINT)
+                   AS qty_centi,
+               CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(18,0)))
+                    AS BIGINT) AS w
+        FROM lineitem
+        GROUP BY 1, 2
+        HAVING SUM(CAST(l_extendedprice * 100 AS DECIMAL(18,0))) > 0
+    ),
+    cum AS (
+        SELECT l_returnflag, qty_centi,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty_centi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        FROM pp
+    )
+    SELECT l_returnflag,
+           CAST(MIN(qty_centi) AS BIGINT) AS median_qty_centi,
+           CAST(MAX(tot) AS BIGINT) AS total_weight_cents
+    FROM cum
+    WHERE 2 * cw >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def o9_weighted_median_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-WEIGHTED lower median QUANTITY per return flag — the
+    weighted-median twin of [o8_weighted_median_prices] on a value
+    domain that is PATHOLOGICAL for single-level bucket refinement by
+    construction: quantity_centi spans [100, 5000], so the entire
+    distribution of every group lands in ONE level-0 band (width 1e5)
+    and o8's shape would degrade to a group-sized exact pass. This
+    query exercises the r10 residual lever's fix — the multi-level
+    operator (operators/wmedian.py::grouped_weighted_median,
+    band_widths (1e5, 1e3)): level 1 re-bands the concentrated band
+    into width-1000 slices through one more map-combinable aggregate,
+    and the exact pass resolves inside a single narrow slice per group
+    (here <= 10 distinct quantity points), however concentrated the
+    weight. All arithmetic is integer (centi-scaled quantity, cents
+    weight, 2*cum >= tot), so the boundary row is bit-determined;
+    zero-weight points are out of frame in both engines.
+
+    Scale shape: the fact is touched through three map-combinable
+    aggregates (one per level + exact pass), each keyed by (group,
+    band) with band frames bounded by |groups| x (domain/width); no
+    data-sized window, shuffle beyond the aggregates, or checkpoint —
+    the 100 TB cost model o8's SCALE.md sweep measured, now robust to
+    one-band concentration."""
+    from ..operators.wmedian import grouped_weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_quantity") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("qty_centi"),
+        (F.col("l_extendedprice") * 100).cast("decimal(18,0)").alias("w"),
+    )
+    out = grouped_weighted_median(
+        li,
+        ["l_returnflag"],
+        "qty_centi",
+        "w",
+        band_widths=(100_000, 1_000),
+        median_col="median_qty_centi",
+        total_col="total_weight_cents",
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("median_qty_centi").cast("bigint").alias("median_qty_centi"),
+        F.col("total_weight_cents").cast("bigint").alias("total_weight_cents"),
+    )
+
+
+# ------------------------- tail revenue shares (Palma-style, r11)
+
+
+@corpus_query(
+    "a39_tail_shares_by_nation",
+    oracle="""
+    WITH rev AS (
+        SELECT o.o_custkey AS custkey, c.c_nationkey AS nationkey,
+               CAST(SUM(CAST(o.o_totalprice * 100 AS DECIMAL(18,0)))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT nationkey, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nationkey ORDER BY cents DESC, custkey
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY nationkey) AS n
+        FROM rev
+    ),
+    stats AS (
+        SELECT nationkey,
+               MAX(n) AS n,
+               CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS tot,
+               CAST(SUM(CASE WHEN rk <= (n + 9) // 10
+                    THEN CAST(cents AS HUGEINT) ELSE 0 END) AS HUGEINT) AS top_c,
+               CAST(SUM(CASE WHEN rk > n - (4 * n) // 10
+                    THEN CAST(cents AS HUGEINT) ELSE 0 END) AS HUGEINT) AS bot_c
+        FROM ranked GROUP BY nationkey
+    )
+    SELECT nt.n_name,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(1000000 * top_c // tot AS BIGINT) AS top10_share_ppm,
+           CAST(1000000 * bot_c // tot AS BIGINT) AS bottom40_share_ppm,
+           CAST(CASE WHEN bot_c = 0 THEN NULL
+                ELSE 1000000 * top_c // bot_c END AS BIGINT) AS palma_ppm
+    FROM stats s JOIN nation nt ON nt.n_nationkey = s.nationkey
+    """,
+)
+def a39_tail_shares_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma-style TAIL SHARES of customer revenue per nation, exact ppm:
+    the revenue share of the top ceil(10%) of customers, of the bottom
+    floor(40%), and their ratio (the Palma index). Completes the
+    inequality family — [a19_gini_by_nation] weights the middle,
+    [a38_atkinson_by_nation] the bottom, [a33_user_hhi_deciles] the top;
+    Palma reads the TWO tails against each other, the measure
+    policy/curation work actually quotes ("how much of the corpus mass
+    sits in the head vs the long tail").
+
+    Everything is integer: cents, ranks, ceil/floor decile cuts
+    ((n+9) DIV 10 / (4n) DIV 10), ppm floor-divisions, boundary ties
+    broken by custkey identically in both engines — bit-determined at
+    any parallelism.
+
+    Scale shape: the per-nation DESC rank rides grouped_global_rank
+    (range-partition + per-(partition, nation) offsets — no 25-task
+    window funnel), then one map-combinable conditional aggregate per
+    nation; the rank threshold needs n per nation, a 25-row broadcast."""
+    from ..operators.rank import grouped_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    rev = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .join(cust, "custkey")
+    )
+    ranked = grouped_global_rank(
+        rev, ["nationkey"], [F.col("cents").desc(), "custkey"], rank_col="rk"
+    )
+    counts = ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = F.col("cents").cast("decimal(38,0)")
+    stats = (
+        ranked.join(F.broadcast(counts), "nationkey")
+        .groupBy("nationkey", "n")
+        .agg(
+            F.sum(w).alias("tot"),
+            F.sum(
+                F.when(
+                    F.col("rk") <= F.expr("(n + 9) DIV 10"), w
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("top_c"),
+            F.sum(
+                F.when(
+                    F.col("rk")
+                    > F.col("n") - F.expr("(4 * n) DIV 10"),
+                    w,
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("bot_c"),
+        )
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    return stats.join(F.broadcast(nation), "nationkey").select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.expr("CAST(1000000 * top_c DIV tot AS BIGINT)").alias(
+            "top10_share_ppm"
+        ),
+        F.expr("CAST(1000000 * bot_c DIV tot AS BIGINT)").alias(
+            "bottom40_share_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN bot_c = 0 THEN NULL"
+            " ELSE 1000000 * top_c DIV bot_c END AS BIGINT)"
+        ).alias("palma_ppm"),
+    )
+
+
+# --------------------- order-total reconciliation audit (r11)
+
+
+@corpus_query(
+    "dq_order_total_reconciliation",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(18,0)))
+                    AS BIGINT) AS li_cents
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT o.o_orderpriority,
+               CAST(CAST(o.o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT)
+                   AS o_cents,
+               li.li_cents
+        FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN li_cents IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_lineitems,
+           CAST(SUM(CASE WHEN li_cents IS NOT NULL
+                          AND li_cents != o_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(COALESCE(MAX(CASE WHEN li_cents IS NOT NULL
+                THEN ABS(li_cents - o_cents) END), 0) AS BIGINT)
+               AS max_abs_diff_cents,
+           CAST(COALESCE(SUM(CAST(CASE WHEN li_cents IS NOT NULL
+                THEN ABS(li_cents - o_cents) ELSE 0 END AS HUGEINT)), 0)
+               AS BIGINT) AS sum_abs_diff_cents
+    FROM j GROUP BY 1
+    """,
+)
+def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACT-FACT reconciliation audit: recompute each order's total from
+    its line items (exact cents) and reconcile against the stored
+    o_totalprice, reported per order priority — the cross-table
+    consistency check that catches a broken ingestion writing header
+    totals that drift from their detail rows. Complements
+    [dq_referential_integrity] (which proves the KEYS line up; this
+    proves the MONEY does): n_orders, orders with no line items at all,
+    orders whose recomputed total differs, and the max/sum absolute
+    drift in cents. All arithmetic integer cents; the synthetic
+    generator does not enforce header=sum(detail), so non-zero drift
+    here is the expected, stable fixture — the audit's value is that
+    the numbers are bit-reproducible.
+
+    Scale shape: the lineitem side collapses through one map-combinable
+    per-orderkey aggregate BEFORE the join (the shuffle carries one row
+    per order, not per line item), then an equi-join of two order-grain
+    frames on the natural high-cardinality key — co-partitionable,
+    AQE-splittable, no window, final frame 5 rows."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * 100).cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("li_cents")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("o_cents"),
+    )
+    j = orders.join(li, "o_orderkey", "left")
+    has = F.col("li_cents").isNotNull()
+    diff = F.abs(F.col("li_cents") - F.col("o_cents"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(~has, 1).otherwise(0)).cast("bigint").alias(
+            "n_no_lineitems"
+        ),
+        F.sum(
+            F.when(has & (F.col("li_cents") != F.col("o_cents")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.coalesce(F.max(F.when(has, diff)), F.lit(0))
+        .cast("bigint")
+        .alias("max_abs_diff_cents"),
+        F.coalesce(
+            F.sum(F.when(has, diff.cast("decimal(38,0)")).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sum_abs_diff_cents"),
+    )
+
+
+# --------------------------- peak event concurrency (r11)
+
+
+CONCURRENCY_WINDOW_S = 300  # each event opens a 5-minute activity span
+
+
+@corpus_query(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH b AS (
+        SELECT ts AS t, 1 AS delta, event_id FROM events
+        UNION ALL
+        SELECT ts + INTERVAL {CONCURRENCY_WINDOW_S} SECOND AS t,
+               -1 AS delta, event_id
+        FROM events
+    ),
+    c AS (
+        SELECT t, delta,
+               CAST(SUM(delta) OVER (ORDER BY t, delta, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS conc
+        FROM b
+    )
+    SELECT date_trunc('day', t) AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+           COUNT(*) AS n_starts
+    FROM c WHERE delta = 1
+    GROUP BY 1
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY per day — the classic interval sweep-line,
+    distributed: every event opens a {CONCURRENCY_WINDOW_S}-second
+    activity span; emit a +1 boundary at the start and a -1 at the end
+    (half-open [start, end): at an exact tie the -1 sorts first via the
+    delta key), running-sum the deltas over the GLOBAL boundary order,
+    and the running value AT each +1 boundary is the number of
+    concurrently active spans the moment that event fires. Peak per day
+    = max over that day's start boundaries (concurrency only rises at a
+    +1, so the step function's daily maximum is attained there whenever
+    the day has any start; days without events are out of frame in both
+    engines).
+
+    Scale shape: the boundary frame is 2x events; the running sum rides
+    operators/rank.py::global_prefix_sum — range-partition + offset,
+    every stage parallel, NO single-task global window (the naive
+    SUM() OVER (ORDER BY t) funnels 200 billion boundaries through one
+    executor at 100 TB). Order (t, delta, event_id) is a strict total
+    order, so the cumulative at every boundary is bit-determined."""
+    from ..operators.rank import global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        (F.col("ts") + F.expr(f"INTERVAL {CONCURRENCY_WINDOW_S} SECONDS"))
+        .alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    b = starts.unionByName(ends)
+    c = global_prefix_sum(b, ["t", "delta", "event_id"], ["delta"])
+    return (
+        c.filter(F.col("delta") == 1)
+        .groupBy(F.date_trunc("day", F.col("t")).alias("day"))
+        .agg(
+            F.max("cum_delta").cast("bigint").alias("peak_concurrent"),
+            F.count(F.lit(1)).alias("n_starts"),
+        )
+    )

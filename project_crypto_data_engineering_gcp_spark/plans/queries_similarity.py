@@ -1140,17 +1140,33 @@ def _recall_vs_exact_oracle(approx_oracle: str) -> str:
     """
 
 
+# _pairs_local budget: k x n_queries id pairs by the TOPK contract
+# (20 queries x 10 neighbors today). Enforced, not narrated (r10
+# advisory) — a pair frame that outgrows this is no longer bounded
+# driver state and must stay a distributed frame.
+MAX_LOCAL_PAIR_ROWS = 100_000
+
+
 def _pairs_local(df: DataFrame) -> DataFrame:
     """Materialize a contract-bounded pair frame (k x n_queries rows) as
     a driver-local relation. The recall reports traverse each pair frame
     2-3 times; without this, every traversal re-executes the frame's
     full lineage. Collecting is within the bounded-driver-state
-    contract: these are id pairs, the same budget as the IVF centroids.
+    contract: these are id pairs, the same budget as the IVF centroids —
+    ENFORCED by ``MAX_LOCAL_PAIR_ROWS`` (raises, names the alternative).
     (The constituent pipelines' PLANS are invariant-checked through
     their own corpus entries — the recall reports intentionally compose
     materialized pair sets, not live subtrees.)"""
     spark = df.sparkSession
-    return spark.createDataFrame(df.collect(), df.schema)
+    rows = df.collect()
+    if len(rows) > MAX_LOCAL_PAIR_ROWS:
+        raise ValueError(
+            f"_pairs_local: {len(rows)} rows > MAX_LOCAL_PAIR_ROWS="
+            f"{MAX_LOCAL_PAIR_ROWS}; a pair frame this large is not"
+            " bounded driver state — keep it distributed (cache() the"
+            " frame and let the report traverse the cached plan)"
+        )
+    return spark.createDataFrame(rows, df.schema)
 
 
 # the exact brute-force baseline pairs, shared by ALL recall reports:

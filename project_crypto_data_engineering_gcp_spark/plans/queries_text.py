@@ -1802,3 +1802,72 @@ def text_ttr_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ttr_ppm"),
     )
+
+
+# ----------------------------- hapax vocabulary share (r11)
+
+
+@corpus_query(
+    "text_hapax_ratio_by_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({tokens_sql("text")}) AS token FROM documents
+    ),
+    per_st AS (
+        SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_types,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM per_st GROUP BY 1
+    )
+    SELECT source,
+           n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           n_hapax,
+           CAST(CASE WHEN n_types = 0 THEN NULL
+                ELSE n_hapax * 1000000 // n_types END AS BIGINT)
+               AS hapax_ppm
+    FROM per_source
+    """,
+)
+def text_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX LEGOMENA share per source: the fraction of each source's
+    vocabulary seen exactly once (ppm of types). The Zipf-tail mass
+    gauge that separates healthy long-tail text from OCR noise and
+    boilerplate — corrupted extraction inflates hapax share (every
+    garbled word is unique), templated spam collapses it — making it
+    the per-SOURCE triage signal next to [text_ttr_by_lang]'s
+    per-language diversity and [text_vocab_growth_curve]'s corpus-level
+    trajectory.
+
+    Scale design: one explode + two map-combinable aggregates over a
+    (source, token) pre-aggregate — hapax counting is just cnt=1 on
+    that frame, never a distinct funnel; ppm floor-division
+    zero-guarded identically in both engines."""
+    from ..operators.rank import _idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("token"))
+    per_st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_source = per_st.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+    )
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.when(F.col("n_types") == 0, F.lit(None).cast("bigint"))
+        .otherwise(_idiv(F.col("n_hapax") * F.lit(1000000), F.col("n_types")))
+        .alias("hapax_ppm"),
+    )

@@ -204,3 +204,28 @@ def test_cli_compact_bucket_by(spark, tmp_path, capsys):
             main(["compact", "--path", src, "--bucket-by", "k"])
     finally:
         drop_bucketed(spark, "edges_b")
+
+
+def test_cli_build_lsh_index(spark, capsys):
+    """The bootstrap split: build-lsh-index persists the band index and
+    the serving query then reuses it via the shared memo (no second
+    build — the returned path is identical)."""
+    import os
+
+    from project_crypto_data_engineering_gcp_spark.plans.queries_dedup import (
+        _MINHASH_INDEX_MEMO,
+        build_minhash_band_index,
+    )
+
+    from .conftest import SF_SMOKE
+
+    _MINHASH_INDEX_MEMO.clear()
+    assert main(["build-lsh-index", "--sf-dir", SF_SMOKE]) == 0
+    printed = capsys.readouterr().out
+    assert "band index at " in printed
+    path = printed.split("band index at ", 1)[1].strip()
+    assert os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+    # serving reuses: same memoized path, no rebuild
+    assert build_minhash_band_index(spark, SF_SMOKE) == path

@@ -83,6 +83,12 @@ FUZZ_SUBSET = (
     # OLAP / rank / topk
     "cube_revenue",
     "o8_weighted_median_prices",  # r10: 2*cw >= tot boundary under ties
+    "o9_weighted_median_skewed",  # r11: multi-level band refinement
+    "a39_tail_shares_by_nation",  # r11: ceil/floor decile-cut boundaries
+    "dq_order_total_reconciliation",  # r11: orphan orders / zero prices
+    "events_peak_concurrency",  # r11: +-1 boundary ties on quantized ts
+    "text_hapax_ratio_by_source",  # r11: cnt=1 boundary on collided docs
+    "curate_reservoir_per_source",  # r11: rank<=k boundary on tiny sources
     "pivot_status_by_priority",
     "percentiles_acctbal_by_nation",
     "o3_top_bottom_orders",

@@ -1717,3 +1717,130 @@ def test_grouped_global_prefix_sum_null_runs_match_window_semantics(spark):
     assert (
         got.filter(F.col("x").isNull() & F.col("cum_x").isNotNull()).count() > 0
     )
+
+
+def _wmedian_ref(pdf: pd.DataFrame) -> dict:
+    """Lower weighted median per group, straight from sorted rows."""
+    out = {}
+    for g, sub in pdf.groupby("g"):
+        sub = sub[sub.w > 0]
+        tot = sub.w.sum()
+        if tot <= 0:
+            continue
+        agg = sub.groupby("v", sort=True).w.sum()
+        cum = agg.cumsum()
+        out[g] = (int(agg.index[(2 * cum >= tot).argmax()]), int(tot))
+    return out
+
+
+def test_grouped_weighted_median_single_band_concentration(spark):
+    """The r10 residual lever: ALL weight of every group inside one
+    level-0 band (values in [0, 999] with band_widths starting at
+    100_000) must still resolve exactly — the multi-level refinement
+    narrows to a width-10 slice before the exact pass. Seeded random
+    weights with duplicate values (ties on the 2*cum >= tot boundary)
+    and a zero-weight value point."""
+    from project_crypto_data_engineering_gcp_spark.operators.wmedian import (
+        grouped_weighted_median,
+    )
+
+    rng = np.random.default_rng(20260818)
+    rows = []
+    for i in range(3000):
+        rows.append(
+            (
+                int(i),
+                int(rng.integers(0, 4)),
+                int(rng.integers(0, 1000)),  # whole domain inside band 0
+                int(rng.integers(0, 50)),  # includes zero weights
+            )
+        )
+    pdf = pd.DataFrame(rows, columns=["id", "g", "v", "w"])
+    df = spark.createDataFrame(pdf).repartition(7)
+    got = grouped_weighted_median(
+        df, ["g"], "v", "w", band_widths=(100_000, 1_000, 10)
+    ).collect()
+    want = _wmedian_ref(pdf)
+    got_map = {r["g"]: (r["median_value"], r["total_weight"]) for r in got}
+    assert got_map == want
+
+
+def test_grouped_weighted_median_matches_reference_random(spark):
+    """General-domain differential check (values spanning many level-0
+    bands, negative values included — DIV truncation toward zero stays
+    monotone), 1..3 refinement levels all agreeing with the sorted
+    reference."""
+    from project_crypto_data_engineering_gcp_spark.operators.wmedian import (
+        grouped_weighted_median,
+    )
+
+    rng = np.random.default_rng(20260819)
+    rows = [
+        (
+            int(i),
+            int(rng.integers(0, 5)),
+            int(rng.integers(-500_000, 500_000)),
+            int(rng.integers(0, 100)),
+        )
+        for i in range(4000)
+    ]
+    pdf = pd.DataFrame(rows, columns=["id", "g", "v", "w"])
+    df = spark.createDataFrame(pdf).repartition(7)
+    want = _wmedian_ref(pdf)
+    for widths in ((100_000,), (100_000, 1_000), (100_000, 5_000, 100)):
+        got = grouped_weighted_median(
+            df, ["g"], "v", "w", band_widths=widths
+        ).collect()
+        got_map = {r["g"]: (r["median_value"], r["total_weight"]) for r in got}
+        assert got_map == want, f"band_widths={widths}"
+
+
+def test_grouped_weighted_median_guards(spark):
+    """Reserved-column and band-width contracts fail loudly."""
+    from project_crypto_data_engineering_gcp_spark.operators.wmedian import (
+        grouped_weighted_median,
+    )
+
+    df = spark.createDataFrame([(0, 1, 1)], "g bigint, v bigint, w bigint")
+    with pytest.raises(ValueError, match="strictly decreasing"):
+        grouped_weighted_median(df, ["g"], "v", "w", band_widths=(10, 10))
+    with pytest.raises(ValueError, match="positive"):
+        grouped_weighted_median(df, ["g"], "v", "w", band_widths=(0,))
+    bad = df.withColumn("__wm_b", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        grouped_weighted_median(bad, ["g"], "v", "w")
+
+
+def test_collect_queries_budget_guard(spark, monkeypatch):
+    """The query-set collect is bounded driver state BY ENFORCEMENT
+    (r10 advisory): beyond MAX_QUERY_SET_ROWS it raises and names the
+    corpus-vs-corpus path instead of silently shipping a corpus to the
+    driver."""
+    from project_crypto_data_engineering_gcp_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)],
+        "vec_id bigint, embedding array<double>",
+    )
+    monkeypatch.setattr(similarity, "MAX_QUERY_SET_ROWS", 3)
+    with pytest.raises(ValueError, match="corpus-vs-corpus"):
+        similarity._collect_queries(emb, F.lit(True))
+    # within budget: fine
+    qids, qnv = similarity._collect_queries(emb, F.col("vec_id") < 2)
+    assert len(qids) == 2 and qnv.shape == (2, 2)
+
+
+def test_pairs_local_budget_guard(spark, monkeypatch):
+    """_pairs_local materializes id pairs driver-side only within the
+    enforced MAX_LOCAL_PAIR_ROWS budget; beyond it raises with the
+    keep-it-distributed pointer."""
+    from project_crypto_data_engineering_gcp_spark.plans import queries_similarity
+
+    df = spark.range(5).select(
+        F.col("id").alias("vec_a"), F.col("id").alias("vec_b")
+    )
+    monkeypatch.setattr(queries_similarity, "MAX_LOCAL_PAIR_ROWS", 3)
+    with pytest.raises(ValueError, match="bounded driver state"):
+        queries_similarity._pairs_local(df)
+    monkeypatch.setattr(queries_similarity, "MAX_LOCAL_PAIR_ROWS", 100)
+    assert queries_similarity._pairs_local(df).count() == 5
