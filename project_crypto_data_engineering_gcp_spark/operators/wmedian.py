@@ -22,6 +22,16 @@ weight w(v' <= v) satisfies 2*cum >= total, per group. All comparisons
 are on the caller's integer value column and exact-summable weights, so
 the selected row is bit-determined (ties cannot be engine-arbitrary).
 
+Level-count decision rule (measured, SCALE.md r11 contrast): each extra
+level costs one more scan of the fact, and pays off only when the
+previous band still holds more DISTINCT value points than the per-group
+exact pass should sort — 3.0x faster at x100 on a band holding ~100k
+distinct values, pure overhead on a band holding ~50. With a value
+domain of known width, prefer the single level whose band width already
+bounds the exact pass; reach for 2+ levels when the domain is wide AND
+the weight distribution may concentrate. Correctness is
+band-width-invariant either way.
+
 Contract:
   - ``value_col`` is integral (bigint); banding uses ``DIV``, which is
     monotone in the value (truncation toward zero), so every band is a

@@ -1081,3 +1081,66 @@ def test_r10_survival_fold_and_rolling_expansion_shapes(spark):
     assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    """Every windowspecdefinition must carry a partition column before
+    its first sort-order argument — the a16 detector, reusable."""
+    import re
+
+    specs = re.findall(r"windowspecdefinition\([^)]*?specifiedwindowframe", plan)
+    return [
+        s for s in specs
+        if re.match(r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", s)
+    ]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "o9_weighted_median_skewed",
+        "a39_tail_shares_by_nation",
+        "events_peak_concurrency",
+        "curate_reservoir_per_source",
+    ],
+)
+def test_r11_no_unpartitioned_windows(spark, name):
+    """The four window-bearing r11 additions must never run an
+    UNPARTITIONED window: o9's windows ride domain-bounded band frames
+    partitioned by group; a39/reservoir rank via grouped_global_rank
+    (pid-partitioned); peak concurrency scans via global_prefix_sum
+    (pid-partitioned). A bare ORDER BY window anywhere is the 100 TB
+    single-task funnel."""
+    df = QUERIES[name].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "extended")
+    assert "windowspecdefinition" in plan, f"{name}: expected window nodes"
+    bad = _unpartitioned_window_specs(plan)
+    assert not bad, f"{name}: unpartitioned windows {bad}"
+
+
+def test_o9_state_joins_broadcast(spark):
+    """Multi-level refinement touches the fact only through broadcast
+    semi-joins on the (group, band) state — never a shuffle join of the
+    fact against the tiny state frame."""
+    plan = plan_of(QUERIES["o9_weighted_median_skewed"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2  # level-1 narrow + exact pass
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_reconciliation_no_cartesian_single_fact_join(spark):
+    """Order-total reconciliation collapses lineitem per order BEFORE
+    the join (partial aggregation pushdown) and joins order-grain frames
+    — no cartesian, no window, HashAggregates on both sides."""
+    plan = plan_of(QUERIES["dq_order_total_reconciliation"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x (li agg, report)
+
+
+def test_hapax_two_phase_aggregation(spark):
+    """Hapax counting is pure map-combinable aggregation: two grouping
+    stages, each with partial+final HashAggregate, no window, no join."""
+    plan = plan_of(QUERIES["text_hapax_ratio_by_source"].fn(spark, SF_ORACLE))
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("HashAggregate") >= 4
