@@ -67,6 +67,7 @@ def grouped_weighted_median(
     band_widths: tuple[int, ...] = (100_000, 1_000),
     median_col: str = "median_value",
     total_col: str = "total_weight",
+    quantile_ppm: int = 500_000,
 ) -> DataFrame:
     """Return one row per group: (group_cols..., ``median_col`` = lower
     weighted median of ``value_col`` under ``weight_col``, ``total_col``
@@ -79,7 +80,14 @@ def grouped_weighted_median(
     inside the last level's band. Every per-level band frame is bounded
     by |groups| x (domain width / band width) at level 0 and by
     |groups| x (band_widths[i-1] / band_widths[i]) afterwards — config
-    constants, never data-sized."""
+    constants, never data-sized.
+
+    ``quantile_ppm`` generalizes to any lower weighted QUANTILE: the
+    smallest value whose cumulative weight satisfies
+    1e6 * cum >= quantile_ppm * total (500_000 = the median; 250_000 =
+    lower quartile; 990_000 = p99). Integer ppm keeps the boundary test
+    exact — the refinement, its cost model, and bit-determinism are
+    quantile-invariant (each level locates the band the same way)."""
     for r in _RESERVED:
         if r in df.columns:
             raise ValueError(
@@ -92,6 +100,17 @@ def grouped_weighted_median(
         for i in range(len(band_widths) - 1)
     ):
         raise ValueError("band_widths must be strictly decreasing")
+    q_ppm = int(quantile_ppm)
+    if not 0 < q_ppm <= 1_000_000:
+        raise ValueError("quantile_ppm must be in (0, 1000000]")
+
+    def _hit(cum: Column, tot: Column) -> Column:
+        # 1e6*cum >= q_ppm*tot, both sides widened so decimal
+        # multiplication cannot overflow-or-truncate at any real scale
+        return (
+            cum.cast("decimal(38,0)") * F.lit(1_000_000)
+            >= tot.cast("decimal(38,0)") * F.lit(q_ppm)
+        )
 
     wcum = (
         Window.partitionBy(*group_cols)
@@ -137,7 +156,7 @@ def grouped_weighted_median(
             F.col(_B),
             (cum - F.col(_WB)).alias(_BEFORE),
             tot0.alias(_TOT),
-            (2 * cum >= tot0).alias("__wm_hit"),
+            _hit(cum, tot0).alias("__wm_hit"),
         ).filter(F.col("__wm_hit") & (F.col(_TOT) > 0))
         state = scanned.groupBy(*group_cols).agg(
             F.min_by(F.struct(_B, _BEFORE), _B).alias("__wm_m"),
@@ -175,7 +194,7 @@ def grouped_weighted_median(
         cand.withColumn(
             "__wm_cw", F.col("__wm_pbefore") + F.sum(_WB).over(win)
         )
-        .filter(2 * F.col("__wm_cw") >= F.col("__wm_ptot"))
+        .filter(_hit(F.col("__wm_cw"), F.col("__wm_ptot")))
         .groupBy(*group_cols)
         .agg(
             F.min(value_col).alias(median_col),

@@ -1844,3 +1844,47 @@ def test_pairs_local_budget_guard(spark, monkeypatch):
         queries_similarity._pairs_local(df)
     monkeypatch.setattr(queries_similarity, "MAX_LOCAL_PAIR_ROWS", 100)
     assert queries_similarity._pairs_local(df).count() == 5
+
+
+def test_grouped_weighted_quantile_matches_reference(spark):
+    """quantile_ppm generalization: lower weighted quantiles at p25/p90
+    (and the median as 500000) must equal the sorted reference at every
+    refinement depth; quantile_ppm is validated."""
+    from project_crypto_data_engineering_gcp_spark.operators.wmedian import (
+        grouped_weighted_median,
+    )
+
+    rng = np.random.default_rng(20260820)
+    rows = [
+        (int(i), int(rng.integers(0, 4)), int(rng.integers(0, 200_000)),
+         int(rng.integers(0, 40)))
+        for i in range(3000)
+    ]
+    pdf = pd.DataFrame(rows, columns=["id", "g", "v", "w"])
+    df = spark.createDataFrame(pdf).repartition(7)
+
+    def ref(p_ppm: int) -> dict:
+        out = {}
+        for g, sub in pdf.groupby("g"):
+            sub = sub[sub.w > 0]
+            tot = sub.w.sum()
+            if tot <= 0:
+                continue
+            agg = sub.groupby("v", sort=True).w.sum()
+            cum = agg.cumsum()
+            hit = 1_000_000 * cum >= p_ppm * tot
+            out[g] = int(agg.index[hit.to_numpy().argmax()])
+        return out
+
+    for p in (250_000, 500_000, 900_000):
+        for widths in ((100_000, 1_000), (10_000,)):
+            got = grouped_weighted_median(
+                df, ["g"], "v", "w", band_widths=widths, quantile_ppm=p
+            ).collect()
+            got_map = {r["g"]: r["median_value"] for r in got}
+            assert got_map == ref(p), f"p={p} widths={widths}"
+
+    with pytest.raises(ValueError, match="quantile_ppm"):
+        grouped_weighted_median(df, ["g"], "v", "w", quantile_ppm=0)
+    with pytest.raises(ValueError, match="quantile_ppm"):
+        grouped_weighted_median(df, ["g"], "v", "w", quantile_ppm=1_000_001)
