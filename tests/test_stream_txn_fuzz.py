@@ -31,8 +31,18 @@ from .fixtures_crypto import write_fixture_landing
 PROCESSED_AT = "2026-01-01 00:00:00"
 N_SNAPSHOTS = 3  # fixture maximum; one file per micro-batch
 
+# out-of-suite seed extension: SPARK_GRAFT_TXN_FUZZ_SEEDS=5,6,7 runs
+# extra schedules without editing the file (suite default stays 4)
+import os as _os
 
-@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+_EXTRA_SEEDS = [
+    int(s)
+    for s in _os.environ.get("SPARK_GRAFT_TXN_FUZZ_SEEDS", "").split(",")
+    if s.strip()
+]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, *_EXTRA_SEEDS])
 def test_stream_silver_crash_replay_exactly_once(spark, tmp_path, monkeypatch, seed):
     rng = random.Random(seed)
     # schedule: for each epoch, a (possibly empty) sequence of injected
