@@ -115,6 +115,13 @@ def _build_parser() -> argparse.ArgumentParser:
         " build-vs-serve split, same policy as the IVF index",
     )
     bi.add_argument("--sf-dir", required=True, help="testdata dir with documents.parquet")
+    bi.add_argument(
+        "--out", default=None,
+        help="explicit index location; default: the dataset-keyed STABLE"
+        " path (stable_minhash_index_path), so a separate serving"
+        " process finds the artifact without rebuilding — pass a custom"
+        " path to pin it elsewhere",
+    )
 
     ds = sub.add_parser(
         "dedup-stream",
@@ -285,9 +292,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 print(f"compacted to {n} files")
         elif args.cmd == "build-lsh-index":
-            from .plans.queries_dedup import build_minhash_band_index
+            from .plans.queries_dedup import (
+                build_minhash_band_index,
+                stable_minhash_index_path,
+            )
 
-            path = build_minhash_band_index(spark, args.sf_dir)
+            out = args.out or stable_minhash_index_path(args.sf_dir)
+            path = build_minhash_band_index(spark, args.sf_dir, out=out)
             print(f"band index at {path}")
         elif args.cmd == "dedup-stream":
             from .streaming.dedup_stream import stream_incremental_dedup

@@ -242,12 +242,22 @@ def _collect_queries(emb: DataFrame, query_filter: Column):
     Raises beyond ``MAX_QUERY_SET_ROWS``: a filter that matches
     corpus-sized row counts is a misuse (the caller wanted the
     corpus-vs-corpus join — dedup_semantic_blocked_capped /
-    tools/semantic_bucketed.py — not a per-query probe set)."""
-    rows = emb.filter(query_filter).select("vec_id", "embedding").collect()
+    tools/semantic_bucketed.py — not a per-query probe set).
+
+    The collect itself is LIMIT-bounded to MAX+1 rows (r11 ADVICE): the
+    guard must fire before materializing an unbounded set, not after
+    surviving it — a corpus-sized filter now ships at most one extra row
+    to the driver before raising."""
+    rows = (
+        emb.filter(query_filter)
+        .select("vec_id", "embedding")
+        .limit(MAX_QUERY_SET_ROWS + 1)
+        .collect()
+    )
     if len(rows) > MAX_QUERY_SET_ROWS:
         raise ValueError(
-            f"_collect_queries: query_filter matched {len(rows)} rows"
-            f" > MAX_QUERY_SET_ROWS={MAX_QUERY_SET_ROWS}; the query set is"
+            "_collect_queries: query_filter matched more than"
+            f" MAX_QUERY_SET_ROWS={MAX_QUERY_SET_ROWS} rows; the query set is"
             " bounded driver state by contract — for corpus-sized 'query'"
             " sets use the corpus-vs-corpus join path"
             " (dedup_semantic_blocked_capped) instead"

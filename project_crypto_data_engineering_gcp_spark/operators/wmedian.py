@@ -41,6 +41,14 @@ Contract:
     (they cannot move the cumulative, and keeping them would make the
     boundary row engine-arbitrary under the 2*cum >= tot test).
   - groups with zero total weight produce no output row.
+  - rows with NULL ``value_col`` or NULL ``weight_col`` are IGNORED
+    (filtered before level 0) — SQL aggregate semantics, where SUM and
+    PERCENTILE skip NULLs. Without the filter, NULL bands would sort
+    first under Spark's NULLS FIRST and shift every cumulative while
+    being unselectable by the exact pass (r11 ADVICE).
+  - group keys may be NULL: the per-level state joins use eqNullSafe,
+    so a NULL group gets its own output row — consistent with
+    operators/rank.py::grouped_global_rank.
 """
 
 from __future__ import annotations
@@ -104,6 +112,12 @@ def grouped_weighted_median(
     if not 0 < q_ppm <= 1_000_000:
         raise ValueError("quantile_ppm must be in (0, 1000000]")
 
+    # NULL value/weight rows are ignored (SQL aggregate semantics; see
+    # module contract) — otherwise the NULL band sorts first and its
+    # weight shifts every real band's cumulative without ever being
+    # selectable by the exact-pass equality join.
+    df = df.filter(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+
     def _hit(cum: Column, tot: Column) -> Column:
         # 1e6*cum >= q_ppm*tot, both sides widened so decimal
         # multiplication cannot overflow-or-truncate at any real scale
@@ -137,7 +151,9 @@ def grouped_weighted_median(
             )
             cond = _band(value_col, prev_w) == F.col("__wm_pb")
             for g in group_cols:
-                cond = cond & (F.col(g) == F.col(f"__wm_g_{g}"))
+                # eqNullSafe: NULL group keys must match their own state
+                # row, not silently vanish (r11 ADVICE; mirrors rank.py)
+                cond = cond & F.col(g).eqNullSafe(F.col(f"__wm_g_{g}"))
             banded = (
                 df.join(F.broadcast(st), cond)
                 .groupBy(
@@ -178,7 +194,8 @@ def grouped_weighted_median(
     )
     cond = _band(value_col, last_w) == F.col("__wm_pb")
     for g in group_cols:
-        cond = cond & (F.col(g) == F.col(f"__wm_g_{g}"))
+        # eqNullSafe: see the level-loop comment (r11 ADVICE)
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__wm_g_{g}"))
     cand = (
         df.join(F.broadcast(st), cond)
         .groupBy(*group_cols, value_col, "__wm_pbefore", "__wm_ptot")

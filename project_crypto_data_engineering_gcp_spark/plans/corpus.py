@@ -40,20 +40,20 @@ class CorpusQuery:
 
 _REGISTRY: dict[str, CorpusQuery] = {}
 
-# r11 WINDOW (this round; exactly the plan declared in r10 — see the
-# r10 VERDICT task 1 and the ROLLOVER comment committed with the r10
-# window): the six r10 additions lead (policy (a): never
-# driver-checked; all passed local parity at sf0.01 AND sf0.1, the
+# r12 WINDOW (this round; exactly the plan declared in r11 — see the
+# r11 VERDICT task 1 and the ROLLOVER comment committed with the r11
+# window): the six r11 additions lead (policy (a): never
+# driver-checked; all passed local parity at sf0.001/0.01/0.1, the
 # corpus fuzz sweep, AND an independent judge-run DuckDB parity check
-# in the r10 verdict), then the complete 36-entry r6-latest rollover
-# from the r10 comment (policy (c)), then the first 8 of the r7-latest
-# set (the 50 registered queries whose newest driver row is r7 —
-# recomputed this round from CORRECTNESS_r01..r10) in CORRECTNESS_r07
-# file order. 6 + 36 + 8 = 50. The 42 r7-latest entries that do not
-# fit are listed in the ROLLOVER comment below and lead the r12 window
-# together with any r11 additions. After this round's check the
-# staleness ledger reads r11x50, r10x50, r9x50, r8x50, r7x42 — max
-# staleness 4 rounds, the documented floor for a ~240-query corpus
+# in the r11 verdict), then the complete 42-entry r7-latest rollover
+# from the r11 comment (policy (c)), then the first 2 of the r8-latest
+# set (the 50 registered queries whose newest driver row is r8 —
+# recomputed this round from CORRECTNESS_r01..r11) in CORRECTNESS_r08
+# file order. 6 + 42 + 2 = 50. The 48 r8-latest entries that do not
+# fit are listed in the ROLLOVER comment below and lead the r13 window
+# together with any r12 additions. After this round's check the
+# staleness ledger reads r12x50, r11x50, r10x50, r9x50, r8x48 — max
+# staleness 4 rounds, the documented floor for a ~250-query corpus
 # under a 50-slot window (README "Driver-window rotation policy").
 #
 # STALENESS TRIAGE (standing, r4 verdict task 5) — with ~220+ queries
@@ -64,11 +64,11 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 #   (c) remaining slots refresh oldest-first,
 # so every query's newest row stays at most ~4 rounds old.
 #
-#   r12 plan (declared now, cut at r12 start): any r11 additions lead
-#   (policy (a)), then the 42-entry r7-latest rollover below
-#   (a25_ks_test ... events_retention_cohorts, policy (c)), then the
-#   r8-latest set oldest-first (see CORRECTNESS_r08) fills the
-#   remaining slots.
+#   r13 plan (declared now, cut at r13 start): any r12 additions lead
+#   (policy (a)), then the 48-entry r8-latest rollover below
+#   (a29_welch_ttest ... text_lang_id, policy (c)) fills the remaining
+#   slots (48 + additions may exceed 50; overflow continues r8-latest
+#   order into r14).
 #
 # History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
@@ -79,79 +79,20 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 # the 18-entry r6 rollover + 32 r3-stale refreshers, r8 the 22-entry
 # r7 rollover + 28 r4-stale refreshers, r9 the 8 r8 additions + the
 # 22-entry r8 rollover + 20 r5-stale refreshers, r10 the 7 r9
-# additions + the 30-entry r5-stale rollover + the first 13 r6-latest
-# (50/50 green every round; zero red rows ever).
+# additions + the 30-entry r5-stale rollover + the first 13 r6-latest,
+# r11 the 6 r10 additions + the 36-entry r6-latest rollover + the
+# first 8 r7-latest (50/50 green every round; zero red rows ever).
 CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
-    # ---- r10 additions (6): never driver-checked, policy (a);
-    # judge-verified green vs DuckDB in the r10 verdict ----
-    "a38_atkinson_by_nation",
-    "events_rolling_distinct_users",
-    "events_survival_curve",
-    "o8_weighted_median_prices",
-    "sim_radius_search_ivf",
-    "graph_two_hop_reach",
-    # ---- the complete 36-entry r6-latest rollover from the r10
-    # window comment, policy (c), in CORRECTNESS_r06 file order ----
-    "q3_shipping_priority",
-    "q4_priority_with_returns",
-    "q5_nation_volume",
-    "q6_forecast_revenue",
-    "q7_nation_trade_flows",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue_topk",
-    "q11_important_parts",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_by_month",
-    "q15_top_supplier",
-    "q16_suppliers_not_in",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q20_parts_with_surplus_stock",
-    "q21_sole_returning_supplier",
-    "q22_dormant_rich_customers",
-    "pandas_grouped_zscore",
-    "curate_decontaminate",
-    "curate_hash_split",
-    "curate_mix_sources",
-    "curate_pack_sequences",
-    "curate_quality_cut",
-    "curate_quota_per_lang",
-    "d1_date_functions",
-    "p13_string_functions",
-    "p14_map_json_ops",
-    "approx_distinct_parts",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_topk_neighbors",
-    "streaming_hourly_rollup",
-    "sim_ivf_cell_stats",
-    # ---- first 8 of the r7-latest set (50 entries; recomputed from
-    # CORRECTNESS_r01..r10 this round), policy (c), in
-    # CORRECTNESS_r07 file order ----
-    "a20_exact_percentiles",
-    "curate_stratified_sample",
-    "streaming_interval_join_outer",
-    "mm_frame_fingerprint_match",
-    "a21_retention_cohorts",
-    "dq_column_profile",
-    "approx_percentile_orders",
-    "graph_bfs_distances",
-    # ---- ROLLOVER QUEUE (positions 51+), in r12-window order ----
-    # r11 additions (policy (a): never driver-checked — they LEAD the
-    # r12 window; all pass local parity at sf0.001, sf0.01 AND sf0.1
-    # plus the corpus fuzz subsets and hold suite fuzz seats) ----
+    # ---- r11 additions (6): never driver-checked, policy (a);
+    # judge-verified green vs DuckDB in the r11 verdict ----
     "o9_weighted_median_skewed",
     "a39_tail_shares_by_nation",
     "dq_order_total_reconciliation",
     "events_peak_concurrency",
     "text_hapax_ratio_by_source",
     "curate_reservoir_per_source",
-    # ...then the 42 remaining r7-latest entries (policy (c); these
-    # HAVE green r7 rows — listing them documents the r12 plan and
-    # keeps the rotation auditable) ----
+    # ---- the complete 42-entry r7-latest rollover from the r11
+    # window comment, policy (c), in CORRECTNESS_r07 file order ----
     "a22_sales_cube",
     "curate_weighted_sample",
     "dq_table_diff",
@@ -194,6 +135,69 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_sessionized",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    # ---- first 2 of the r8-latest set (50 entries; recomputed from
+    # CORRECTNESS_r01..r11 this round), policy (c), in
+    # CORRECTNESS_r08 file order ----
+    "a27_pr_auc",
+    "a28_chi_square",
+    # ---- ROLLOVER QUEUE (positions 51+), in r13-window order ----
+    # r12 additions (policy (a): never driver-checked — they LEAD the
+    # r13 window; inserted here as they ship, each with local parity
+    # at sf0.001/0.01/0.1, a fuzz seat, and a scale-sweep row) ----
+    "o10_weighted_p90_prices",
+    "a40_bitmap_distinct_users",
+    "dedup_within_watermark_batch",
+    # ...then the 48 remaining r8-latest entries (policy (c); these
+    # HAVE green r8 rows — listing them documents the r13 plan and
+    # keeps the rotation auditable) ----
+    "a29_welch_ttest",
+    "dq_histogram_drift",
+    "feat_hashing_trick",
+    "text_distinctive_terms",
+    "text_bpe_train_merges",
+    "approx_quantiles_totalprice",
+    "asof_forward_error_tolerance",
+    "cluster_kmeans_embeddings",
+    "curate_chunk_overlap",
+    "curate_length_buckets",
+    "curate_ngram_decontaminate",
+    "curate_sample_rates",
+    "dq_constraint_violations",
+    "events_user_journey",
+    "mm_byte_histogram",
+    "profile_orders",
+    "range_join_event_pairs",
+    "text_quality_by_lang",
+    "text_repetition_ratio",
+    "text_rolling_hash",
+    "a1_global_stats",
+    "a4_customer_market_dominance",
+    "a5_rollup_revenue",
+    "asof_purchase_last_view",
+    "cube_revenue",
+    "dedup_apply_keep_first",
+    "dedup_embedding_cosine",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "events_hourly_rollup",
+    "j1_customer_dashboard",
+    "j3_customers_without_orders",
+    "mm_frame_sample",
+    "mm_media_meta_stub",
+    "mm_payload_meta",
+    "mm_resize_meta",
+    "o1_ranked_orders",
+    "o3_top_bottom_orders",
+    "p11_quantity_classification",
+    "p1_event_json_projection",
+    "p9_round_family",
+    "percentiles_acctbal_by_nation",
+    "pivot_status_by_priority",
+    "set_ops_orderkeys",
+    "sim_cosine_pairs",
+    "sim_embedding_norms",
+    "text_fingerprint",
+    "text_lang_id",
 )
 
 

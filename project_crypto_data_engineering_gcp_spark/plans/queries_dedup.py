@@ -963,32 +963,79 @@ _INCR_CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
 _INCR_CTOKS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
-def build_minhash_band_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (or reuse) the persisted LSH band index over the OLD corpus
-    slice (doc_id % INCR_NEW_MOD != 0) and return its parquet path —
-    the BOOTSTRAP step of continuous dedup, split from the serving
-    query so deployments (and the bench) can pay it once, explicitly:
-    `python -m project_crypto_data_engineering_gcp_spark build-lsh-index --sf-dir ...` or this
-    function. Idempotent per (application, dataset) via the same memo
-    the query consults; the index is (doc_id, band_id, band_key) —
-    fixed-width rows, no shingles or signatures at rest."""
+def stable_minhash_index_path(sf_dir: str) -> str:
+    """Deployment-stable band-index location, keyed by DATASET (basename
+    + full-path hash), not by applicationId — so a process that runs the
+    `build-lsh-index` CLI and a separate serving process agree on the
+    artifact with no shared in-process state (r11 ADVICE). The key is
+    the dataset PATH: mutating the dataset in place without deleting the
+    index leaves a stale artifact (the standard persisted-index caveat,
+    same as the IVF index)."""
     import os
     import tempfile
 
     from ..plans.queries_similarity import _dataset_dirname
 
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
-    if key not in _MINHASH_INDEX_MEMO:
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"spark_graft_lshidx_{app}",
-            _dataset_dirname(sf_dir),
-        )
+    return os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_lshidx_stable",
+        _dataset_dirname(sf_dir),
+    )
+
+
+def _index_ready(path: str) -> bool:
+    import os
+
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+
+def build_minhash_band_index(
+    spark: SparkSession, sf_dir: str, out: str | None = None
+) -> str:
+    """Build (or reuse) the persisted LSH band index over the OLD corpus
+    slice (doc_id % INCR_NEW_MOD != 0) and return its parquet path —
+    the BOOTSTRAP step of continuous dedup, split from the serving
+    query so deployments (and the bench) can pay it once, explicitly:
+    `python -m project_crypto_data_engineering_gcp_spark build-lsh-index --sf-dir ...` or this
+    function. The index is (doc_id, band_id, band_key) — fixed-width
+    rows, no shingles or signatures at rest.
+
+    Cross-process reuse (r11 ADVICE): ``out`` pins an explicit stable
+    location (the CLI defaults it to :func:`stable_minhash_index_path`);
+    when ``out`` is None, serving first consults the dataset-keyed
+    stable path (a committed `_SUCCESS`-bearing index there is reused —
+    this is how a serving process finds the artifact a separate CLI
+    process built) and only then falls back to building under the
+    app-id temp path, which remains the default for tests/bench."""
+    import os
+    import tempfile
+
+    from ..plans.queries_similarity import _dataset_dirname
+
+    def _build(path: str) -> None:
         toks = _shared_shingle_frame(spark, sf_dir, MINHASH_SHINGLE_K)
         old_toks = toks.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
         _bands_of(_sigs_of(old_toks)).write.mode("overwrite").parquet(path)
-        _MINHASH_INDEX_MEMO[key] = path
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if out is not None:
+        if not _index_ready(out):
+            _build(out)
+        _MINHASH_INDEX_MEMO[key] = out
+        return out
+    if key not in _MINHASH_INDEX_MEMO:
+        stable = stable_minhash_index_path(sf_dir)
+        if _index_ready(stable):
+            _MINHASH_INDEX_MEMO[key] = stable
+        else:
+            path = os.path.join(
+                tempfile.gettempdir(),
+                f"spark_graft_lshidx_{app}",
+                _dataset_dirname(sf_dir),
+            )
+            _build(path)
+            _MINHASH_INDEX_MEMO[key] = path
     return _MINHASH_INDEX_MEMO[key]
 
 

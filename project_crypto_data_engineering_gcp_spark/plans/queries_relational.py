@@ -5311,6 +5311,12 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # ------------------------------------------ KM survival curve (r10)
 
+# KM curve budget: the collect_list fold is constant-size only because
+# curve rows are bounded by the observation horizon in HOURS (~10^4 for
+# a year). Enforced, not narrated (r11 verdict task 4) — same policy
+# class as operators/similarity.py::MAX_QUERY_SET_ROWS.
+MAX_CURVE_ROWS = 100_000
+
 
 @corpus_query(
     "events_survival_curve",
@@ -5449,8 +5455,33 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("d") > 0)
     )
+    # Enforced curve budget (r11 verdict task 4): the horizon-bounded
+    # argument above holds only for HOUR buckets — a caller repointing
+    # the bucketing at, say, milliseconds would build an unbounded
+    # single-row array. The guard is woven into the consumed expression
+    # (not a free-standing assert column, which column pruning could
+    # drop) so it fires loudly at execution time.
     folded = evr.agg(
         F.sort_array(F.collect_list(F.struct("time_h", "d", "n"))).alias("arr")
+    ).select(
+        F.when(F.size("arr") <= MAX_CURVE_ROWS, F.col("arr"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "events_survival_curve: curve frame of "
+                    ),
+                    F.size("arr").cast("string"),
+                    F.lit(
+                        f" rows exceeds MAX_CURVE_ROWS={MAX_CURVE_ROWS};"
+                        " the KM fold is a bounded-driver-state-class"
+                        " step only while buckets stay time-horizon-"
+                        "bounded — re-bucket coarser"
+                    ),
+                )
+            )
+        )
+        .alias("arr")
     ).select(
         F.explode(
             F.expr(
@@ -5989,4 +6020,236 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cum_delta").cast("bigint").alias("peak_concurrent"),
             F.count(F.lit(1)).alias("n_starts"),
         )
+    )
+
+
+# ------------------- weighted p90, quantile generalization (r12)
+
+
+@corpus_query(
+    "o10_weighted_p90_prices",
+    oracle="""
+    WITH pp AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(CAST(l_extendedprice * 100 AS DECIMAL(18,0))
+                    AS BIGINT) AS price_cents,
+               CAST(SUM(CAST(l_quantity * 100 AS DECIMAL(18,0)))
+                    AS BIGINT) AS w
+        FROM lineitem
+        GROUP BY 1, 2, 3
+        HAVING SUM(CAST(l_quantity * 100 AS DECIMAL(18,0))) > 0
+    ),
+    cum AS (
+        SELECT l_returnflag, l_linestatus, price_cents,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                    ORDER BY price_cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus)
+                    AS BIGINT) AS tot
+        FROM pp
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(MIN(price_cents) AS BIGINT) AS p90_price_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_weight_centi
+    FROM cum
+    WHERE 10 * cw >= 9 * tot
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def o10_weighted_p90_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted lower P90 of line price per (return flag,
+    line status) — the
+    corpus entry that GRADES the ``quantile_ppm`` generalization of
+    operators/wmedian.py::grouped_weighted_median (r11 verdict task 2:
+    the p != 0.5 surface shipped property-tested but driver-unchecked).
+    Lower weighted p90 = the smallest price whose cumulative weight
+    satisfies 1e6*cum >= 900000*tot, i.e. the exact integer test
+    10*cum >= 9*tot used verbatim in the oracle — the same
+    bit-determined boundary discipline as [o8_weighted_median_prices]
+    (p50 twin, per brand) and [o9_weighted_median_skewed] (concentrated
+    domain). Zero-weight price points are out of frame in both engines.
+    The COMPOSITE group key additionally exercises the operator's
+    multi-column eqNullSafe state joins (r11 ADVICE fix).
+
+    Scale shape: identical to o8 — multi-level bucket refinement,
+    band_widths (1e5, 1e3) over the cents-scaled price domain; the fact
+    is touched only through map-combinable (group, band) aggregates and
+    the exact pass resolves inside ONE width-1000 band per group. The
+    quantile parameter moves WHICH band each level selects, never the
+    cost model (each level still keeps exactly one band per group)."""
+    from ..operators.wmedian import grouped_weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("l_extendedprice") * 100)
+        .cast("decimal(18,0)")
+        .cast("bigint")
+        .alias("price_cents"),
+        (F.col("l_quantity") * 100).cast("decimal(18,0)").alias("w"),
+    )
+    out = grouped_weighted_median(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        "price_cents",
+        "w",
+        band_widths=(100_000, 1_000),
+        median_col="p90_price_cents",
+        total_col="total_weight_centi",
+        quantile_ppm=900_000,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("p90_price_cents").cast("bigint").alias("p90_price_cents"),
+        F.col("total_weight_centi").cast("bigint").alias("total_weight_centi"),
+    )
+
+
+# ------------------- bitmap exact-distinct idiom (r12)
+
+
+@corpus_query(
+    "a40_bitmap_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def a40_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via Spark's bitmap aggregate
+    family (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_count) — the at-scale idiom for exact
+    COUNT(DISTINCT) over an integral key. A naive count_distinct
+    shuffles every (event_type, user_id) pair and holds per-group hash
+    sets; the bitmap shape instead folds each 32768-key bucket into a
+    4KB fixed-width bitmap PARTIALLY ON THE MAP SIDE, so the shuffle
+    carries |groups| x |buckets| bitmap rows — data-size-independent
+    once buckets saturate — and the final count is a sum of popcounts.
+    [approx_distinct_parts] is the sketched cousin (HLL, approximate);
+    this one is bit-exact, so the oracle is plain COUNT(DISTINCT).
+
+    Scale shape: two map-combinable aggregates, no window, no join; at
+    100 TB the first agg's output is bounded by group-count x
+    (key-domain / 32768) fixed-size rows, and AQE coalesces the tiny
+    shuffle. The idiom is also the building block for incremental
+    distinct (bitmap_or_agg over per-partition persisted bitmaps)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    pre = ev.groupBy(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id")).alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("user_id"))
+        ).alias("bm"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return pre.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).cast("bigint").alias(
+            "distinct_users"
+        ),
+        F.sum("c").alias("n_events"),
+    )
+
+
+# ------------- dropDuplicatesWithinWatermark, exact batch twin (r12)
+
+
+# anchor-chain horizon: a kept click suppresses re-deliveries of the
+# same user's clicks for this many seconds; the next click AFTER the
+# horizon is kept anew and re-anchors — exactly the state lifecycle of
+# streaming dropDuplicatesWithinWatermark (keep first arrival, drop
+# duplicates while state lives, state expires delay past the anchor).
+DEDUP_WM_DELTA_S = 259_200  # 3 days; median inter-click gap is ~1.5 days
+
+
+@corpus_query(
+    "dedup_within_watermark_batch",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS us
+        FROM events WHERE event_type = 'click'
+    ),
+    keep AS (
+        SELECT e.user_id, e.event_id, e.ts, e.us
+        FROM ev e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ev e2
+            WHERE e2.user_id = e.user_id
+              AND (e2.us < e.us
+                   OR (e2.us = e.us AND e2.event_id < e.event_id))
+        )
+        UNION ALL
+        SELECT n.user_id, n.event_id, n.ts, n.us
+        FROM keep k JOIN ev n
+          ON n.user_id = k.user_id
+         AND n.us > k.us + CAST({DEDUP_WM_DELTA_S} AS BIGINT) * 1000000
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ev m
+            WHERE m.user_id = k.user_id
+              AND m.us > k.us + CAST({DEDUP_WM_DELTA_S} AS BIGINT) * 1000000
+              AND (m.us < n.us
+                   OR (m.us = n.us AND m.event_id < n.event_id))
+        )
+    )
+    SELECT user_id, event_id, ts AS kept_ts FROM keep
+    """,
+)
+def dedup_within_watermark_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT batch twin of streaming ``dropDuplicatesWithinWatermark``:
+    per user, keep a click iff it falls strictly after the previous
+    KEPT click's suppression horizon (anchor + {DEDUP_WM_DELTA_S}s) —
+    the greedy anchor CHAIN, which is the streaming operator's true
+    state lifecycle (first arrival keyed, duplicates dropped while the
+    key's state lives, expiry re-anchors on the next arrival). This is
+    NOT expressible with plain window functions: whether row i is kept
+    depends on which earlier rows were kept, a per-key sequential fold
+    — [dedup_time_bucketed] is the window-expressible approximation
+    (fixed buckets can keep two rows {DEDUP_WM_DELTA_S}s apart or drop
+    two rows further apart than that; the chain never does either).
+
+    Implementation: ``applyInPandas`` keyed by user — the documented
+    Arrow escape hatch for genuinely sequential per-key semantics
+    (SURVEY.md's UDF policy). The fold is O(clicks-per-user) driver-free
+    work per key; comparisons are integer epoch-MICROSECONDS with
+    (us, event_id) total order, so the kept set is bit-determined and
+    the DuckDB oracle walks the identical chain as a recursive CTE
+    (each step selects the unique next kept row via NOT EXISTS).
+
+    Scale shape: one hash shuffle on user_id, then embarrassingly
+    parallel per-key folds; state per key is one anchor — the same
+    bounded-state contract as the streaming operator. Contract: one
+    user's clicks must fit an Arrow batch (the per-key grain, same
+    class as sessionization); keys never concentrate because the
+    shuffle is on the natural high-cardinality user key."""
+    import pandas as pd
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("kept_ts"),
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+    )
+    delta_us = DEDUP_WM_DELTA_S * 1_000_000
+
+    def _chain(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
+        kept_mask = []
+        anchor = None
+        for us in pdf["us"]:
+            keep = anchor is None or us > anchor + delta_us
+            kept_mask.append(keep)
+            if keep:
+                anchor = us
+        return pdf.loc[kept_mask, ["user_id", "event_id", "kept_ts"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        _chain, "user_id bigint, event_id bigint, kept_ts timestamp"
     )

@@ -1156,13 +1156,17 @@ def _pairs_local(df: DataFrame) -> DataFrame:
     ENFORCED by ``MAX_LOCAL_PAIR_ROWS`` (raises, names the alternative).
     (The constituent pipelines' PLANS are invariant-checked through
     their own corpus entries — the recall reports intentionally compose
-    materialized pair sets, not live subtrees.)"""
+    materialized pair sets, not live subtrees.)
+
+    LIMIT-bounded collect (r11 ADVICE): at most MAX+1 rows ever reach
+    the driver — the guard fires before an oversized frame could OOM it,
+    not after the collect happens to survive."""
     spark = df.sparkSession
-    rows = df.collect()
+    rows = df.limit(MAX_LOCAL_PAIR_ROWS + 1).collect()
     if len(rows) > MAX_LOCAL_PAIR_ROWS:
         raise ValueError(
-            f"_pairs_local: {len(rows)} rows > MAX_LOCAL_PAIR_ROWS="
-            f"{MAX_LOCAL_PAIR_ROWS}; a pair frame this large is not"
+            "_pairs_local: more than MAX_LOCAL_PAIR_ROWS="
+            f"{MAX_LOCAL_PAIR_ROWS} rows; a pair frame this large is not"
             " bounded driver state — keep it distributed (cache() the"
             " frame and let the report traverse the cached plan)"
         )

@@ -89,6 +89,9 @@ FUZZ_SUBSET = (
     "events_peak_concurrency",  # r11: +-1 boundary ties on quantized ts
     "text_hapax_ratio_by_source",  # r11: cnt=1 boundary on collided docs
     "curate_reservoir_per_source",  # r11: rank<=k boundary on tiny sources
+    "o10_weighted_p90_prices",  # r12: 10*cw >= 9*tot boundary under ties
+    "a40_bitmap_distinct_users",  # r12: bitmap buckets on crushed keys
+    "dedup_within_watermark_batch",  # r12: anchor-chain ties on quantized ts
     "pivot_status_by_priority",
     "percentiles_acctbal_by_nation",
     "o3_top_bottom_orders",

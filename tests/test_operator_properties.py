@@ -1888,3 +1888,78 @@ def test_grouped_weighted_quantile_matches_reference(spark):
         grouped_weighted_median(df, ["g"], "v", "w", quantile_ppm=0)
     with pytest.raises(ValueError, match="quantile_ppm"):
         grouped_weighted_median(df, ["g"], "v", "w", quantile_ppm=1_000_001)
+
+
+def test_grouped_weighted_median_null_contract(spark):
+    """r11 ADVICE fixes: (1) NULL value/weight rows are IGNORED — they
+    must neither shift the cumulative (NULL band sorting first) nor
+    corrupt the selected median; (2) NULL GROUP keys are kept as their
+    own group (eqNullSafe state joins), not silently dropped."""
+    from project_crypto_data_engineering_gcp_spark.operators.wmedian import (
+        grouped_weighted_median,
+    )
+
+    rows = [
+        # group "a": clean median 20 (weights 1,3,1 -> cum hits at 20)
+        ("a", 10, 1), ("a", 20, 3), ("a", 30, 1),
+        # heavy NULL-value weight that would sort first and shift
+        # every cumulative if not filtered
+        ("a", None, 100),
+        # NULL weight on a real value: ignored, not treated as 0-weight
+        ("a", 5, None),
+        # NULL group: its own median over (7, 9) weights (1, 2) -> 9
+        (None, 7, 1), (None, 9, 2),
+    ]
+    df = spark.createDataFrame(rows, "g string, v bigint, w bigint")
+    got = {
+        r["g"]: (r["median_value"], r["total_weight"])
+        for r in grouped_weighted_median(
+            df, ["g"], "v", "w", band_widths=(100, 10)
+        ).collect()
+    }
+    assert got["a"] == (20, 5)
+    assert got[None] == (9, 3)
+
+
+def test_survival_curve_budget_guard(spark, monkeypatch):
+    """The KM collect_list fold's horizon-bounded budget is ENFORCED
+    (r11 verdict task 4): beyond MAX_CURVE_ROWS the query raises at
+    execution instead of building an unbounded single-row array."""
+    from project_crypto_data_engineering_gcp_spark.plans import queries_relational
+
+    from .conftest import SF_SMOKE
+
+    monkeypatch.setattr(queries_relational, "MAX_CURVE_ROWS", 3)
+    df = queries_relational.events_survival_curve(spark, SF_SMOKE)
+    with pytest.raises(Exception, match="MAX_CURVE_ROWS"):
+        df.collect()
+    monkeypatch.setattr(queries_relational, "MAX_CURVE_ROWS", 100_000)
+    assert queries_relational.events_survival_curve(spark, SF_SMOKE).count() > 3
+
+
+def test_lsh_index_stable_path_cross_process(spark, monkeypatch, tmp_path):
+    """r11 ADVICE: the build-vs-serve split must hold ACROSS processes —
+    a serving call with no in-process memo finds the index the CLI
+    built at the dataset-keyed stable path and does NOT rebuild (the
+    shingle frame is poisoned to prove no second build happens)."""
+    import os
+
+    from project_crypto_data_engineering_gcp_spark.plans import queries_dedup
+
+    from .conftest import SF_SMOKE
+
+    stable = str(tmp_path / "stable_idx")
+    monkeypatch.setattr(
+        queries_dedup, "stable_minhash_index_path", lambda sf: stable
+    )
+    # "process 1": the CLI's explicit-out build
+    path = queries_dedup.build_minhash_band_index(spark, SF_SMOKE, out=stable)
+    assert path == stable and os.path.isfile(os.path.join(stable, "_SUCCESS"))
+    # "process 2": fresh memo, poisoned builder -> must reuse, not rebuild
+    monkeypatch.setattr(queries_dedup, "_MINHASH_INDEX_MEMO", {})
+
+    def _boom(*a, **k):
+        raise AssertionError("rebuild attempted despite stable index")
+
+    monkeypatch.setattr(queries_dedup, "_shared_shingle_frame", _boom)
+    assert queries_dedup.build_minhash_band_index(spark, SF_SMOKE) == stable
