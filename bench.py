@@ -163,6 +163,12 @@ HEADLINE = (
     "o10_weighted_p90_prices",
     "dedup_within_watermark_batch",
     "a40_bitmap_distinct_users",
+    # late-r12: the native batch session_window merge (new physical
+    # aggregate family) and the VARIANT pack/parse/extract projection
+    # (new expression family — a regression means the binary-encoded
+    # path degraded to text re-tokenization)
+    "w9_session_window_native",
+    "p15_variant_extract",
 )
 
 

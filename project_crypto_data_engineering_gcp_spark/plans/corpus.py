@@ -147,6 +147,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "o10_weighted_p90_prices",
     "a40_bitmap_distinct_users",
     "dedup_within_watermark_batch",
+    "w9_session_window_native",
+    "p15_variant_extract",
     # ...then the 48 remaining r8-latest entries (policy (c); these
     # HAVE green r8 rows — listing them documents the r13 plan and
     # keeps the rotation auditable) ----

@@ -420,3 +420,51 @@ def q20_parts_with_surplus_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@corpus_query(
+    "p15_variant_extract",
+    oracle="""
+    SELECT event_id,
+           user_id AS uid,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS meta_k,
+           user_id AS arr_1,
+           CAST(NULL AS VARCHAR) AS missing_probe
+    FROM events
+    """,
+)
+def p15_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT semi-structured type end-to-end: pack real columns
+    (plus the parsed props map) into a JSON document with ``to_json``,
+    parse it to a VARIANT with ``parse_json``, and extract TYPED values
+    back out with ``variant_get`` — nested object path ($.meta.k),
+    array index ($.arr[1]), scalar ($.uid), and ``try_variant_get`` on
+    an absent path (NULL, not error). The oracle reads the same values
+    straight off the base columns, so the pair proves the
+    pack->parse->extract round trip is value-exact (integers only in
+    the payload — doubles through JSON text would trade exactness for
+    formatting). [p14_map_json_ops] covers the classic
+    from_json/get_json_object string surface; this is the Spark-4
+    binary-encoded VARIANT path — at 100 TB the difference is real:
+    VARIANT stores a parsed binary encoding, so repeated extraction
+    skips re-tokenizing JSON text on every access.
+
+    Scale shape: pure row-local projection (no shuffle, no UDF —
+    whole-stage-codegen expressions end to end); columnar-prunable at
+    the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.from_json("props", "map<string,int>").alias("meta"),
+            F.array(F.col("event_id"), F.col("user_id")).alias("arr"),
+        )
+    )
+    v = F.parse_json(payload)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.uid", "bigint").alias("uid"),
+        F.variant_get(v, "$.meta.k", "int").alias("meta_k"),
+        F.variant_get(v, "$.arr[1]", "bigint").alias("arr_1"),
+        F.try_variant_get(v, "$.nope", "string").alias("missing_probe"),
+    )

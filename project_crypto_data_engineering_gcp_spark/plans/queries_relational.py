@@ -6253,3 +6253,73 @@ def dedup_within_watermark_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _chain, "user_id bigint, event_id bigint, kept_ts timestamp"
     )
+
+
+# ------------- native batch session_window aggregation (r12)
+
+
+SESSION_GAP_MIN = 30
+
+
+@corpus_query(
+    "w9_session_window_native",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                        >= {SESSION_GAP_MIN} * 60 * 1000000::BIGINT
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {dsum_expr_sql("value", 18, 2)} AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def w9_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE batch ``session_window`` aggregation (the merging
+    session-interval physical operator, not a hand-rolled lag/cumsum
+    sessionizer) checked against the SQL-derivable gap semantics: a new
+    session starts iff the inter-event gap is >= {SESSION_GAP_MIN} min —
+    Spark's session interval is half-open [start, last_event + gap), so
+    an event landing EXACTLY at the previous session's end does NOT
+    merge. That boundary is the contract this pair pins cross-engine
+    (the corpus fuzzer's minute-quantized timestamps manufacture exact
+    ties); [events_sessionized] covers the hand-rolled batch shape and
+    [streaming_sessionized] the stateful streaming operator — this is
+    the third, native-batch rung, sharing the exact-decimal value sum.
+
+    Scale shape: one hash shuffle on user_id, then per-key sorted
+    session merging inside the aggregate — no window function over the
+    raw events, no second shuffle; the classic "sessionize 100 TB of
+    clickstream" one-pass plan. Session identity is bit-determined:
+    starts/ends are event timestamps (+ constant gap) and the value sum
+    is exact decimal."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 18, 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -92,6 +92,8 @@ FUZZ_SUBSET = (
     "o10_weighted_p90_prices",  # r12: 10*cw >= 9*tot boundary under ties
     "a40_bitmap_distinct_users",  # r12: bitmap buckets on crushed keys
     "dedup_within_watermark_batch",  # r12: anchor-chain ties on quantized ts
+    "w9_session_window_native",  # r12: exact-gap session ties on minute grid
+    "p15_variant_extract",  # r12: variant round-trip under crushed events
     "pivot_status_by_priority",
     "percentiles_acctbal_by_nation",
     "o3_top_bottom_orders",

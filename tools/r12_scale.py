@@ -4,9 +4,12 @@ shapes: the weighted-quantile generalization at p90 (same multi-level
 band refinement as o8/o9 — the quantile parameter must not change the
 cost model), the per-key anchor-chain dedup (applyInPandas sequential
 fold — the Arrow fan-out shape; per-key population FIXED while keys
-scale, the operator's documented contract), and the bitmap
-exact-distinct idiom (map-combinable bitmap fold; both group count and
-key domain scale).
+scale, the operator's documented contract), the bitmap exact-distinct
+idiom (map-combinable bitmap fold; both group count and key domain
+scale), and the native batch session_window merge (keys scale, per-key
+sessions fixed). p15_variant_extract has no row here by design: it is
+a pure narrow projection (no shuffle, no state), linear by
+construction — a scale row would measure the scan, not the shape.
 
 Same technique and discipline as tools/r8..r11_scale.py: sf0.1 base
 frames amplified by N disjoint key-offset copies, per-level inputs
@@ -79,6 +82,9 @@ def main() -> None:
     bu = events0.select(
         F.xxhash64("event_type").alias("etype"), "user_id"
     ).localCheckpoint(eager=True)
+    # session grain: (user_id, ts, value) — keys scale, per-key event
+    # population fixed (sessions per user constant, user count x100)
+    sv = events0.select("user_id", "ts", "value").localCheckpoint(eager=True)
 
     def wquantile_p90(q):
         return grouped_weighted_median(
@@ -108,6 +114,15 @@ def main() -> None:
             _chain, "user_id bigint, event_id bigint, us bigint"
         )
 
+    def session_native(e):
+        return (
+            e.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("sw")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", "sw.start", "n")
+        )
+
     def bitmap_distinct(e):
         pre = e.groupBy(
             "etype", F.bitmap_bucket_number(F.col("user_id")).alias("bkt")
@@ -132,6 +147,10 @@ def main() -> None:
         "bitmap_distinct": (
             bitmap_distinct,
             [(bu, {"etype": 1000, "user_id": 10_000_000})],
+        ),
+        "session_native": (
+            session_native,
+            [(sv, {"user_id": 10_000_000, "ts": 0, "value": 0})],
         ),
     }
     shapes = filter_shapes(shapes)
