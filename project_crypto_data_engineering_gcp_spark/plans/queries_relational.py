@@ -6268,7 +6268,7 @@ SESSION_GAP_MIN = 30
         SELECT user_id, event_id, ts, value,
                CASE WHEN LAG(ts) OVER w IS NULL
                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
-                        >= {SESSION_GAP_MIN} * 60 * 1000000::BIGINT
+                        > {SESSION_GAP_MIN} * 60 * 1000000::BIGINT
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -6290,12 +6290,14 @@ def w9_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE batch ``session_window`` aggregation (the merging
     session-interval physical operator, not a hand-rolled lag/cumsum
     sessionizer) checked against the SQL-derivable gap semantics: a new
-    session starts iff the inter-event gap is >= {SESSION_GAP_MIN} min —
-    Spark's session interval is half-open [start, last_event + gap), so
-    an event landing EXACTLY at the previous session's end does NOT
-    merge. That boundary is the contract this pair pins cross-engine
-    (the corpus fuzzer's minute-quantized timestamps manufacture exact
-    ties); [events_sessionized] covers the hand-rolled batch shape and
+    session starts iff the inter-event gap is STRICTLY GREATER than
+    {SESSION_GAP_MIN} min. Spark's session interval reports the
+    half-open [start, last_event + gap), but its MERGE rule is
+    inclusive (sessions combine while next_start <= current_end), so an
+    event landing exactly at the previous session's end DOES merge —
+    pinned empirically by the corpus fuzzer's minute-quantized
+    timestamps, which manufacture exact 30-min gaps (seed 3: the >= 
+    formulation undercounts merges by 3 sessions); [events_sessionized] covers the hand-rolled batch shape and
     [streaming_sessionized] the stateful streaming operator — this is
     the third, native-batch rung, sharing the exact-decimal value sum.
 
