@@ -1144,3 +1144,68 @@ def test_hapax_two_phase_aggregation(spark):
     plan = plan_of(QUERIES["text_hapax_ratio_by_source"].fn(spark, SF_ORACLE))
     assert "Window" not in plan and "Join" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_a40_bitmap_two_level_aggregate_no_distinct_expand(spark):
+    """The bitmap exact-distinct idiom must compile to two hash
+    aggregates over bitmap partials — never a count-distinct Expand or
+    a per-key distinct shuffle (the shape whose shuffle carries every
+    (group, key) pair at 100 TB)."""
+    plan = plan_of(QUERIES["a40_bitmap_distinct_users"].fn(spark, SF_ORACLE))
+    assert "bitmap_construct_agg" in plan and "bitmapCount" in plan
+    assert "Expand" not in plan
+    # one shuffle per aggregate level, nothing else
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_w9_session_window_single_shuffle_no_window_exec(spark):
+    """Native batch session_window: one hash shuffle on the user key,
+    session merging inside the aggregate — no WindowExec over raw
+    events (the serial-per-key funnel the hand-rolled sessionizer
+    pays), no second exchange."""
+    plan = plan_of(QUERIES["w9_session_window_native"].fn(spark, SF_ORACLE))
+    assert "session_window" in plan or "SessionWindow" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window " not in plan  # WindowExec node (UpdatingSessions rides the agg)
+
+
+def test_p15_variant_projection_no_shuffle_no_python(spark):
+    """VARIANT pack/parse/extract is a pure row-local projection:
+    zero exchanges, zero Python evals — whole-stage expressions over
+    the pruned scan."""
+    df = QUERIES["p15_variant_extract"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF fallback
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "value" not in read_schema  # unused column pruned at the scan
+
+
+def test_o10_weighted_p90_refinement_shape(spark):
+    """The p90 quantile must keep o8/o9's refinement cost model: the
+    fact is scanned once per level + once for the exact pass (3 scans),
+    each state join arrives BROADCAST (per group, one band of the
+    domain), and no window function ever sees fact-sized input."""
+    plan = plan_of(QUERIES["o10_weighted_p90_prices"].fn(spark, SF_ORACLE))
+    assert plan.count("Scan parquet") == 3
+    assert plan.count("BroadcastHashJoin") == 2
+    # windows run over the band frames (bounded) — count them to pin
+    # the shape: level-0 cumulation + level-0 group total + level-1
+    # cumulation + exact pass
+    assert plan.count("Window") == 4
+
+
+def test_dedup_chain_single_shuffle_arrow_fanout(spark):
+    """The anchor-chain batch twin: one hash shuffle on user_id + a
+    partition-LOCAL sort feeding ONE batched Arrow Python stage
+    (MapInPandas, the measured 14x winner over per-key
+    FlatMapGroupsInPandas — see the query docstring) — no extra
+    exchange, no range-partitioned global sort, no row-at-a-time
+    PythonUDF, and the click filter reaches the parquet scan."""
+    df = QUERIES["dedup_within_watermark_batch"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # sort stays local
+    assert "BatchEvalPython" not in plan  # no row-at-a-time fallback
+    assert "PushedFilters" in plan and "EqualTo(event_type,click)" in plan

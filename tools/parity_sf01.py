@@ -21,6 +21,13 @@ Usage: python3 tools/parity_sf01.py [query_name ...]
 With names, checks only those queries (fast re-verify of a new batch);
 with none, sweeps the full corpus.
 Prints one JSON line {"checked": N, "ok": N, "failed": [...], "skipped": N}.
+
+Sharding (r12): the full sweep is ~27 min at 253 queries — one corpus
+growth away from the environment's ~30-min single-process ceiling
+(SCALE.md r12). SPARK_GRAFT_PARITY_SHARDS=2 SPARK_GRAFT_PARITY_SHARD=0
+runs every even-indexed registry query in its own process (shard 1 the
+odd ones); run the shards SEQUENTIALLY (never two Spark sessions at
+once) and sum the JSON lines.
 """
 
 from __future__ import annotations
@@ -46,6 +53,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs, osql = entry.queries(), entry.oracle_sql()
+    n_shards = int(os.environ.get("SPARK_GRAFT_PARITY_SHARDS", "1"))
+    shard = int(os.environ.get("SPARK_GRAFT_PARITY_SHARD", "0"))
+    if n_shards > 1:
+        qs = {
+            n: f for i, (n, f) in enumerate(qs.items()) if i % n_shards == shard
+        }
     only = set(sys.argv[1:])
     if only:
         unknown = only - set(qs)

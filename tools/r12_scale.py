@@ -96,7 +96,9 @@ def main() -> None:
             quantile_ppm=900_000,
         )
 
-    def anchor_chain(e):
+    def anchor_chain_grouped(e):
+        # the per-key FlatMapGroupsInPandas shape — kept as the measured
+        # CONTRAST (one pandas frame + one Python call per key)
         import pandas as pd  # noqa: F401 - worker-side
 
         def _chain(pdf):
@@ -112,6 +114,33 @@ def main() -> None:
 
         return e.groupBy("user_id").applyInPandas(
             _chain, "user_id bigint, event_id bigint, us bigint"
+        )
+
+    def anchor_chain_batched(e):
+        # the SHIPPED shape: repartition + local sort + MapInPandas with
+        # cross-batch (user, anchor) carry — whole Arrow batches per call
+        def run(batches):
+            import numpy as np
+
+            last_user, anchor = None, 0
+            for pdf in batches:
+                us = pdf["us"].to_numpy()
+                uid = pdf["user_id"].to_numpy()
+                keep = np.zeros(len(pdf), dtype=bool)
+                for i in range(len(pdf)):
+                    if last_user is None or uid[i] != last_user:
+                        last_user = uid[i]
+                        anchor = us[i]
+                        keep[i] = True
+                    elif us[i] > anchor + DELTA_US:
+                        anchor = us[i]
+                        keep[i] = True
+                yield pdf.loc[keep, ["user_id", "event_id", "us"]]
+
+        return (
+            e.repartition("user_id")
+            .sortWithinPartitions("user_id", "us", "event_id")
+            .mapInPandas(run, "user_id bigint, event_id bigint, us bigint")
         )
 
     def session_native(e):
@@ -140,8 +169,12 @@ def main() -> None:
             wquantile_p90,
             [(pr, {"gkey": 1_000_000, "price_cents": 0, "w": 0})],
         ),
-        "anchor_chain": (
-            anchor_chain,
+        "anchor_chain_grouped": (
+            anchor_chain_grouped,
+            [(ck, {"user_id": 10_000_000, "event_id": 100_000_000, "us": 0})],
+        ),
+        "anchor_chain_batched": (
+            anchor_chain_batched,
             [(ck, {"user_id": 10_000_000, "event_id": 100_000_000, "us": 0})],
         ),
         "bitmap_distinct": (
