@@ -1963,3 +1963,51 @@ def test_lsh_index_stable_path_cross_process(spark, monkeypatch, tmp_path):
 
     monkeypatch.setattr(queries_dedup, "_shared_shingle_frame", _boom)
     assert queries_dedup.build_minhash_band_index(spark, SF_SMOKE) == stable
+
+
+def test_dedup_chain_carry_state_across_arrow_batches(spark):
+    """The batched anchor-chain fold is lossless ONLY because of the
+    cross-batch (user, anchor) carry — at production scale a user's
+    rows can straddle Arrow batch boundaries, but at test scale the
+    default 10k-row batches never split a user, so this test forces
+    3-row batches (every user with >3 clicks spans several) and checks
+    the kept set against a pure-Python reference chain, exact."""
+    from .conftest import SF_SMOKE
+
+    from project_crypto_data_engineering_gcp_spark.plans.queries_relational import (
+        DEDUP_WM_DELTA_S,
+        dedup_within_watermark_batch,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = {
+            (r["user_id"], r["event_id"])
+            for r in dedup_within_watermark_batch(spark, SF_SMOKE).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    from pyspark.sql import functions as F
+
+    from project_crypto_data_engineering_gcp_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    want = set()
+    delta = DEDUP_WM_DELTA_S * 1_000_000
+    for uid, evs in per_user.items():
+        anchor = None
+        for us, eid in sorted(evs):
+            if anchor is None or us > anchor + delta:
+                want.add((uid, eid))
+                anchor = us
+    assert got == want and len(want) > 0
