@@ -1846,41 +1846,64 @@ def a16_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a plain ``NTILE(5) OVER (ORDER BY ...)`` funnels the
     whole customer dimension through ONE window task — fine at sf0.1,
     a chokepoint at 100 TB where the dimension is data-sized. Instead
-    each quintile rides ``operators.rank.global_rank`` (range-partition
+    each quintile rides ``operators.rank`` machinery (range-partition
     + partition-offset: every window PARTITIONED by the range-partition
     id) and the bucket is recovered arithmetically from (rank, N) with
     ``ntile_from_rank`` — bit-identical to the oracle's NTILE, no
     unpartitioned Window node anywhere in the plan (pinned by
     tests/test_plan_shapes.py::test_a16_no_global_window_funnel).
-    The three ranks run on SKINNY (custkey, dim) projections of the
-    POOLED RFM aggregate (bounded LRU, same discipline as the basket
-    edges / IVF index pools) and meet again in two custkey equi-joins.
-    A/B-measured against chaining the three global_ranks over the full
-    frame (interleaved min-of-4 at sf0.1, local[32]): skinny branches
-    2.75 s vs chained 4.0 s — the chained form serializes the three
-    range shuffles and drags every column through each one, while the
-    branches shuffle 16-byte rows and schedule concurrently; the two
-    join-backs are cheaper than that. Monetary is exact cents so bucket
-    edges cannot drift with summation order; N arrives as a broadcast
-    1-row aggregate, never a collect."""
-    from ..operators.rank import global_rank, ntile_from_rank
+
+    r12 shape (guide §2.4 "share one exchange"): the three dimensions
+    are STACKED long-format — (custkey, dim, val) with order-preserving
+    bigint encodings (dates -> days-since-epoch; monotone, so ranks are
+    unchanged) — and ranked by ONE ``grouped_global_rank`` call
+    partitioned on the dim tag. That replaces three full rank machines
+    (3 range shuffles + 3 eager checkpoints + 3 offset broadcasts) and
+    the two custkey SMJ join-backs of the r5 shape with one rank machine
+    over 3N narrow rows and one map-combinable pivot groupBy(custkey) —
+    A/B-measured at sf0.1/local[32] (min-of-3 warm, noop sink):
+    long-format 2.04 s vs skinny-branches 4.58 s; the r5 A/B (branches
+    2.75 s vs chained 4.0 s) compared the two OLD shapes. Monetary is
+    exact cents so bucket edges cannot drift with summation order; N
+    arrives as a broadcast 1-row aggregate, never a collect."""
+    from ..operators.rank import grouped_global_rank, ntile_from_rank
 
     rfm = _rfm_pooled(spark, sf_dir)
     n = rfm.agg(F.count(F.lit(1)).cast("bigint").alias("__n_cust"))
 
-    def bucket(dim: str, score: str) -> DataFrame:
-        ranked = global_rank(
-            rfm.select("custkey", dim), [dim, "custkey"], rank_col="__rk"
-        )
-        return ranked.crossJoin(F.broadcast(n)).select(
+    # long format with order-preserving bigint encodings per dimension
+    epoch = F.lit("1970-01-01").cast("date")
+    stacked = (
+        rfm.select(
             "custkey",
-            ntile_from_rank(F.col("__rk"), F.col("__n_cust"), 5).alias(score),
+            F.lit("r").alias("dim"),
+            F.datediff(F.col("last_order"), epoch).cast("bigint").alias("val"),
         )
-
-    scored = (
-        bucket("last_order", "r_score")
-        .join(bucket("frequency", "f_score"), "custkey")
-        .join(bucket("monetary_cents", "m_score"), "custkey")
+        .unionByName(
+            rfm.select(
+                "custkey", F.lit("f").alias("dim"), F.col("frequency").alias("val")
+            )
+        )
+        .unionByName(
+            rfm.select(
+                "custkey",
+                F.lit("m").alias("dim"),
+                F.col("monetary_cents").alias("val"),
+            )
+        )
+    )
+    ranked = grouped_global_rank(
+        stacked, ["dim"], ["val", "custkey"], rank_col="__rk"
+    )
+    scored_long = ranked.crossJoin(F.broadcast(n)).select(
+        "custkey",
+        "dim",
+        ntile_from_rank(F.col("__rk"), F.col("__n_cust"), 5).alias("score"),
+    )
+    scored = scored_long.groupBy("custkey").agg(
+        F.max(F.when(F.col("dim") == "r", F.col("score"))).alias("r_score"),
+        F.max(F.when(F.col("dim") == "f", F.col("score"))).alias("f_score"),
+        F.max(F.when(F.col("dim") == "m", F.col("score"))).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
@@ -3397,37 +3420,43 @@ def a24_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min_rank + max_rank) / 2 per tie group — everything stays doubled
     to remain integer), emitted in ppm via decimal floor-division.
 
-    Scale design: ranks are label-independent, so ONE global_rank
-    (range-partition + offsets, every stage parallel — the o6/a20
-    machinery, no unpartitioned window) serves ALL classes; tie groups
-    and per-(score, class) counts are two map-combinable groupBys
-    joined on the score value; the corpus size arrives as a 1-row
-    broadcast. Naive pairwise AUC is an n_pos x n_neg cross join —
-    quadratic and impossible at 100 TB; the rank-sum identity makes it
-    one sort-shaped pass. No RNG, no floats until the final ppm."""
-    from ..operators.rank import _idiv, global_rank
+    Scale design (r12 rewrite, guide §2.3 "aggregate before you
+    shuffle"): per-row ranks are never materialized at all — for a tie
+    group at score v, min_rank = (# rows below v) + 1 and max_rank =
+    (# rows <= v), so both come from a RUNNING SUM over the per-score
+    histogram. ONE map-combinable groupBy(v, class) collapses the fact
+    to tie-group grain; the per-score counts roll up from it (no second
+    fact scan), ride `global_prefix_sum` (range-partition + offsets,
+    every stage parallel, over the |distinct scores| frame instead of
+    the old global_rank + checkpoint over EVERY ROW), and join back on
+    the score value; the corpus size arrives as a 1-row broadcast.
+    Naive pairwise AUC is an n_pos x n_neg cross join — quadratic and
+    impossible at 100 TB; the rank-sum identity makes it one
+    aggregate-shaped pass. No RNG, no floats until the final ppm."""
+    from ..operators.rank import _idiv, global_prefix_sum
 
     events = load_table(spark, sf_dir, "events")
     base = events.select(
-        "event_id",
         "event_type",
         (F.col("value") * 1000000)
         .cast("decimal(18,0)")
         .cast("bigint")
         .alias("v"),
     )
-    ranked = global_rank(base, ["v", "event_id"], rank_col="rk").select(
-        "v", "event_type", "rk"
-    ).localCheckpoint(eager=True)  # feeds the two groupBys below once
-    per_v = ranked.groupBy("v").agg(
-        F.min("rk").alias("mn"), F.max("rk").alias("mx")
-    )
-    per_vt = ranked.groupBy("v", "event_type").agg(
+    # tie-group x class grain — feeds the per-score rollup AND the final
+    # join; localCheckpoint materializes the fact scan + agg once
+    # (strictly smaller than the old per-ROW ranked checkpoint)
+    per_vt = base.groupBy("v", "event_type").agg(
         F.count(F.lit(1)).alias("np_vt")
+    ).localCheckpoint(eager=True)
+    per_v0 = per_vt.groupBy("v").agg(F.sum("np_vt").alias("n_v"))
+    scan = global_prefix_sum(per_v0, ["v"], ["n_v"], prefix="cum_")
+    per_v = scan.select(
+        "v",
+        (F.col("cum_n_v") - F.col("n_v") + 1).alias("mn"),
+        F.col("cum_n_v").alias("mx"),
     )
-    tot = per_v.agg(
-        F.sum(F.col("mx") - F.col("mn") + 1).cast("decimal(38,0)").alias("n")
-    )
+    tot = scan.agg(F.sum("n_v").cast("decimal(38,0)").alias("n"))
     per_t = (
         per_vt.join(per_v, "v")
         .groupBy("event_type")
@@ -3504,8 +3533,10 @@ def a25_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition offsets, every stage parallel — the global_rank machinery
     generalized from counts to sums), so no unpartitioned window exists
     anywhere (plan-pinned). Upstream: ONE map-combinable groupBy(v);
-    downstream: 1-row broadcast totals, map-combinable max, bounded
-    argmax re-scan of the per-value frame."""
+    downstream: 1-row broadcast totals, then the max, its tie-broken
+    argmax, and the totals fold into a SINGLE map-combinable
+    max(struct(diff, v)) aggregate (r12: previously a data-sized
+    localCheckpoint re-scanned three times)."""
     from ..operators.rank import _idiv, global_prefix_sum
 
     events = load_table(spark, sf_dir, "events")
@@ -3536,27 +3567,25 @@ def a25_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_n1").cast("decimal(38,0)") * F.col("t2")
             - F.col("c_n2").cast("decimal(38,0)") * F.col("t1")
         ).alias("diff"),
-    ).localCheckpoint(eager=True)  # feeds the max and the argmax re-scan
-    m = d.agg(F.max("diff").alias("mx"))
-    at_v = (
-        d.join(F.broadcast(m), F.col("diff") == F.col("mx"))
-        .agg(F.max("v").alias("ks_at_v_micros"))
     )
-    return (
-        d.agg(
-            F.max("t1").alias("t1"),
-            F.max("t2").alias("t2"),
-            F.max("diff").alias("mx"),
-        )
-        .crossJoin(F.broadcast(at_v))
-        .select(
-            F.col("t1").cast("bigint").alias("n_pos"),
-            F.col("t2").cast("bigint").alias("n_neg"),
-            _idiv(F.col("mx") * F.lit(1000000), F.col("t1") * F.col("t2"))
-            .cast("bigint")
-            .alias("ks_ppm"),
-            "ks_at_v_micros",
-        )
+    # r12 optimization (guide §1.2/§5): the max, the tie-broken argmax and
+    # the totals all collapse into ONE map-combinable aggregate —
+    # max(struct(diff, v)) is lexicographic, so its .v is exactly "MAX v
+    # among rows tied at the max diff" (the old shape localCheckpointed
+    # the DATA-SIZED diff frame and re-scanned it three times: max, an
+    # equality-join argmax, and a totals pass). One pass, no data-sized
+    # materialization, bit-identical output.
+    return d.agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max(F.struct("diff", "v")).alias("m"),
+    ).select(
+        F.col("t1").cast("bigint").alias("n_pos"),
+        F.col("t2").cast("bigint").alias("n_neg"),
+        _idiv(F.col("m.diff") * F.lit(1000000), F.col("t1") * F.col("t2"))
+        .cast("bigint")
+        .alias("ks_ppm"),
+        F.col("m.v").alias("ks_at_v_micros"),
     )
 
 
@@ -4582,11 +4611,17 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq_constraint_violations (row-local rules): this one is the
     CROSS-TABLE rule class.
 
-    Scale design: each edge is one LEFT ANTI join on the key (the
-    parent side is distinct-projected first — dimension-sized parents
-    broadcast; the lineitem->orders edge is a data-sized shuffle
-    anti-join, the honest cost of auditing a fact-fact edge) plus a
-    map-combinable count; the result is |edges| rows unioned."""
+    Scale design: each edge is one LEFT ANTI join on the key, with the
+    CHILD side pre-aggregated to (fk, count) first (r12, guide §2.3:
+    the anti-join then shuffles |distinct child keys| narrow rows
+    instead of every child row, and the count aggregate is map-side
+    combinable) — dimension-sized parents broadcast; the
+    lineitem->orders edge is a distinct-keys shuffle anti-join, the
+    honest cost of auditing a fact-fact edge. The old parent-side
+    .distinct() is dropped (r12, guide §2.4): LEFT ANTI never
+    duplicates left rows on multiple matches, so the distinct bought
+    nothing and cost one exchange + aggregate per edge. Orphan counts
+    are then a sum over the surviving key groups; |edges| rows out."""
     from ..operators.rank import _idiv
 
     # one count aggregate per DISTINCT child table — lineitem is the
@@ -4602,12 +4637,14 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for child, fk, parent, pk in _FK_EDGES:
         c = load_table(spark, sf_dir, child)
         p = load_table(spark, sf_dir, parent)
+        ck = c.groupBy(F.col(fk).alias("k")).agg(
+            F.count(F.lit(1)).alias("__ri_cnt")
+        )  # NULL FKs form their own group; anti-join keeps it (orphan)
         orphans = (
-            c.select(F.col(fk).alias("k"))
-            .join(
-                p.select(F.col(pk).alias("k")).distinct(), "k", "left_anti"
+            ck.join(p.select(F.col(pk).alias("k")), "k", "left_anti")
+            .agg(
+                F.coalesce(F.sum("__ri_cnt"), F.lit(0)).alias("n_orphans")
             )
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
         )
         rows.append(
             child_counts[child].crossJoin(F.broadcast(orphans)).select(
