@@ -40,7 +40,7 @@ def connected_components(
         .distinct()
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=False)
 
     for _ in range(max_iterations):
         # each node's new label: min(own label, min label among neighbors)
@@ -53,7 +53,7 @@ def connected_components(
             .unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

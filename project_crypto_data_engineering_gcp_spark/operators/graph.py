@@ -47,7 +47,15 @@ def _pin_loop_invariant(
         )
         out.count()  # materialize once, before the rounds
         return out, True
-    return df.localCheckpoint(eager=True), False
+    # LAZY localCheckpoint (r12, guide §1.2): the plan is truncated and
+    # the RDD persisted exactly as with eager=True, but materialization
+    # happens inside the caller's ONE action instead of a dedicated
+    # driver-blocking job here — same lineage cut, same single
+    # evaluation (persist dedups the two per-round consumers), ~12%
+    # faster pagerank at sf0.1 (A/B in OPTIMIZATION_r12.md), and on a
+    # cluster the scheduler can overlap the materialization with
+    # downstream stages instead of fencing on it.
+    return df.localCheckpoint(eager=False), False
 
 
 def pagerank_fixed_point(
@@ -131,15 +139,22 @@ def pagerank_fixed_point(
         edges_deg, pinned = _pin_loop_invariant(
             e.join(deg, "src"), "src", edge_partitions if n_iters > 0 else None
         )
+    # LAZY checkpoints from here down (r12): every round's plan is still
+    # truncated at the checkpoint and persisted on first materialization
+    # (so the two per-round consumers — the inc join and the dang
+    # aggregate — still evaluate it once), but the whole loop now runs
+    # inside the caller's single action instead of one driver-blocking
+    # job per round. Bit-identical output (integer arithmetic is
+    # partitioning-invariant); A/B in OPTIMIZATION_r12.md.
     nodes_flag = (
         nodes.join(deg, nodes["node"] == deg["src"], "left")
         .select("node", F.col("deg").isNull().alias("dangling"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
-    ranks = nodes_flag.withColumn(
-        "r", F.lit(scale // n_nodes)
-    ).localCheckpoint(eager=True)
+    # initial ranks are nodes_flag + one literal — deriving them on the
+    # fly is free; a dedicated checkpoint of that frame bought nothing
+    ranks = nodes_flag.withColumn("r", F.lit(scale // n_nodes))
     for _ in range(n_iters):
         inc = (
             edges_deg.join(
@@ -163,10 +178,13 @@ def pagerank_fixed_point(
                     f" + dang div {n_nodes})) div {damp_den}"
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     if pinned:
-        # the final ranks are checkpoint-backed, independent of the cache
+        # materialize the final ranks BEFORE dropping the co-partitioned
+        # cache (lazy rounds would otherwise re-derive every round's
+        # join from the un-cached edge frame when the caller executes)
+        ranks.count()
         edges_deg.unpersist()
     return ranks.select("node", "r")
 
@@ -216,15 +234,18 @@ def kcore_peel(
     else:
         sym = edges.unionAll(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     for _ in range(rounds):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-        # materialize the survivor list ONCE per round: it feeds TWO
+        # checkpoint the survivor list ONCE per round: it feeds TWO
         # joins (src + dst filter), and uncut each join would re-run
         # the degree aggregate over the full edge frame — doubling
-        # exactly the per-round cost this operator's scale model counts
+        # exactly the per-round cost this operator's scale model counts.
+        # LAZY (r12): the cut + persist still dedup the two consumers;
+        # materialization just rides the caller's one action instead of
+        # a driver-blocking job per round (see pagerank_fixed_point).
         keep = (
-            deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=True)
+            deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=False)
         )
         keep_v = keep.withColumnRenamed("u", "v")
         if broadcast_survivors:
@@ -235,7 +256,7 @@ def kcore_peel(
             filtered = sym.join(keep, "u", "left_semi").join(
                 keep_v, "v", "left_semi"
             )
-        sym = filtered.select("u", "v").localCheckpoint(eager=True)
+        sym = filtered.select("u", "v").localCheckpoint(eager=False)
     return sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
@@ -304,10 +325,12 @@ def label_propagation(
                     "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("t"))
                 ).alias("lbl")
             )
-            .localCheckpoint(eager=True)
+            # LAZY lineage cut per round — see pagerank_fixed_point (r12)
+            .localCheckpoint(eager=False)
         )
     if pinned:
-        sym.unpersist()  # final labels are checkpoint-backed (rounds >= 1)
+        labels.count()  # materialize before dropping the pinned cache
+        sym.unpersist()
     return labels.select("node", F.col("lbl").alias("community"))
 
 
@@ -365,10 +388,12 @@ def bfs_distances(
             dist.unionByName(hop)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
+            # LAZY lineage cut per round — see pagerank_fixed_point (r12)
+            .localCheckpoint(eager=False)
         )
     if pinned:
-        sym.unpersist()  # final distances are checkpoint-backed (rounds >= 1)
+        dist.count()  # materialize before dropping the pinned cache
+        sym.unpersist()
     return dist
 
 

@@ -70,7 +70,10 @@ def global_rank(
     # sampling — correct today but an implicit invariant, and two
     # redundant range shuffles per call.
     tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
-        eager=True
+        eager=False  # lazy: same plan cut + persist-backed single
+        # evaluation (both branches scan the SAME compiled RDD, so pid
+        # consistency holds); materialization rides the caller's action
+        # instead of a dedicated driver-blocking job here (r12)
     )
 
     counts = tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
@@ -116,7 +119,10 @@ def grouped_global_rank(
     )
     # single evaluation of the pid tagging — see global_rank
     tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
-        eager=True
+        eager=False  # lazy: same plan cut + persist-backed single
+        # evaluation (both branches scan the SAME compiled RDD, so pid
+        # consistency holds); materialization rides the caller's action
+        # instead of a dedicated driver-blocking job here (r12)
     )
 
     counts = tagged.groupBy(_PID, *group_cols).agg(
@@ -207,7 +213,10 @@ def global_prefix_sum(
     )
     # single evaluation of the pid tagging — see global_rank
     tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
-        eager=True
+        eager=False  # lazy: same plan cut + persist-backed single
+        # evaluation (both branches scan the SAME compiled RDD, so pid
+        # consistency holds); materialization rides the caller's action
+        # instead of a dedicated driver-blocking job here (r12)
     )
 
     parts = tagged.groupBy(_PID).agg(
@@ -282,7 +291,10 @@ def grouped_global_prefix_sum(
     )
     # single evaluation of the pid tagging — see global_rank
     tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
-        eager=True
+        eager=False  # lazy: same plan cut + persist-backed single
+        # evaluation (both branches scan the SAME compiled RDD, so pid
+        # consistency holds); materialization rides the caller's action
+        # instead of a dedicated driver-blocking job here (r12)
     )
 
     parts = tagged.groupBy(_PID, *group_cols).agg(
@@ -350,7 +362,10 @@ def global_prefix_min(
     )
     # single evaluation of the pid tagging — see global_rank
     tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
-        eager=True
+        eager=False  # lazy: same plan cut + persist-backed single
+        # evaluation (both branches scan the SAME compiled RDD, so pid
+        # consistency holds); materialization rides the caller's action
+        # instead of a dedicated driver-blocking job here (r12)
     )
 
     parts = tagged.groupBy(_PID).agg(F.min(min_col).alias(_CNT))

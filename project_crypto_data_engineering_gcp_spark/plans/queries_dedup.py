@@ -858,7 +858,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     parts = []
@@ -866,7 +866,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         found = (
             dedup_minhash_lsh(spark, sf_dir, hot_band_cap=cap)
             .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
         n_hit = (

@@ -2696,9 +2696,10 @@ def a21_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("active_users"))
-        # matrix-sized (cohorts x offsets); materialized once so the
-        # sizes branch below does not recompute the scan+window+distinct
-        .localCheckpoint(eager=True)
+        # matrix-sized (cohorts x offsets); lineage cut + persisted once
+        # so the sizes branch below does not recompute the
+        # scan+window+distinct (lazy: materializes inside the one action)
+        .localCheckpoint(eager=False)
     )
     sizes = F.broadcast(
         active.filter(F.col("week_offset") == 0).select(
@@ -3343,7 +3344,7 @@ def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     nf = base.groupBy("nation", "fold").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_f"),
         F.sum("cents").alias("s_f"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy cut (r12): persist dedups
     nc = nf.groupBy("nation").agg(
         F.sum("n_f").alias("n_c"), F.sum("s_f").alias("s_c")
     )
@@ -3448,7 +3449,7 @@ def a24_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (strictly smaller than the old per-ROW ranked checkpoint)
     per_vt = base.groupBy("v", "event_type").agg(
         F.count(F.lit(1)).alias("np_vt")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     per_v0 = per_vt.groupBy("v").agg(F.sum("np_vt").alias("n_v"))
     scan = global_prefix_sum(per_v0, ["v"], ["n_v"], prefix="cum_")
     per_v = scan.select(
@@ -3838,7 +3839,7 @@ def a28_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "quadrant")
         .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
-        .localCheckpoint(eager=True)  # tiny; feeds four consumers
+        .localCheckpoint(eager=False)  # tiny; feeds four consumers (lazy cut)
     )
     rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
     ct = cells.groupBy("quadrant").agg(F.sum("o").alias("col_tot"))
@@ -3959,7 +3960,7 @@ def a29_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         d38(F.count(F.lit(1))).alias("n1"),
         d38(F.sum("v")).alias("s1"),
         d38(F.sum(sq)).alias("ss1"),
-    ).localCheckpoint(eager=True)  # 5 rows; feeds itself twice below
+    ).localCheckpoint(eager=False)  # 5 rows; feeds itself twice below
     # global moments are SUMS of the group moments — derived from the
     # 5-row frame, so the fact table is scanned exactly ONCE
     # (plan-pinned in tests/test_plan_shapes.py)
@@ -4174,7 +4175,7 @@ def a30_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = global_rank(base, ["v", "c_custkey"], rank_col="rk").select(
         "v", "c_nationkey", "rk"
-    ).localCheckpoint(eager=True)  # feeds the two groupBys once
+    ).localCheckpoint(eager=False)  # feeds the two groupBys once (lazy)
     per_v = ranked.groupBy("v").agg(
         F.min("rk").alias("mn"), F.max("rk").alias("mx")
     )
@@ -4368,7 +4369,7 @@ def a32_cramers_v_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "quadrant")
         .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
-        .localCheckpoint(eager=True)  # tiny; feeds four consumers
+        .localCheckpoint(eager=False)  # tiny; feeds four consumers (lazy cut)
     )
     rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
     ct = cells.groupBy("quadrant").agg(F.sum("o").alias("col_tot"))
@@ -4630,7 +4631,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     child_counts = {
         t: load_table(spark, sf_dir, t)
         .agg(F.count(F.lit(1)).alias("n_child"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
         for t in {e[0] for e in _FK_EDGES}
     }
     rows = []

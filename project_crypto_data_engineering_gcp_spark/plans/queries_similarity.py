@@ -1719,7 +1719,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = (
-        scored.orderBy(F.desc("rel"), "vec_id").limit(MMR_C).localCheckpoint()
+        scored.orderBy(F.desc("rel"), "vec_id").limit(MMR_C).localCheckpoint(eager=False)
     )
     a, b = cand.alias("a"), cand.alias("b")
     ps = (
@@ -1731,7 +1731,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot_prenorm(F.col("a.nv"), F.col("b.nv")), 6
             ).alias("s"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sel = (
         cand.orderBy(F.desc("rel"), "vec_id")
@@ -1742,7 +1742,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("rank"),
             F.lit(0.0).alias("redundancy"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for i in range(2, MMR_K + 1):
         red = (
@@ -1767,7 +1767,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("red").alias("redundancy"),
             )
         )
-        sel = sel.unionByName(pick).localCheckpoint()
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
     return sel.select(
         "rank", "vec_id", F.col("rel").alias("relevance"), "redundancy"
     )

@@ -1544,7 +1544,7 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", F.explode(tokens("text")).alias("tok"))
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("tf_lang"))
-    ).localCheckpoint(eager=True)  # vocabulary-sized; feeds 3 aggregates
+    ).localCheckpoint(eager=False)  # vocabulary-sized; feeds 3 aggregates
     glob = per_lang.groupBy("tok").agg(F.sum("tf_lang").alias("tf_glob"))
     lang_tot = per_lang.groupBy("lang").agg(F.sum("tf_lang").alias("n_lang"))
     all_tot = per_lang.agg(F.sum("tf_lang").alias("n_all"))
@@ -1633,7 +1633,7 @@ def text_token_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=True)  # feeds the total AND the ranking
+        .localCheckpoint(eager=False)  # feeds the total AND the ranking
     )
     tot = counts.agg(F.sum("cnt").cast("decimal(38,0)").alias("t"))
     ranked = global_rank(
