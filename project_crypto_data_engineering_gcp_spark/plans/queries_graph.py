@@ -713,9 +713,13 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one self-equi-join of the bidirectional adjacency on
     the middle key (hash join, no cartesian), a semi-filter against the
-    capped-degree frame, then ONE distinct + count per endpoint — every
-    shuffle keyed on node ids. The pooled basket edge frame is shared
-    with the triangle/basket family."""
+    capped-degree frame, then count_distinct(v) per endpoint — Spark
+    plans that as a (u, v) dedup UNDER u-partitioning, i.e. ONE
+    exchange of the reach set (r12, guide §2.4; the previous
+    distinct-then-groupBy shape paid an (u, v) exchange AND a second
+    u exchange for the count). Every shuffle keyed on node ids. The
+    pooled basket edge frame is shared with the triangle/basket
+    family."""
     edges = _basket_edges(spark, sf_dir).select("u", "v")
     adj = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -734,10 +738,10 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("b.v") != F.col("a.u"))
         .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
     )
-    reach = adj.select("u", "v").unionByName(two).distinct()
+    reach = adj.select("u", "v").unionByName(two)
     return (
         reach.groupBy("u")
-        .agg(F.count(F.lit(1)).alias("n_reach2"))
+        .agg(F.count_distinct(F.col("v")).alias("n_reach2"))
         .join(deg, F.col("u") == F.col("node"))
         .select(
             F.col("u").cast("bigint").alias("p_partkey"),

@@ -330,56 +330,55 @@ def mm_simhash_payload(
     in both engines (verified: DuckDB >> is arithmetic, masked)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    md = F.md5(F.col("gram"))
-    # one md5 per gram, two disjoint 60-bit digest slices -> two 32-bit
-    # halves covering the 64 vote lanes (md5_long alone is only 60 bits)
-    hlo = F.conv(F.substring(md, 1, 15), 16, 10).cast("long").bitwiseAND(
-        F.lit(4294967295)
-    )
-    hhi = F.conv(F.substring(md, 17, 15), 16, 10).cast("long").bitwiseAND(
-        F.lit(4294967295)
-    )
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"CASE WHEN length(text) < 1 THEN array() ELSE "
-                    f"transform(sequence(1, length(text), {MM_GRAM_BYTES}),"
-                    f" p -> substring(text, p, {MM_GRAM_BYTES})) END"
-                )
-            )
-        ).alias("gram"),
-    ).select("doc_id", hlo.alias("hlo"), hhi.alias("hhi"))
-    bits = grams.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(
-                        F.col("hlo" if i < 32 else "hhi"), i % 32
-                    ).bitwiseAND(1)
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"s{i}")
-            for i in range(MM_SIMHASH_BITS)
-        ]
-    )
-    simhash = None
-    for i in range(MM_SIMHASH_BITS):
-        weight = -(1 << 63) if i == 63 else (1 << i)
-        term = F.when(F.col(f"s{i}") >= 0, F.lit(weight)).otherwise(
-            F.lit(0).cast("long")
-        )
-        simhash = term if simhash is None else simhash + term
-    sh_plan = bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
-
     # POOLED sketch frame (the dedup_minhash_lsh sigs discipline): the
     # band frame below is SELF-JOINED, so an uncached sketch would run
     # the 64-column vote aggregate twice per execution; one row per doc,
-    # bounded LRU, repeat calls are pool hits.
+    # bounded LRU, repeat calls are pool hits. The WHOLE sketch plan is
+    # constructed inside the build (r12): the 64 vote aggregates and the
+    # 64-term signature chain used to be assembled as ~800 individual
+    # Column API calls on EVERY invocation, pool hit or not — ~2.0 s of
+    # driver-side py4j round-trips per call, independent of data scale.
+    # They are now two parsed expr strings (two py4j calls), built only
+    # on a pool miss; compiled expressions, arithmetic (same ascending
+    # addition order, same two's-complement bit-63 weight — shiftleft(1L,
+    # 63) IS Long.MIN_VALUE), and results are identical.
     def build_sh() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        md = F.md5(F.col("gram"))
+        # one md5 per gram, two disjoint 60-bit digest slices -> two
+        # 32-bit halves covering the 64 vote lanes (md5_long alone is
+        # only 60 bits)
+        hlo = F.conv(F.substring(md, 1, 15), 16, 10).cast(
+            "long"
+        ).bitwiseAND(F.lit(4294967295))
+        hhi = F.conv(F.substring(md, 17, 15), 16, 10).cast(
+            "long"
+        ).bitwiseAND(F.lit(4294967295))
+        grams = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"CASE WHEN length(text) < 1 THEN array() ELSE "
+                        f"transform(sequence(1, length(text), {MM_GRAM_BYTES}),"
+                        f" p -> substring(text, p, {MM_GRAM_BYTES})) END"
+                    )
+                )
+            ).alias("gram"),
+        ).select("doc_id", hlo.alias("hlo"), hhi.alias("hhi"))
+        votes = ",".join(
+            f"sum(CASE WHEN (shiftright({'hlo' if i < 32 else 'hhi'},"
+            f" {i % 32}) & 1) = 1 THEN 1 ELSE -1 END)"
+            for i in range(MM_SIMHASH_BITS)
+        )
+        bits = grams.groupBy("doc_id").agg(F.expr(f"array({votes}) AS sv"))
+        sig = " + ".join(
+            f"(CASE WHEN sv[{i}] >= 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+            for i in range(MM_SIMHASH_BITS)
+        )
+        sh_plan = bits.select(
+            "doc_id", F.expr(f"CAST(({sig}) AS BIGINT) AS simhash")
+        )
         out = sh_plan.cache()
         out.count()
         return out
@@ -390,30 +389,22 @@ def mm_simhash_payload(
         _MM_SH_MEMO, (spark.sparkContext.applicationId, sf_dir), build_sh
     )
 
-    def blk(b: int):  # block value: shift-then-mask, fill-independent
-        return F.shiftright(F.col("simhash"), MM_BLOCK_OFFSETS[b]).bitwiseAND(
-            (1 << MM_BLOCK_WIDTHS[b]) - 1
+    def blk(b: int) -> str:  # block value: shift-then-mask, fill-independent
+        return (
+            f"(shiftright(simhash, {MM_BLOCK_OFFSETS[b]})"
+            f" & {(1 << MM_BLOCK_WIDTHS[b]) - 1})"
         )
 
+    # one parsed expr instead of ~200 Column API calls per invocation
+    # (r12, same rationale as the sketch build above); 11-bit packing of
+    # each block triple (< 2^33)
+    combos = ",".join(
+        f"named_struct('k', {cid}, 'bv',"
+        f" {blk(i)} * 4194304 + {blk(j)} * 2048 + {blk(k)})"
+        for cid, (i, j, k) in enumerate(MM_COMBOS)
+    )
     bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(cid).alias("k"),
-                        # 11-bit packing of the block triple (< 2^33)
-                        (
-                            blk(i) * F.lit(4194304)
-                            + blk(j) * F.lit(2048)
-                            + blk(k)
-                        ).alias("bv"),
-                    )
-                    for cid, (i, j, k) in enumerate(MM_COMBOS)
-                ]
-            )
-        ).alias("b"),
+        "doc_id", "simhash", F.expr(f"explode(array({combos})) AS b")
     ).select("doc_id", "simhash", "b.k", "b.bv")
     if hot_band_cap is not None:
         # one count-window on the SAME key the self-join shuffles on

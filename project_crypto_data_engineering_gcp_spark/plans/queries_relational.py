@@ -4157,34 +4157,34 @@ def a30_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     random customer of this nation outranks a random outsider half the
     time", i.e. no location shift.
 
-    Scale design: identical machinery to a24_roc_auc (ranks are
-    group-independent, so ONE global_rank serves every nation; tie
-    groups and per-(value, nation) counts are two map-combinable
-    groupBys), because AUC IS the rescaled U statistic — implemented
-    once each, differential-tested independently."""
-    from ..operators.rank import _idiv, global_rank
+    Scale design: identical machinery to a24_roc_auc (r12 rewrite,
+    guide §2.3 — per-row ranks are never materialized: tie-group
+    min/max ranks come from a running sum over the per-value histogram
+    via `global_prefix_sum`, ONE map-combinable groupBy(v, nation)
+    collapses the dimension first), because AUC IS the rescaled U
+    statistic — implemented once each, differential-tested
+    independently."""
+    from ..operators.rank import _idiv, global_prefix_sum
 
     customer = load_table(spark, sf_dir, "customer")
     base = customer.select(
-        "c_custkey",
         "c_nationkey",
         (F.col("c_acctbal") * 100)
         .cast("decimal(18,0)")
         .cast("bigint")
         .alias("v"),
     )
-    ranked = global_rank(base, ["v", "c_custkey"], rank_col="rk").select(
-        "v", "c_nationkey", "rk"
-    ).localCheckpoint(eager=False)  # feeds the two groupBys once (lazy)
-    per_v = ranked.groupBy("v").agg(
-        F.min("rk").alias("mn"), F.max("rk").alias("mx")
-    )
-    per_vn = ranked.groupBy("v", "c_nationkey").agg(
+    per_vn = base.groupBy("v", "c_nationkey").agg(
         F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)  # feeds the rollup AND the join (lazy)
+    per_v0 = per_vn.groupBy("v").agg(F.sum("cnt").alias("n_v"))
+    scan = global_prefix_sum(per_v0, ["v"], ["n_v"], prefix="cum_")
+    per_v = scan.select(
+        "v",
+        (F.col("cum_n_v") - F.col("n_v") + 1).alias("mn"),
+        F.col("cum_n_v").alias("mx"),
     )
-    tot = per_v.agg(
-        F.sum(F.col("mx") - F.col("mn") + 1).cast("decimal(38,0)").alias("n")
-    )
+    tot = scan.agg(F.sum("n_v").cast("decimal(38,0)").alias("n"))
     per_n = (
         per_vn.join(per_v, "v")
         .groupBy("c_nationkey")
@@ -5026,14 +5026,20 @@ def dq_version_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exercised Spark-side, with the txlog's ACID tests covering the
     storage layer itself).
 
-    Scale design: the rank pass rides range-partitioned global_rank (no
-    unpartitioned window); boundary extraction is a broadcast join of a
-    9-row target frame against the ranked facts. The rebuild cost is
-    two partitioned parquet commits — at a real 100 TB the table
-    already EXISTS as versions; only the two ranked scans remain."""
+    Scale design (r12 rewrite, guide §2.3): per-row ranks are never
+    materialized — the boundary at rank target t is the smallest value
+    whose cumulative row count reaches t, so each version collapses to
+    a map-combinable per-value histogram + `global_prefix_sum` over the
+    |distinct values| frame (the a24 identity; previously a
+    range-partitioned global_rank materialized a rank for EVERY row of
+    both versions), and boundary extraction is a broadcast join of the
+    9-row target frame on the cumulative-straddle condition. The
+    rebuild cost is two partitioned parquet commits — at a real 100 TB
+    the table already EXISTS as versions; only the two histogram scans
+    remain."""
     import shutil
 
-    from ..operators.rank import _idiv, global_rank
+    from ..operators.rank import _idiv, global_prefix_sum
     from ..sources import tx_table
 
     table = _vdrift_table_dir(sf_dir)
@@ -5059,15 +5065,23 @@ def dq_version_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
 
     def boundaries(version: int | None, out: str) -> DataFrame:
-        snap = tx_table.read(spark, table, version).select("cents", "o_orderkey")
-        ranked = global_rank(snap, ["cents", "o_orderkey"], rank_col="rn")
-        n = snap.agg(F.count(F.lit(1)).alias("n"))
+        snap = tx_table.read(spark, table, version).select("cents")
+        per_v = snap.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+        scan = global_prefix_sum(per_v, ["cents"], ["c"], prefix="cum_")
+        # count from the prefix-sum's persisted frame — snap.agg would
+        # re-read the txlog version a second time
+        n = scan.agg(F.sum("c").alias("n"))
         targets = spine.crossJoin(F.broadcast(n)).select(
             "decile",
             _idiv(F.col("decile") * F.col("n"), F.lit(10)).alias("target"),
         )
-        return ranked.join(
-            F.broadcast(targets), ranked.rn == F.col("target")
+        # the value at rank t is the one whose cumulative count straddles
+        # t: cum - c < t <= cum (identical to rn == t on the old per-row
+        # rank, because ranks inside a tie group all carry one value)
+        return scan.join(
+            F.broadcast(targets),
+            (F.col("cum_c") >= F.col("target"))
+            & (F.col("cum_c") - F.col("c") < F.col("target")),
         ).select("decile", F.col("cents").alias(out))
 
     b0 = boundaries(0, "v0_cents")
@@ -5448,6 +5462,10 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        # feeds the conversion join AND the censor anti-join — cut +
+        # persist once instead of re-running the events scan + aggregate
+        # per consumer (r12; lazy, materializes inside the one action)
+        .localCheckpoint(eager=False)
     )
     conv = (
         ev.filter(F.col("event_type") == "purchase")
@@ -5463,6 +5481,8 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("time_h"),
             F.lit(1).alias("evt"),
         )
+        .localCheckpoint(eager=False)  # feeds subj AND the censor
+        # anti-join (r12; lazy cut, same rationale as s1)
     )
     mx = ev.agg(F.max("ts").alias("m"))
     cens = (
@@ -5481,7 +5501,10 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("m"), F.sum("evt").alias("d")
     )
     cum = global_prefix_sum(tc, ["time_h"], ["m"])
-    tot = tc.agg(F.sum("m").alias("tot"))
+    # totals from the prefix-sum's persisted frame, not tc's raw lineage
+    # — tc.agg would re-run the whole subjects pipeline a second time
+    # (r12; the a25/a27 single-scan discipline)
+    tot = cum.agg(F.sum("m").alias("tot"))
     evr = (
         cum.crossJoin(F.broadcast(tot))
         .select(

@@ -327,3 +327,45 @@ def test_kcore_shuffle_survivors_matches_broadcast(spark):
         ).collect()
     }
     assert a == b and a, "shuffle and broadcast survivor paths must agree"
+
+
+def test_iterative_pinned_mode_matches_default_after_lazy_cuts(spark):
+    """r12 focused test: the round lineage cuts went lazy
+    (localCheckpoint(eager=False)), and in co-partitioned mode the
+    operators now materialize the FINAL frame before unpersisting the
+    pinned loop-invariant cache. If that materialize-before-unpersist
+    ordering ever regressed, pinned-mode results would be recomputed
+    from an un-cached (and re-shuffled) edge frame — still correct but
+    silently paying the re-exchange every round — or, worse, a future
+    edit could consume the frame after the cache is gone. Pin the
+    bit-identical-output contract across modes for all three pinned
+    operators."""
+    from project_crypto_data_engineering_gcp_spark.operators.graph import (
+        bfs_distances,
+        label_propagation,
+        pagerank_fixed_point,
+    )
+    from project_crypto_data_engineering_gcp_spark.sources.tables import (
+        load_table,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    base = pagerank_fixed_point(edges, n_iters=2, scale=10**9)
+    pinned = pagerank_fixed_point(
+        edges, n_iters=2, scale=10**9, edge_partitions=4
+    )
+    assert sorted(base.collect()) == sorted(pinned.collect())
+
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    lp_base = label_propagation(sym, rounds=2)
+    lp_pin = label_propagation(sym, rounds=2, edge_partitions=4)
+    assert sorted(lp_base.collect()) == sorted(lp_pin.collect())
+
+    bfs_base = bfs_distances(sym, seed_mod=100, rounds=2)
+    bfs_pin = bfs_distances(sym, seed_mod=100, rounds=2, edge_partitions=4)
+    assert sorted(bfs_base.collect()) == sorted(bfs_pin.collect())
