@@ -95,13 +95,23 @@ def grouped_weighted_median(
     1e6 * cum >= quantile_ppm * total (500_000 = the median; 250_000 =
     lower quartile; 990_000 = p99). Integer ppm keeps the boundary test
     exact — the refinement, its cost model, and bit-determinism are
-    quantile-invariant (each level locates the band the same way)."""
+    quantile-invariant (each level locates the band the same way).
+
+    ``band_widths=()`` (r13, the "value-grain last level" degenerate
+    case) skips banding entirely: ONE map-combinable (group, value)
+    aggregate over the fact, cumulated per group — 1 fact scan instead
+    of len(band_widths)+1. Correct at any data size but only
+    scale-SAFE when the caller can bound the value DOMAIN (the
+    per-group exact frame is |distinct values|, no longer
+    band-width-bounded): reach for it when |domain| is a small constant
+    (o9's qty_centi in [100, 5000]); keep >= 1 level when distinct
+    values grow with the data (o8/o10's price domain)."""
     for r in _RESERVED:
         if r in df.columns:
             raise ValueError(
                 f"grouped_weighted_median: reserved column {r!r} present"
             )
-    if not band_widths or any(w <= 0 for w in band_widths):
+    if any(w <= 0 for w in band_widths):
         raise ValueError("band_widths must be positive")
     if any(
         band_widths[i] <= band_widths[i + 1]
@@ -184,24 +194,38 @@ def grouped_weighted_median(
             _TOT,
         )
 
-    # exact resolution inside the last level's band only
-    last_w = band_widths[-1]
-    st = state.select(
-        *[F.col(g).alias(f"__wm_g_{g}") for g in group_cols],
-        F.col(_B).alias("__wm_pb"),
-        F.col(_BEFORE).alias("__wm_pbefore"),
-        F.col(_TOT).alias("__wm_ptot"),
-    )
-    cond = _band(value_col, last_w) == F.col("__wm_pb")
-    for g in group_cols:
-        # eqNullSafe: see the level-loop comment (r11 ADVICE)
-        cond = cond & F.col(g).eqNullSafe(F.col(f"__wm_g_{g}"))
-    cand = (
-        df.join(F.broadcast(st), cond)
-        .groupBy(*group_cols, value_col, "__wm_pbefore", "__wm_ptot")
-        .agg(F.sum(weight_col).alias(_WB))
-        .filter(F.col(_WB) > 0)
-    )
+    if state is None:
+        # band_widths=() — value-grain single scan: ONE map-combinable
+        # (group, value) aggregate over the whole domain; before = 0 and
+        # tot rides a window over the value frame (the o8 pass-1
+        # pattern). Scale-safe only for domain-bounded values — see the
+        # docstring decision rule.
+        cand = (
+            df.groupBy(*group_cols, value_col)
+            .agg(F.sum(weight_col).alias(_WB))
+            .filter(F.col(_WB) > 0)
+            .withColumn("__wm_pbefore", F.lit(0))
+            .withColumn("__wm_ptot", F.sum(_WB).over(wgrp))
+        )
+    else:
+        # exact resolution inside the last level's band only
+        last_w = band_widths[-1]
+        st = state.select(
+            *[F.col(g).alias(f"__wm_g_{g}") for g in group_cols],
+            F.col(_B).alias("__wm_pb"),
+            F.col(_BEFORE).alias("__wm_pbefore"),
+            F.col(_TOT).alias("__wm_ptot"),
+        )
+        cond = _band(value_col, last_w) == F.col("__wm_pb")
+        for g in group_cols:
+            # eqNullSafe: see the level-loop comment (r11 ADVICE)
+            cond = cond & F.col(g).eqNullSafe(F.col(f"__wm_g_{g}"))
+        cand = (
+            df.join(F.broadcast(st), cond)
+            .groupBy(*group_cols, value_col, "__wm_pbefore", "__wm_ptot")
+            .agg(F.sum(weight_col).alias(_WB))
+            .filter(F.col(_WB) > 0)
+        )
     win = (
         Window.partitionBy(*group_cols)
         .orderBy(value_col)

@@ -40,35 +40,31 @@ class CorpusQuery:
 
 _REGISTRY: dict[str, CorpusQuery] = {}
 
-# r12 WINDOW (this round; exactly the plan declared in r11 — see the
-# r11 VERDICT task 1 and the ROLLOVER comment committed with the r11
-# window): the six r11 additions lead (policy (a): never
-# driver-checked; all passed local parity at sf0.001/0.01/0.1, the
-# corpus fuzz sweep, AND an independent judge-run DuckDB parity check
-# in the r11 verdict), then the complete 42-entry r7-latest rollover
-# from the r11 comment (policy (c)), then the first 2 of the r8-latest
-# set (the 50 registered queries whose newest driver row is r8 —
-# recomputed this round from CORRECTNESS_r01..r11) in CORRECTNESS_r08
-# file order. 6 + 42 + 2 = 50. The 48 r8-latest entries that do not
-# fit are listed in the ROLLOVER comment below and lead the r13 window
-# together with any r12 additions. After this round's check the
-# staleness ledger reads r12x50, r11x50, r10x50, r9x50, r8x48 — max
-# staleness 4 rounds, the documented floor for a ~250-query corpus
-# under a 50-slot window (README "Driver-window rotation policy").
+# r13 WINDOW (this round; the rotation the r12 window comment and the
+# r12 VERDICT (task 5) declared): the five r12 additions lead (policy
+# (a): never driver-checked in ANY of CORRECTNESS_r01..r12 — each has
+# local parity at sf0.001/0.01/0.1, a fuzz seat, and a scale-sweep
+# row), then o9_weighted_median_skewed joins per policy (b) (its
+# execution strategy was rewritten this round — r13 value-grain
+# single-scan, results bit-identical, but a rewritten query re-earns
+# its driver row), then the 48-entry r8-latest rollover from the r12
+# comment (policy (c)), in its declared order. 5 + 1 + 44 = 50; the
+# last 4 r8-latest entries (sim_cosine_pairs, sim_embedding_norms,
+# text_fingerprint, text_lang_id) overflow and LEAD the r14 window,
+# followed by the r9-latest set oldest-first (compute it at r14 start
+# from CORRECTNESS_r01..r13). After this round's check the staleness
+# ledger reads r13x50, r12x50, r11x50, r10x50, r9x46(+4 r8-latest
+# stragglers) — max staleness 5 rounds for exactly those 4 entries,
+# one round above the documented ~4-round floor, self-correcting at
+# r14 (README "Driver-window rotation policy").
 #
-# STALENESS TRIAGE (standing, r4 verdict task 5) — with ~220+ queries
+# STALENESS TRIAGE (standing, r4 verdict task 5) — with ~250 queries
 # and a ~50-slot window, the "newest row <= 2 rounds old" invariant is
 # arithmetically unkeepable (a full rotation takes ~4.5 rounds); policy:
 #   (a) never-checked queries ALWAYS lead the next window,
 #   (b) queries rewritten/refactored since their last row join them,
 #   (c) remaining slots refresh oldest-first,
-# so every query's newest row stays at most ~4 rounds old.
-#
-#   r13 plan (declared now, cut at r13 start): any r12 additions lead
-#   (policy (a)), then the 48-entry r8-latest rollover below
-#   (a29_welch_ttest ... text_lang_id, policy (c)) fills the remaining
-#   slots (48 + additions may exceed 50; overflow continues r8-latest
-#   order into r14).
+# so every query's newest row stays at most ~4-5 rounds old.
 #
 # History: r1 covered entries 1-50 of the original order, r2 the
 # crypto/TPC-H/curation priority set, r3 the never-checked 26 + r3
@@ -81,77 +77,23 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 # 22-entry r8 rollover + 20 r5-stale refreshers, r10 the 7 r9
 # additions + the 30-entry r5-stale rollover + the first 13 r6-latest,
 # r11 the 6 r10 additions + the 36-entry r6-latest rollover + the
-# first 8 r7-latest (50/50 green every round; zero red rows ever).
+# first 8 r7-latest, r12 the 6 r11 additions + the 42-entry r7-latest
+# rollover + the first 2 r8-latest (50/50 green every round; zero red
+# rows ever).
 CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
-    # ---- r11 additions (6): never driver-checked, policy (a);
-    # judge-verified green vs DuckDB in the r11 verdict ----
-    "o9_weighted_median_skewed",
-    "a39_tail_shares_by_nation",
-    "dq_order_total_reconciliation",
-    "events_peak_concurrency",
-    "text_hapax_ratio_by_source",
-    "curate_reservoir_per_source",
-    # ---- the complete 42-entry r7-latest rollover from the r11
-    # window comment, policy (c), in CORRECTNESS_r07 file order ----
-    "a22_sales_cube",
-    "curate_weighted_sample",
-    "dq_table_diff",
-    "dq_table_checksum",
-    "text_bpe_encode_stats",
-    "a23_bootstrap_ci",
-    "feat_target_encoding",
-    "a24_roc_auc",
-    "a25_ks_test",
-    "a26_calibration_bins",
-    "streaming_interval_join",
-    "streaming_sessionized",
-    "j4_customers_with_orders_semi",
-    "j5_nation_activity_full_outer",
-    "j6_correlated_scalar",
-    "j7_salted_skew_join",
-    "a6_salted_skew_aggregate",
-    "a7_order_price_histogram",
-    "a8_exact_quantiles_by_priority",
-    "a9_grouping_sets_revenue",
-    "w1_latest_event_per_user",
-    "w4_event_navigation",
-    "w5_sliding_hour_total",
-    "w6_forward_fill",
-    "w7_cumulative_distinct_users",
-    "o4_topk_per_group",
-    "o5_set_ops_customers",
-    "dedup_exact",
-    "dedup_containment",
-    "dedup_clusters_transitive",
-    "dedup_minhash_lsh_capped",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_time_bucketed",
-    "sim_ann_ivf_indexed",
-    "sim_ann_ivf_kmeans",
-    "sim_dimension_stats",
-    "sim_pq_indexed",
-    "sim_pq_topk",
-    "events_sessionized",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    # ---- first 2 of the r8-latest set (50 entries; recomputed from
-    # CORRECTNESS_r01..r11 this round), policy (c), in
-    # CORRECTNESS_r08 file order ----
-    "a27_pr_auc",
-    "a28_chi_square",
-    # ---- ROLLOVER QUEUE (positions 51+), in r13-window order ----
-    # r12 additions (policy (a): never driver-checked — they LEAD the
-    # r13 window; inserted here as they ship, each with local parity
-    # at sf0.001/0.01/0.1, a fuzz seat, and a scale-sweep row) ----
+    # ---- r12 additions (5), policy (a): never driver-checked ----
     "o10_weighted_p90_prices",
     "a40_bitmap_distinct_users",
     "dedup_within_watermark_batch",
     "w9_session_window_native",
     "p15_variant_extract",
-    # ...then the 48 remaining r8-latest entries (policy (c); these
-    # HAVE green r8 rows — listing them documents the r13 plan and
-    # keeps the rotation auditable) ----
+    # ---- policy (b): rewritten this round (r13 wmedian value-grain;
+    # o10 above is ALSO rewritten — (1e5,1e3) -> (1e5,) — and already
+    # leads via policy (a)) ----
+    "o9_weighted_median_skewed",
+    # ---- the 48-entry r8-latest rollover from the r12 window comment,
+    # policy (c), in its declared order; the first 44 complete the
+    # 50-slot window, the last 4 overflow into r14 ----
     "a29_welch_ttest",
     "dq_histogram_drift",
     "feat_hashing_trick",
@@ -196,6 +138,8 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "percentiles_acctbal_by_nation",
     "pivot_status_by_priority",
     "set_ops_orderkeys",
+    # ---- r14 OVERFLOW QUEUE (positions 51+): these 4 lead the r14
+    # window, then the r9-latest set oldest-first ----
     "sim_cosine_pairs",
     "sim_embedding_norms",
     "text_fingerprint",

@@ -5638,9 +5638,10 @@ def o8_weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned twice, the classic refinement price. The r10 residual lever
     (a pathological brand concentrating most weight in ONE band) is
     closed by the multi-level generalization
-    operators/wmedian.py::grouped_weighted_median — exercised by
-    [o9_weighted_median_skewed], whose value domain sits entirely
-    inside one level-0 band by construction."""
+    operators/wmedian.py::grouped_weighted_median (property-tested up
+    to 3 levels); [o9_weighted_median_skewed]'s concentrated domain is
+    small enough that r13 moved it to the operator's value-grain
+    single-scan case instead."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5752,23 +5753,25 @@ def o9_weighted_median_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain that is PATHOLOGICAL for single-level bucket refinement by
     construction: quantity_centi spans [100, 5000], so the entire
     distribution of every group lands in ONE level-0 band (width 1e5)
-    and o8's shape would degrade to a group-sized exact pass. This
-    query exercises the r10 residual lever's fix — the multi-level
-    operator (operators/wmedian.py::grouped_weighted_median,
-    band_widths (1e5, 1e3)): level 1 re-bands the concentrated band
-    into width-1000 slices through one more map-combinable aggregate,
-    and the exact pass resolves inside a single narrow slice per group
-    (here <= 10 distinct quantity points), however concentrated the
-    weight. All arithmetic is integer (centi-scaled quantity, cents
+    and o8's two-pass shape would spend its first scan learning
+    nothing. All arithmetic is integer (centi-scaled quantity, cents
     weight, 2*cum >= tot), so the boundary row is bit-determined;
     zero-weight points are out of frame in both engines.
 
-    Scale shape: the fact is touched through three map-combinable
-    aggregates (one per level + exact pass), each keyed by (group,
-    band) with band frames bounded by |groups| x (domain/width); no
-    data-sized window, shuffle beyond the aggregates, or checkpoint —
-    the 100 TB cost model o8's SCALE.md sweep measured, now robust to
-    one-band concentration."""
+    Scale shape (r13, the "value-grain" degenerate case of
+    operators/wmedian.py::grouped_weighted_median, band_widths=()):
+    the [100, 5000] domain admits at most 4 901 distinct value points
+    PER GROUP — a config constant, not a data size — so banding cannot
+    reduce the frame below what a direct (group, value) aggregate
+    already produces. ONE map-combinable fact scan + a window over the
+    domain-bounded value frame replaces the r11 multi-level shape's
+    three scans (level 0 located the single all-weight band, level 1
+    re-banded it, the exact pass scanned again; the r13 sweep measured
+    the 1-scan form ~2x faster at x100 amplification, SCALE.md r13).
+    The multi-level refinement path — still the right shape for WIDE
+    domains — stays exercised by [o10_weighted_p90_prices] (one level
+    + value-grain exact pass) and the operator property tests
+    (band_widths up to 3 levels, tests/test_operator_properties.py)."""
     from ..operators.wmedian import grouped_weighted_median
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -5784,7 +5787,7 @@ def o9_weighted_median_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         "qty_centi",
         "w",
-        band_widths=(100_000, 1_000),
+        band_widths=(),
         median_col="median_qty_centi",
         total_col="total_weight_cents",
     )
@@ -6133,12 +6136,18 @@ def o10_weighted_p90_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     The COMPOSITE group key additionally exercises the operator's
     multi-column eqNullSafe state joins (r11 ADVICE fix).
 
-    Scale shape: identical to o8 — multi-level bucket refinement,
-    band_widths (1e5, 1e3) over the cents-scaled price domain; the fact
-    is touched only through map-combinable (group, band) aggregates and
-    the exact pass resolves inside ONE width-1000 band per group. The
-    quantile parameter moves WHICH band each level selects, never the
-    cost model (each level still keeps exactly one band per group)."""
+    Scale shape: bucket refinement with a value-grain exact pass —
+    band_widths (1e5,) over the cents-scaled price domain: level 0
+    locates each group's p90 band through a map-combinable (group,
+    band) aggregate, and the exact pass aggregates the rows of that ONE
+    width-1e5 band per group at (group, value) grain. The r11 shape
+    interposed a width-1e3 level (3 fact scans); since distinct
+    price_cents inside a width-1e5 band is DOMAIN-bounded (<= 1e5 per
+    group, a constant), the middle level only shrank an
+    already-bounded frame at the price of a full extra fact scan — the
+    r13 x100 sweep measured the 2-scan form strictly faster with flat
+    scaling (SCALE.md r13). The quantile parameter moves WHICH band
+    level 0 selects, never the cost model."""
     from ..operators.wmedian import grouped_weighted_median
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -6155,7 +6164,7 @@ def o10_weighted_p90_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag", "l_linestatus"],
         "price_cents",
         "w",
-        band_widths=(100_000, 1_000),
+        band_widths=(100_000,),
         median_col="p90_price_cents",
         total_col="total_weight_centi",
         quantile_ppm=900_000,

@@ -1787,7 +1787,10 @@ def test_grouped_weighted_median_matches_reference_random(spark):
     pdf = pd.DataFrame(rows, columns=["id", "g", "v", "w"])
     df = spark.createDataFrame(pdf).repartition(7)
     want = _wmedian_ref(pdf)
-    for widths in ((100_000,), (100_000, 1_000), (100_000, 5_000, 100)):
+    # () = the r13 value-grain single-scan degenerate case (one
+    # (group, value) aggregate, no banding) — must agree bit-for-bit
+    # with every refinement depth
+    for widths in ((), (100_000,), (100_000, 1_000), (100_000, 5_000, 100)):
         got = grouped_weighted_median(
             df, ["g"], "v", "w", band_widths=widths
         ).collect()
@@ -1877,7 +1880,7 @@ def test_grouped_weighted_quantile_matches_reference(spark):
         return out
 
     for p in (250_000, 500_000, 900_000):
-        for widths in ((100_000, 1_000), (10_000,)):
+        for widths in ((100_000, 1_000), (10_000,), ()):
             got = grouped_weighted_median(
                 df, ["g"], "v", "w", band_widths=widths, quantile_ppm=p
             ).collect()

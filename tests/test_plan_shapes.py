@@ -1118,14 +1118,17 @@ def test_r11_no_unpartitioned_windows(spark, name):
     assert not bad, f"{name}: unpartitioned windows {bad}"
 
 
-def test_o9_state_joins_broadcast(spark):
-    """Multi-level refinement touches the fact only through broadcast
-    semi-joins on the (group, band) state — never a shuffle join of the
-    fact against the tiny state frame."""
+def test_o9_value_grain_single_scan(spark):
+    """r13: o9's domain ([100, 5000] centi-quantities) is a config
+    constant, so the value-grain degenerate case of the wmedian
+    operator applies — ONE map-combinable fact scan, zero joins, and
+    windows only over the domain-bounded (group, value) frame."""
     plan = plan_of(QUERIES["o9_weighted_median_skewed"].fn(spark, SF_ORACLE))
-    assert plan.count("BroadcastHashJoin") >= 2  # level-1 narrow + exact pass
-    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 1  # was 3 before r13
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    # partial+final aggregate pairs: the fact reduces map-side
+    assert plan.count("HashAggregate") >= 2
 
 
 def test_reconciliation_no_cartesian_single_fact_join(spark):
@@ -1182,17 +1185,20 @@ def test_p15_variant_projection_no_shuffle_no_python(spark):
 
 
 def test_o10_weighted_p90_refinement_shape(spark):
-    """The p90 quantile must keep o8/o9's refinement cost model: the
-    fact is scanned once per level + once for the exact pass (3 scans),
-    each state join arrives BROADCAST (per group, one band of the
-    domain), and no window function ever sees fact-sized input."""
+    """The p90 quantile must keep the refinement cost model: the fact
+    is scanned once per level + once for the value-grain exact pass
+    (r13: 2 scans — the former width-1e3 middle level only re-shrank a
+    frame already domain-bounded at <= 1e5 distinct values per group,
+    at the price of a third full fact scan), the state join arrives
+    BROADCAST (per group, one band of the domain), and no window
+    function ever sees fact-sized input."""
     plan = plan_of(QUERIES["o10_weighted_p90_prices"].fn(spark, SF_ORACLE))
-    assert plan.count("Scan parquet") == 3
-    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("Scan parquet") == 2  # was 3 before r13
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
     # windows run over the band frames (bounded) — count them to pin
-    # the shape: level-0 cumulation + level-0 group total + level-1
-    # cumulation + exact pass
-    assert plan.count("Window") == 4
+    # the shape: level-0 cumulation + level-0 group total + exact pass
+    assert plan.count("Window") == 3
 
 
 def test_dedup_chain_single_shuffle_arrow_fanout(spark):
