@@ -28,6 +28,19 @@ switch-point guidance in one place:
     path"; identical results, the survivor key is unique by
     construction).
 
+``SPARK_GRAFT_BROADCAST_MAX_NODES`` (int, default 2_000_000)
+    r13: ceiling on the NODE count up to which the iterative graph
+    operators broadcast their node-sized per-round state (pagerank's
+    rank vector, LPA's label frame, BFS's distance frame) into the
+    edge-sized join instead of shuffling both sides — the per-round
+    edge exchange disappears without the co-partitioned cache. Above
+    the ceiling the operators fall back to the shuffle path, where
+    ``SPARK_GRAFT_EDGE_PARTITIONS`` / bucketed storage are the
+    documented at-scale levers. 2M rows of (long, long) state is
+    ~32 MB of data (~100-200 MB as a built hash relation per executor)
+    — well under the broadcast cap with headroom; raise it on fat
+    executors, set 0 to disable broadcasting entirely.
+
 Unset means the graded-scale defaults, which are the faster choice at
 every scale this repo's bench runs — the switches exist for the
 regimes SCALE.md measures above it.
@@ -39,6 +52,7 @@ import os
 
 _EDGE_PARTITIONS_VAR = "SPARK_GRAFT_EDGE_PARTITIONS"
 _BROADCAST_SURVIVORS_VAR = "SPARK_GRAFT_BROADCAST_SURVIVORS"
+_BROADCAST_MAX_NODES_VAR = "SPARK_GRAFT_BROADCAST_MAX_NODES"
 
 
 def graph_edge_partitions() -> int | None:
@@ -57,6 +71,23 @@ def graph_edge_partitions() -> int | None:
     if n < 0:
         raise ValueError(f"{_EDGE_PARTITIONS_VAR} must be >= 0, got {n}")
     return n or None
+
+
+def graph_broadcast_max_nodes() -> int:
+    """Node-count ceiling for broadcasting the per-round node state of
+    the iterative graph operators (0 disables)."""
+    raw = os.environ.get(_BROADCAST_MAX_NODES_VAR, "").strip()
+    if not raw:
+        return 2_000_000
+    try:
+        n = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{_BROADCAST_MAX_NODES_VAR}={raw!r} is not an integer"
+        ) from None
+    if n < 0:
+        raise ValueError(f"{_BROADCAST_MAX_NODES_VAR} must be >= 0, got {n}")
+    return n
 
 
 def graph_broadcast_survivors() -> bool:

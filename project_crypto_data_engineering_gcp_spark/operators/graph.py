@@ -22,6 +22,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _broadcast_node_state(
+    n_nodes: int, edge_partitions: int | None, edges_pre_bucketed: bool
+) -> bool:
+    """r13 dispatch: broadcast the node-sized per-round state while it
+    fits (config.graph_broadcast_max_nodes, default 2M rows) and the
+    caller did not pick an explicit SMJ placement (co-partitioned /
+    bucketed modes exist precisely for the regime where node state does
+    NOT broadcast)."""
+    from ..config import graph_broadcast_max_nodes
+
+    return (
+        edge_partitions is None
+        and not edges_pre_bucketed
+        and 0 < n_nodes <= graph_broadcast_max_nodes()
+    )
+
+
 def _pin_loop_invariant(
     df: DataFrame, key: str, partitions: int | None
 ) -> tuple[DataFrame, bool]:
@@ -73,6 +90,15 @@ def pagerank_fixed_point(
     """(node, r) after ``n_iters`` damped rounds; ranks are BIGINTs that
     sum to ~``scale``. Duplicate edges are collapsed (set semantics, the
     convention of the corpus query and its oracle).
+
+    Default-path round placement (r13): while the node count is under
+    ``config.graph_broadcast_max_nodes()`` the per-round rank vector is
+    BROADCAST into the edge join and the updated increments broadcast
+    back into the node-frame join — one exchange per round (the
+    map-combined partial sums) and no edge-side shuffle, without
+    building the co-partitioned cache. Above the ceiling the operator
+    keeps the shuffle path and the two explicit placements below are
+    the documented levers.
 
     ``edge_partitions``: co-partitioned mode, the GraphX/100-TB-cluster
     idiom. The loop-invariant edge frame is CACHED pre-partitioned and
@@ -152,14 +178,27 @@ def pagerank_fixed_point(
         .localCheckpoint(eager=False)
     )
 
+    # r13: when the NODE state fits a broadcast (n_nodes is already
+    # counted — no extra job), ship the rank vector to the edges each
+    # round instead of shuffling both sides: the edge-sized exchange
+    # AND the node-frame exchanges of the rank-update join disappear —
+    # per round ONE exchange (the map-combined partial sums of inc)
+    # instead of up to four, with no co-partitioned cache to build.
+    # Size-gated (config.graph_broadcast_max_nodes, default 2M rows)
+    # and only on the default path — see _broadcast_node_state. Results
+    # are bit-identical (integer sums are placement-invariant; parity
+    # pinned in tests/test_graph.py).
+    bcast_state = _broadcast_node_state(
+        n_nodes, edge_partitions, edges_pre_bucketed
+    )
+
     # initial ranks are nodes_flag + one literal — deriving them on the
     # fly is free; a dedicated checkpoint of that frame bought nothing
     ranks = nodes_flag.withColumn("r", F.lit(scale // n_nodes))
     for _ in range(n_iters):
+        r_src = ranks.select(F.col("node").alias("src"), "r")
         inc = (
-            edges_deg.join(
-                ranks.select(F.col("node").alias("src"), "r"), "src"
-            )
+            edges_deg.join(F.broadcast(r_src) if bcast_state else r_src, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("r div deg")).alias("s"))
         )
@@ -168,7 +207,7 @@ def pagerank_fixed_point(
         )
         ranks = (
             nodes_flag.crossJoin(F.broadcast(dang))
-            .join(inc, "node", "left")
+            .join(F.broadcast(inc) if bcast_state else inc, "node", "left")
             .select(
                 "node",
                 "dangling",

@@ -369,3 +369,46 @@ def test_iterative_pinned_mode_matches_default_after_lazy_cuts(spark):
     bfs_base = bfs_distances(sym, seed_mod=100, rounds=2)
     bfs_pin = bfs_distances(sym, seed_mod=100, rounds=2, edge_partitions=4)
     assert sorted(bfs_base.collect()) == sorted(bfs_pin.collect())
+
+
+def test_pagerank_broadcast_state_matches_shuffle_path(spark, monkeypatch):
+    """r13: below config.graph_broadcast_max_nodes() the default path
+    broadcasts the per-round rank vector (one exchange per round, no
+    edge-side shuffle); forcing the ceiling to 0 restores the r12
+    shuffle placement. Both must be bit-identical on a graph with
+    dangling nodes. The returned frame's plan is truncated at the final
+    lineage cut, so the dispatch itself is pinned at the decision
+    helper (env gate + mode exclusions), and the physical switch is
+    auditable in plans/r13/graph_pagerank_loopbody_{bcast,shuffle}.txt
+    (tools/r13_pagerank_ab.py dumps the UNcut loop body)."""
+    from project_crypto_data_engineering_gcp_spark.operators.graph import (
+        _broadcast_node_state,
+        pagerank_fixed_point,
+    )
+    from project_crypto_data_engineering_gcp_spark.sources.tables import (
+        load_table,
+    )
+
+    # dispatch: size gate, 0-disable, and mode exclusions
+    assert _broadcast_node_state(1000, None, False)
+    assert not _broadcast_node_state(3_000_000, None, False)
+    assert not _broadcast_node_state(1000, 8, False)
+    assert not _broadcast_node_state(1000, None, True)
+    assert not _broadcast_node_state(0, None, False)
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_MAX_NODES", "0")
+    assert not _broadcast_node_state(1000, None, False)
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_MAX_NODES", "500")
+    assert _broadcast_node_state(500, None, False)
+    assert not _broadcast_node_state(501, None, False)
+    monkeypatch.delenv("SPARK_GRAFT_BROADCAST_MAX_NODES")
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    bcast = pagerank_fixed_point(edges, n_iters=2, scale=10**9)
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_MAX_NODES", "0")
+    shuf = pagerank_fixed_point(edges, n_iters=2, scale=10**9)
+    assert sorted(bcast.collect()) == sorted(shuf.collect())
