@@ -169,6 +169,46 @@ def test_bootstrap_ci_brackets_point_estimate(spark):
         assert r["n_orders"] > 0
 
 
+def test_bootstrap_ci_empty_replicas_filtered(spark, tmp_path):
+    """r13 focused test for the wide conditional-aggregate rewrite: a
+    single-order priority leaves ~half the replicas EMPTY (bit b of the
+    one hash is 0). The exploded r7-r12 shape never produced those
+    (prio, b) rows; the wide form produces n=0 cells and must filter
+    them — otherwise mean_e6 divides by zero and the rank-ordered CI
+    indexes shift. Differential vs a DuckDB oracle restricted to the
+    tiny fixture."""
+    import duckdb
+
+    from tests.oracle_harness import assert_frames_match, run_duckdb
+    from project_crypto_data_engineering_gcp_spark.plans import all_queries
+
+    src_dir = "/root/testdata/sf0.001"
+    d = str(tmp_path)
+    con = duckdb.connect()
+    # one priority with ONE order (empty replicas guaranteed), the rest
+    # of the table intact
+    con.execute(
+        f"""COPY (
+            SELECT * FROM read_parquet('{src_dir}/orders.parquet')
+            WHERE o_orderpriority <> '1-URGENT'
+               OR o_orderkey = (
+                    SELECT MIN(o_orderkey)
+                    FROM read_parquet('{src_dir}/orders.parquet')
+                    WHERE o_orderpriority = '1-URGENT')
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"""COPY (SELECT * FROM read_parquet('{src_dir}/{t}.parquet'))
+                TO '{d}/{t}.parquet' (FORMAT PARQUET)"""
+        )
+    q = all_queries()["a23_bootstrap_ci"]
+    assert_frames_match(
+        q.fn(spark, d), run_duckdb(q.oracle, d), "a23 single-order prio"
+    )
+
+
 def test_target_encoding_is_leakage_free(spark):
     """Differential check of the out-of-fold property: for one
     (nation, fold) cell, recompute the smoothed encoding from a pandas
