@@ -28,18 +28,21 @@ switch-point guidance in one place:
     path"; identical results, the survivor key is unique by
     construction).
 
-``SPARK_GRAFT_BROADCAST_MAX_NODES`` (int, default 2_000_000)
-    r13: ceiling on the NODE count up to which the iterative graph
-    operators broadcast their node-sized per-round state (pagerank's
-    rank vector, LPA's label frame, BFS's distance frame) into the
-    edge-sized join instead of shuffling both sides — the per-round
-    edge exchange disappears without the co-partitioned cache. Above
-    the ceiling the operators fall back to the shuffle path, where
+``SPARK_GRAFT_BROADCAST_MAX_NODES`` (int, default 250_000)
+    r13: ceiling on the NODE count up to which pagerank broadcasts its
+    node-sized per-round rank state into the edge-sized join instead
+    of shuffling both sides — the per-round edge exchange disappears
+    without the co-partitioned cache. Above the ceiling the operator
+    falls back to the shuffle path, where
     ``SPARK_GRAFT_EDGE_PARTITIONS`` / bucketed storage are the
-    documented at-scale levers. 2M rows of (long, long) state is
-    ~32 MB of data (~100-200 MB as a built hash relation per executor)
-    — well under the broadcast cap with headroom; raise it on fat
-    executors, set 0 to disable broadcasting entirely.
+    documented at-scale levers. Default measured, not guessed
+    (SCALE.md r13): at 16k nodes broadcast wins every interleaved pass
+    (1.1-1.25x); at 1.6M nodes x 5 rounds the SEQUENTIAL driver-side
+    relation builds stop scaling with cores (8->32 cores: broadcast
+    171->159 s vs shuffle 220->137 s at x100 edges) — the crossover is
+    in between, so the default stays conservatively at 250k rows
+    (~4 MB of (long, long) state per round, a cheap build). Raise it
+    on fat executors, set 0 to disable broadcasting entirely.
 
 Unset means the graded-scale defaults, which are the faster choice at
 every scale this repo's bench runs — the switches exist for the
@@ -78,7 +81,7 @@ def graph_broadcast_max_nodes() -> int:
     the iterative graph operators (0 disables)."""
     raw = os.environ.get(_BROADCAST_MAX_NODES_VAR, "").strip()
     if not raw:
-        return 2_000_000
+        return 250_000
     try:
         n = int(raw)
     except ValueError:

@@ -26,7 +26,8 @@ def _broadcast_node_state(
     n_nodes: int, edge_partitions: int | None, edges_pre_bucketed: bool
 ) -> bool:
     """r13 dispatch: broadcast the node-sized per-round state while it
-    fits (config.graph_broadcast_max_nodes, default 2M rows) and the
+    fits (config.graph_broadcast_max_nodes, default 250k rows —
+    measured crossover, see config.py) and the
     caller did not pick an explicit SMJ placement (co-partitioned /
     bucketed modes exist precisely for the regime where node state does
     NOT broadcast)."""
@@ -184,7 +185,7 @@ def pagerank_fixed_point(
     # AND the node-frame exchanges of the rank-update join disappear —
     # per round ONE exchange (the map-combined partial sums of inc)
     # instead of up to four, with no co-partitioned cache to build.
-    # Size-gated (config.graph_broadcast_max_nodes, default 2M rows)
+    # Size-gated (config.graph_broadcast_max_nodes, default 250k rows)
     # and only on the default path — see _broadcast_node_state. Results
     # are bit-identical (integer sums are placement-invariant; parity
     # pinned in tests/test_graph.py).
