@@ -44,16 +44,18 @@ _REGISTRY: dict[str, CorpusQuery] = {}
 # r12 VERDICT (task 5) declared): the five r12 additions lead (policy
 # (a): never driver-checked in ANY of CORRECTNESS_r01..r12 — each has
 # local parity at sf0.001/0.01/0.1, a fuzz seat, and a scale-sweep
-# row), then o9_weighted_median_skewed joins per policy (b) (its
-# execution strategy was rewritten this round — r13 value-grain
-# single-scan, results bit-identical, but a rewritten query re-earns
-# its driver row), then the 48-entry r8-latest rollover from the r12
-# comment (policy (c)), in its declared order. 5 + 1 + 44 = 50; the
-# last 4 r8-latest entries (sim_cosine_pairs, sim_embedding_norms,
-# text_fingerprint, text_lang_id) overflow and LEAD the r14 window,
+# row), then the three queries REWRITTEN this round join per policy
+# (b) (o9: value-grain single scan; a23: wide conditional aggregate;
+# graph_pagerank: broadcast-state rounds — results bit-identical in
+# every case, but a rewritten query re-earns its driver row), then
+# the 48-entry r8-latest rollover from the r12 comment (policy (c)),
+# in its declared order. 5 + 3 + 42 = 50; the last 6 r8-latest
+# entries (pivot_status_by_priority, set_ops_orderkeys,
+# sim_cosine_pairs, sim_embedding_norms, text_fingerprint,
+# text_lang_id) overflow and LEAD the r14 window,
 # followed by the r9-latest set oldest-first (compute it at r14 start
 # from CORRECTNESS_r01..r13). After this round's check the staleness
-# ledger reads r13x50, r12x50, r11x50, r10x50, r9x46(+4 r8-latest
+# ledger reads r13x50, r12x50, r11x50, r10x50, r9x44(+6 r8-latest
 # stragglers) — max staleness 5 rounds for exactly those 4 entries,
 # one round above the documented ~4-round floor, self-correcting at
 # r14 (README "Driver-window rotation policy").
@@ -91,9 +93,11 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     # o10 above is ALSO rewritten — (1e5,1e3) -> (1e5,) — and already
     # leads via policy (a)) ----
     "o9_weighted_median_skewed",
+    "a23_bootstrap_ci",
+    "graph_pagerank",
     # ---- the 48-entry r8-latest rollover from the r12 window comment,
-    # policy (c), in its declared order; the first 44 complete the
-    # 50-slot window, the last 4 overflow into r14 ----
+    # policy (c), in its declared order; the first 42 complete the
+    # 50-slot window, the last 6 overflow into r14 ----
     "a29_welch_ttest",
     "dq_histogram_drift",
     "feat_hashing_trick",
@@ -136,10 +140,10 @@ CHECK_WINDOW_PRIORITY: tuple[str, ...] = (
     "p1_event_json_projection",
     "p9_round_family",
     "percentiles_acctbal_by_nation",
+    # ---- r14 OVERFLOW QUEUE (positions 51+): these 6 lead the r14
+    # window, then the r9-latest set oldest-first ----
     "pivot_status_by_priority",
     "set_ops_orderkeys",
-    # ---- r14 OVERFLOW QUEUE (positions 51+): these 4 lead the r14
-    # window, then the r9-latest set oldest-first ----
     "sim_cosine_pairs",
     "sim_embedding_norms",
     "text_fingerprint",

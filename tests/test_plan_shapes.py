@@ -828,15 +828,18 @@ def test_bpe_encode_report_is_equi_join_no_cartesian(spark):
 
 
 def test_bootstrap_ci_shuffle_is_replica_bounded(spark):
-    """a23_bootstrap_ci: replica membership is a map-side array explode
-    feeding ONE map-combinable groupBy — partial HashAggregate before
-    the exchange bounds the shuffle at n_groups x 48 rows per partition;
-    the order-statistic window runs over 48-row partitions. No cartesian
-    anywhere."""
+    """a23_bootstrap_ci (r13 wide form): NO row fan-out — replica
+    membership is computed as conditional aggregates inside ONE
+    map-combinable groupBy (partial HashAggregate before the exchange;
+    shuffle = n_groups rows x 64 columns), the tiny wide frame is
+    unpivoted with stack(), and the order-statistic window runs over
+    replica-count-row partitions. No explode, no cartesian anywhere."""
     plan = plan_of(QUERIES["a23_bootstrap_ci"].fn(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "HashAggregate" in plan and "Generate explode" in plan
+    assert "HashAggregate" in plan
+    assert "Generate explode" not in plan  # the pre-r13 16x fan-out
+    assert "Generate stack" in plan  # unpivot of the n_groups-row frame
     assert "Window" in plan
 
 
